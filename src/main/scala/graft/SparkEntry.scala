@@ -36,7 +36,10 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.ingest.IngestQueries.queries ++ relational
+
+  private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational: scan + filter + hash aggregate + sort (TPC-H Q1 shape)
     "q1_pricing_summary" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -58,7 +61,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.ingest.IngestQueries.oracleSql ++ relationalOracles
+
+  private def relationalOracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

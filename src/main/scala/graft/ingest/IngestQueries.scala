@@ -1,0 +1,136 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Oracle-checked queries exercising the ingest pipeline end-to-end
+  * (registered via SparkEntry). Literal-input queries hardcode their
+  * expected output in DuckDB VALUES; roundtrip queries export a driver
+  * table to CSV, run the full Collimate pipeline on it, and must
+  * reproduce the original table byte-for-byte.
+  */
+object IngestQueries {
+
+  private def tmpDir(dir: String, name: String): String =
+    s"/tmp/graft_ingest/${dir.replaceAll("\\W", "_")}/$name"
+
+  /** Export a table to a single-header CSV the way a collimate user
+    * would have it on disk. */
+  private def exportCsv(df: DataFrame, orderCol: String, path: String): Unit =
+    df.orderBy(orderCol).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** CSV part files carry a .csv extension inside `path`; Collimate.read
+    * dispatches on extension, so hand it the glob. */
+  private def roundtrip(s: SparkSession, dir: String, table: String,
+      orderCol: String, opts: Collimate.Options = Collimate.Options()): DataFrame = {
+    val src = s.read.parquet(s"$dir/$table.parquet")
+    val out = tmpDir(dir, table)
+    exportCsv(src, orderCol, out)
+    val ingested = Collimate(s, s"$out/*.csv", opts).df
+    // Cast back to the source schema: the oracle checks VALUES fidelity;
+    // inference-decision checks live in ingest_infer_customer + specs.
+    ingested.select(src.schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      .orderBy(orderCol)
+  }
+
+  private val sanitizeInputs = Seq(
+    " First-Name ", "A&B", "price %", "email@addr", "x  y", "__z__",
+    "95% conf.", "weird!!name??", "Total-Sales-2024")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_sanitize" -> { (s, _) =>
+      val rows = sanitizeInputs.zipWithIndex.map { case (n, i) =>
+        Row(i + 1, n, Sanitize(n))
+      }
+      s.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("original", StringType),
+          StructField("sanitized", StringType))))
+        .orderBy("id")
+    },
+
+    "ingest_nulls" -> { (s, _) =>
+      val tokens = Seq("null", "na", "n/a", "none", "", "-",
+        "NULL", "NA", "x", "0")
+      val rows = tokens.zipWithIndex.map { case (t, i) => Row(i + 1, t) }
+      val df = s.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("raw", StringType))))
+      df.select(col("id"), Nulls.canonicalize(col("raw")).as("canon"))
+        .orderBy("id")
+    },
+
+    "ingest_dates" -> { (s, _) =>
+      val data = Seq(
+        Row(1, "2011-01-02", "2-1-2011", "3-25-2011"),
+        Row(2, "2011-1-3", "28-2-2012", "12-31-2012"),
+        Row(3, "2012-12-31", "3-3-2013", "1-2-2013"))
+      val df = s.createDataFrame(data.asJava,
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("iso", StringType), StructField("global", StringType),
+          StructField("us", StringType))))
+      // full pipeline: inference locks one format per column, casts
+      Collimate.fromRows(df, Collimate.Options(parseDates = true))
+        .df.orderBy("id")
+    },
+
+    "ingest_roundtrip_nation" -> { (s, dir) =>
+      roundtrip(s, dir, "nation", "n_nationkey")
+    },
+
+    "ingest_roundtrip_customer" -> { (s, dir) =>
+      roundtrip(s, dir, "customer", "c_custkey")
+    },
+
+    "ingest_infer_customer" -> { (s, dir) =>
+      // export customer as CSV, run inference only, surface the decisions
+      val src = s.read.parquet(s"$dir/customer.parquet")
+      val out = tmpDir(dir, "customer_infer")
+      exportCsv(src, "c_custkey", out)
+      val schema = TypeInference.infer(Collimate.read(s, s"$out/*.csv"))
+      val rows = schema.fields.map(f =>
+        Row(f.name, f.dataType.simpleString, f.categorical))
+      s.createDataFrame(rows.asJava,
+        StructType(Seq(StructField("column_name", StringType),
+          StructField("inferred_type", StringType),
+          StructField("is_categorical", BooleanType, false))))
+        .orderBy("column_name")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ingest_sanitize" -> {
+      val vals = sanitizeInputs.zipWithIndex.map { case (n, i) =>
+        s"(${i + 1}, '${n.replace("'", "''")}', '${Sanitize(n)}')"
+      }.mkString(", ")
+      s"SELECT * FROM (VALUES $vals) t(id, original, sanitized) ORDER BY id"
+    },
+    "ingest_nulls" ->
+      """SELECT * FROM (VALUES
+        | (1, NULL), (2, NULL), (3, NULL), (4, NULL), (5, NULL), (6, NULL),
+        | (7, 'NULL'), (8, 'NA'), (9, 'x'), (10, '0')
+        |) t(id, canon) ORDER BY id""".stripMargin,
+    "ingest_dates" ->
+      """SELECT * FROM (VALUES
+        | (1, DATE '2011-01-02', DATE '2011-01-02', DATE '2011-03-25'),
+        | (2, DATE '2011-01-03', DATE '2012-02-28', DATE '2012-12-31'),
+        | (3, DATE '2012-12-31', DATE '2013-03-03', DATE '2013-01-02')
+        |) t(id, iso, "global", us) ORDER BY id""".stripMargin,
+    "ingest_roundtrip_nation" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "ingest_roundtrip_customer" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+    "ingest_infer_customer" ->
+      """SELECT * FROM (VALUES
+        | ('c_acctbal', 'double', false),
+        | ('c_custkey', 'int', false),
+        | ('c_mktsegment', 'string', true),
+        | ('c_name', 'string', false),
+        | ('c_nationkey', 'int', true)
+        |) t(column_name, inferred_type, is_categorical) ORDER BY column_name""".stripMargin
+  )
+}

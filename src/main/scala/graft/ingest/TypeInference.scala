@@ -1,0 +1,147 @@
+package graft.ingest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-column logical type for an ingested frame. */
+case class FieldMeta(
+    name: String,
+    sanitized: String,
+    dataType: DataType,
+    dateFormat: Option[String],
+    categorical: Boolean,
+    distinct: Long)
+
+case class IngestSchema(
+    fields: Seq[FieldMeta],
+    rowCount: Long,
+    scanned: Long,
+    categoricalThreshold: Double)
+
+/** Schema inference (reference O4/O5, `index.js:146-337`), re-expressed
+  * as ONE Spark aggregation over a bounded prefix of the data.
+  *
+  * The reference seeds a type from row 0 then demotes while scanning the
+  * first `scan` rows (`scan = N<1000 ? N : max(1000, 0.3N)`,
+  * `index.js:220-221`). Seed-then-demote over a prefix is equivalent to
+  * evaluating the whole prefix at once on the lattice
+  * int → double → string, which is what we do: a single `agg` computes,
+  * per column, the counts of values that survive `try_cast` at each
+  * lattice level, per-format strict date-parse counts, and the distinct
+  * count — so inference costs exactly one job regardless of column count
+  * (SURVEY.md §7 "inference at 100 TB": never one job per column, never
+  * a driver-side collect of rows).
+  *
+  * Intended-semantics divergences (SURVEY.md §2b):
+  *  - Q1/Q3: integers beyond ±2^31−1 infer as `LongType` (the reference
+  *    demotes to str on the seed row and, due to a stale-variable bug,
+  *    not at all during refinement).
+  *  - Q8: the type decision still comes from the prefix only (same
+  *    sampling contract), but a post-freeze value that fails the cast
+  *    becomes NULL, never `0`/`NaN`.
+  */
+object TypeInference {
+  val MinScanCount = 1000L     // index.js:22
+  val MinScanFraction = 0.3    // index.js:23
+  /** Scale divergence: the reference's 0.3·N prefix is unbounded — at
+    * 100 TB that is a 30 TB inference scan. We cap the prefix (the
+    * encounter-fraction model in Categorical already compensates for
+    * small sample fractions). */
+  val DefaultScanCap = 2000000L
+
+  def scanCount(n: Long, cap: Long = DefaultScanCap): Long =
+    if (n < MinScanCount) n
+    else math.min(math.max(MinScanCount, (n * MinScanFraction).toLong), cap)
+
+  private val IntMin = Int.MinValue.toLong
+  private val IntMax = Int.MaxValue.toLong
+
+  /** Infer a schema for `df` (any input types; cells are canonicalized
+    * as strings first, mirroring the CSV path). One count job + one
+    * aggregation job. */
+  def infer(df: DataFrame, parseDates: Boolean = false,
+      scanCap: Long = DefaultScanCap): IngestSchema = {
+    val cols = df.columns.toSeq
+    val n = df.count()
+    if (n == 0 || cols.isEmpty) {
+      // index.js:134 — empty input → empty result
+      return IngestSchema(
+        cols.map(c => FieldMeta(c, Sanitize(c), IntegerType, None,
+          categorical = false, 0L)), 0L, 0L, 0.0)
+    }
+    val scan = scanCount(n, scanCap)
+    // Prefix sample, positionally renamed so expr() below never has to
+    // quote hostile column names.
+    val canon = df.limit(scan.toInt.max(1)).select(
+      cols.zipWithIndex.map { case (c, i) =>
+        Nulls.canonicalize(col(c).cast(StringType)).as(s"c$i")
+      }: _*)
+    val aggs = cols.indices.flatMap { i =>
+      val c = col(s"c$i")
+      Seq(
+        count(c).as(s"nn_$i"),
+        count(expr(s"try_cast(c$i AS BIGINT)")).as(s"lng_$i"),
+        count(when(expr(s"try_cast(c$i AS BIGINT)").between(IntMin, IntMax),
+          1)).as(s"int_$i"),
+        count(expr(s"try_cast(c$i AS DOUBLE)")).as(s"dbl_$i"),
+        count_distinct(c).as(s"dct_$i")
+      ) ++ (if (parseDates) Dates.Formats.zipWithIndex.map { case (f, k) =>
+        sum(Dates.parses(c, f)).as(s"fmt${k}_$i")
+      } else Nil)
+    }
+    val r = canon.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val thresh = Categorical.threshold(n, scan)
+    val fields = cols.zipWithIndex.map { case (c, i) =>
+      val nn = r.getAs[Long](s"nn_$i")
+      val lng = r.getAs[Long](s"lng_$i")
+      val intOk = r.getAs[Long](s"int_$i")
+      val dbl = r.getAs[Long](s"dbl_$i")
+      val dct = r.getAs[Long](s"dct_$i")
+      val surviving = if (parseDates && nn > 0)
+        Dates.Formats.zipWithIndex.filter { case (_, k) =>
+          Option(r.getAs[Any](s"fmt${k}_$i"))
+            .exists(_.asInstanceOf[Long] == nn)
+        }.map(_._1)
+      else Nil
+      val (dt, fmt): (DataType, Option[String]) =
+        if (nn == 0) (IntegerType, None) // all-null seeds int32, index.js:183-185
+        else if (lng == nn && intOk == nn) (IntegerType, None)
+        else if (lng == nn) (LongType, None)
+        else if (dbl == nn) (DoubleType, None)
+        // exactly-one-surviving-format rule, index.js:373-378
+        else if (surviving.size == 1) (DateType, Some(surviving.head))
+        else (StringType, None)
+      FieldMeta(c, Sanitize(c), dt, fmt,
+        Categorical.isCategorical(dct, thresh), dct)
+    }
+    // de-dup sanitized collisions, same policy as Sanitize.columns
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val deduped = fields.map { f =>
+      val k = seen.getOrElse(f.sanitized, 0); seen(f.sanitized) = k + 1
+      if (k == 0) f else f.copy(sanitized = s"${f.sanitized}_${k + 1}")
+    }
+    IngestSchema(deduped, n, scan, thresh)
+  }
+
+  /** Apply an inferred schema: canonicalize nulls, cast to the decided
+    * type (`try_cast` — post-freeze misfits become NULL, Q8 intended
+    * semantics), normalize dates, rename to sanitized names. Purely
+    * declarative — Catalyst folds this into the scan, so the "fill pass"
+    * (reference O11, `index.js:407-488`) is the write job itself. */
+  def cast(df: DataFrame, schema: IngestSchema): DataFrame = {
+    val canon = df.select(schema.fields.map { f =>
+      Nulls.canonicalize(col(f.name).cast(StringType)).as(f.sanitized)
+    }: _*)
+    canon.select(schema.fields.map { f =>
+      val c = f.dataType match {
+        case IntegerType => expr(s"try_cast(${f.sanitized} AS INT)")
+        case LongType    => expr(s"try_cast(${f.sanitized} AS BIGINT)")
+        case DoubleType  => expr(s"try_cast(${f.sanitized} AS DOUBLE)")
+        case DateType    => Dates.normalize(col(f.sanitized), f.dateFormat.get)
+        case _           => col(f.sanitized)
+      }
+      c.as(f.sanitized)
+    }: _*)
+  }
+}

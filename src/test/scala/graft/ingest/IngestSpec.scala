@@ -1,0 +1,156 @@
+package graft.ingest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IngestSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def fixture(name: String): String =
+    getClass.getResource(s"/$name").getPath
+
+  def typesOf(path: String, parseDates: Boolean = false): Map[String, DataType] = {
+    val schema = TypeInference.infer(
+      Collimate.read(spark, path), parseDates)
+    schema.fields.map(f => f.name -> f.dataType).toMap
+  }
+
+  test("basic inference: int / double / string (O4/O5)") {
+    assert(typesOf(fixture("types_basic.csv")) ==
+      Map("id" -> IntegerType, "score" -> DoubleType, "label" -> StringType))
+  }
+
+  test("mixed inference: demotions on the lattice + int64 widening (Q1/Q3)") {
+    // a: pure int; b: double demoted to string by 'x'; c: int demoted to
+    // double by 3.5 — and 2147483648 overflows int32 → our intended
+    // semantics widen to... c contains 3.5 so double wins anyway.
+    assert(typesOf(fixture("types_mixed.csv")) ==
+      Map("a" -> IntegerType, "b" -> StringType, "c" -> DoubleType))
+  }
+
+  test("int64 widening beyond 2^31 (Q3 intended semantics)") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      List("2147483648", "5").map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField("big", StringType))))
+    val s = TypeInference.infer(df)
+    assert(s.fields.head.dataType == LongType)
+  }
+
+  test("NULL_SET canonicalization is exact + case-sensitive (O6)") {
+    val r = Collimate(spark, fixture("nulls.csv")).df.collect()
+      .sortBy(r => Option(r.getAs[Integer]("i")).map(_.toInt).getOrElse(-1))
+    // column i: 1, null(2 tokens), 2 → int with nulls
+    // column s: x, n/a→null, but "NULL"/"NA" uppercase stay literal
+    val s = Collimate(spark, fixture("nulls.csv")).df
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(s == Set("x", null, "NULL", "NA"))
+    assert(r.count(_.isNullAt(0)) == 2)
+  }
+
+  test("date detection locks a single surviving format (O7/O8)") {
+    assert(typesOf(fixture("dates_iso.csv"), parseDates = true)("d") == DateType)
+    assert(typesOf(fixture("dates_us.csv"), parseDates = true)("d") == DateType)
+    val iso = Collimate(spark, fixture("dates_iso.csv"),
+      Collimate.Options(parseDates = true)).df
+    assert(iso.select("d").collect().map(_.get(0).toString).sorted.toSeq ==
+      Seq("2011-01-02", "2011-01-03", "2012-12-31"))
+  }
+
+  test("ambiguous dates (two surviving formats) stay strings") {
+    assert(typesOf(fixture("dates_ambiguous.csv"), parseDates = true)("d") ==
+      StringType)
+  }
+
+  test("dates disabled without the -d flag") {
+    assert(typesOf(fixture("dates_iso.csv"))("d") == StringType)
+  }
+
+  test("sanitize replicates the reference chain (O12)") {
+    assert(Sanitize(" First-Name ") == "first_name")
+    assert(Sanitize("A&B") == "aandb")
+    // edge-strip removes the trailing " %" before the % substitution
+    // can fire (verified against the reference chain with node)
+    assert(Sanitize("price %") == "price")
+    assert(Sanitize("95% conf.") == "95percent_conf")
+    assert(Sanitize("email@addr") == "emailataddr")
+    assert(Sanitize("x  y") == "x_y")
+    assert(Sanitize("__z__") == "__z__")
+    val cols = Collimate(spark, fixture("names.csv")).df.columns.toSeq
+    assert(cols == Seq("first_name", "aandb", "price",
+      "emailataddr", "x_y", "__z__"))
+  }
+
+  test("TSV and JSON scans agree with CSV (O1-O3)") {
+    val csv = Collimate(spark, fixture("types_basic.csv")).df
+    val json = Collimate(spark, fixture("records.json")).df
+      .select("id", "score", "label")
+    assert(json.schema == csv.schema)
+    assert(json.collect().toSet == csv.collect().toSet)
+    val tsv = Collimate(spark, fixture("types_basic.tsv")).df
+    assert(tsv.schema == csv.schema)
+  }
+
+  test("empty input → empty result, no crash (index.js:134)") {
+    val r = Collimate(spark, fixture("empty.csv"))
+    assert(r.df.count() == 0)
+  }
+
+  test("late surprise after the scan prefix → NULL, not 0 (Q8)") {
+    val r = Collimate(spark, fixture("late_surprise.csv"))
+    val types = r.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("v") == IntegerType) // frozen from prefix
+    val vals = r.df.select("v").collect()
+    assert(vals.count(_.isNullAt(0)) == 1) // 'oops' → NULL, not 0
+  }
+
+  test("categorical threshold formula (O9, index.js:232-247)") {
+    // full scan: ef=1 → threshold = ceil(0.3N)
+    assert(Categorical.threshold(100, 100) == 30.0)
+    // 2/3 sample → first key ≤ 0.667 is 0.4 → ef=0.65² = 0.4225
+    assert(math.abs(Categorical.threshold(1500, 1000) - 450 * 0.4225) < 1e-9)
+    // below the smallest key → 0 (reference: NaN, nothing categorical)
+    assert(Categorical.threshold(1000000, 1000) == 0.0)
+    assert(Categorical.threshold(65536 * 10, 65536 * 10) == 65536 * 1.0)
+  }
+
+  test("categorical detection on late_surprise (low-card cat column)") {
+    val r = Collimate(spark, fixture("late_surprise.csv"))
+    val byName = r.schema.fields.map(f => f.name -> f).toMap
+    assert(byName("cat").categorical)   // 3 distinct ≤ threshold
+    assert(!byName("v").categorical)    // ~1000 distinct in prefix
+  }
+
+  test("dictionary codes assigned by first-encounter order (O10)") {
+    val df = Collimate(spark, fixture("late_surprise.csv")).df
+    val (encoded, decoder) = Categorical.encode(df, "cat")
+    assert(decoder.toSeq == Seq("u", "v", "w", "xyz")) // file order of first rows
+    val first = encoded.filter(org.apache.spark.sql.functions.col("v") === 0)
+      .select("cat_code").collect().head.getInt(0)
+    assert(first == 0)
+  }
+
+  test("property: sanitize is idempotent") {
+    val names = Seq(" First-Name ", "A&B", "price %", "email@addr",
+      "x  y", "__z__", "weird!!name??", "95% conf.", "a-b-c")
+    names.foreach(n => assert(Sanitize(Sanitize(n)) == Sanitize(n)))
+  }
+
+  test("roundtrip: write parquet + index sidecar (O13/O14)") {
+    val out = java.nio.file.Files.createTempDirectory("collimate_test").toString
+    val r = Collimate(spark, fixture("types_basic.csv"))
+    Collimate.write(r, out, Collimate.Options(writeIndex = true))
+    val back = spark.read.parquet(s"$out/data.parquet")
+    assert(back.schema == r.df.schema)
+    assert(back.count() == 4)
+    val idx = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/index.json")))
+    assert(idx.contains("\"id\"") && idx.contains("\"int\""))
+  }
+}
