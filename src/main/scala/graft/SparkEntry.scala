@@ -1,35 +1,18 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Registry of named queries, each paired (where SQL-expressible) with
-  * DuckDB oracle SQL in [[SparkEntry.oracleSql]]. Determinism rules:
-  *   - every query ends in an explicit orderBy over a unique key;
-  *   - double aggregations over fractional values go through a
-  *     DECIMAL(18,6) cast before SUM so the result is independent of
-  *     partitioning / summation order, then back to DOUBLE so both
-  *     engines surface the same physical type.
+  * Aggregates the per-module query registries. Determinism rules for
+  * every oracle-checked query:
+  *   - an explicit trailing orderBy over a unique key;
+  *   - double aggregates of fractional values go through
+  *     [[graft.ops.Q.dsum]] (DECIMAL(18,6) cast) so the result is
+  *     independent of partitioning/summation order, with divisions done
+  *     in DOUBLE on both engines.
   */
 object SparkEntry {
-
-  /** Read one of the driver's parquet tables. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Order-independent exact sum of a fractional double expression:
-    * per-row product stays IEEE-deterministic, the DECIMAL(18,6) cast
-    * rounds identically in Spark and DuckDB, and decimal addition is
-    * associative — so the final DOUBLE is bit-identical regardless of
-    * partition/summation order. */
-  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
-
-  def davg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(c.cast(DecimalType(18, 6))).cast(DoubleType) / count(c)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -37,46 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.ingest.IngestQueries.queries ++ relational
-
-  private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- relational: scan + filter + hash aggregate + sort (TPC-H Q1 shape)
-    "q1_pricing_summary" -> { (s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }
-  )
+    graft.ingest.IngestQueries.queries ++
+      graft.ops.Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.ingest.IngestQueries.oracleSql ++ relationalOracles
-
-  private def relationalOracles: Map[String, String] = Map(
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(l_quantity) AS avg_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+    graft.ingest.IngestQueries.oracleSql ++
+      graft.ops.Relational.oracleSql
 }

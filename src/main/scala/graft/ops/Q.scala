@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared query helpers. */
+object Q {
+  /** Read one of the driver's parquet tables. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
+    * reads as LongType (spark.sql.legacy.parquet.nanosAsLong — set in
+    * Verify/Bench sessions). Surface `ts` as a microsecond timestamp,
+    * matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Order-independent exact sum of a fractional double expression:
+    * the per-row value is IEEE-deterministic, the DECIMAL(18,6) cast
+    * rounds identically in Spark and DuckDB, and decimal addition is
+    * associative — so the final DOUBLE is independent of partitioning
+    * and summation order. The DuckDB oracle mirrors it as
+    * `CAST(sum(CAST(expr AS DECIMAL(18,6))) AS DOUBLE)`. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** Mean via dsum; the division must happen in DOUBLE on both engines
+    * (decimal division scales differ between Spark and DuckDB). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Same trick for running/windowed sums. */
+  def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(DecimalType(18, 6))).over(w).cast(DoubleType)
+}
