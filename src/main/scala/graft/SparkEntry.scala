@@ -23,7 +23,10 @@ object SparkEntry {
     graft.ingest.IngestQueries.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Dedup.queries ++
-      graft.ops.TextStats.queries
+      graft.ops.TextStats.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries ++
+      graft.streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
@@ -31,5 +34,8 @@ object SparkEntry {
     graft.ingest.IngestQueries.oracleSql ++
       graft.ops.Relational.oracleSql ++
       graft.ops.Dedup.oracleSql ++
-      graft.ops.TextStats.oracleSql
+      graft.ops.TextStats.oracleSql ++
+      graft.ops.Similarity.oracleSql ++
+      graft.ops.Multimodal.oracleSql ++
+      graft.streaming.EventStream.oracleSql
 }

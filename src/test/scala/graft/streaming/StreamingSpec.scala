@@ -1,0 +1,86 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured Streaming parity: the SAME hourlyAgg transform that the
+  * batch oracle checks is run here as a real streaming query (memory
+  * sink), plus a stateful mapGroupsWithState op. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  val sample: Seq[Ev] = Seq(
+    Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 2.0),
+    Ev(3, ts(65), 1, "buy", 10.0), Ev(4, ts(70), 2, "click", 3.0),
+    Ev(5, ts(125), 2, "click", 4.0))
+
+  test("hourlyAgg: streaming with watermark == batch on same data") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(sample: _*)
+    val q = EventStream.hourlyAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_out")
+        .orderBy($"hour_start", $"event_type").collect().toSeq
+      val batch = EventStream.hourlyAgg(sample.toDF())
+        .orderBy($"hour_start", $"event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_.getLong(2)).sum == sample.size)
+    } finally q.stop()
+  }
+
+  test("stateful streaming: running per-user count via mapGroupsWithState") {
+    val input = MemoryStream[Ev](spark)
+    val counts = input.toDS()
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("user_counts").start()
+    try {
+      input.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      input.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+      val last = spark.table("user_counts")
+        .groupBy($"_1").agg(max($"_2").as("n"))
+        .orderBy($"_1").as[(Long, Long)].collect().toSeq
+      assert(last == Seq((1L, 3L), (2L, 2L)))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on the 30-minute gap") {
+    val df = sample.toDF()
+    val sessions = EventStream.sessionize(df)
+      .orderBy($"user_id", $"session_id")
+      .select($"user_id", $"session_id", $"n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    // user 1: events at :05/:20 then 1:05 → 2 sessions (45-min gap)
+    // user 2: 1:10 then 2:05 → 2 sessions (55-min gap)
+    assert(sessions == Seq((1L, 1L, 2L), (1L, 2L, 1L),
+      (2L, 1L, 1L), (2L, 2L, 1L)))
+  }
+}
