@@ -41,16 +41,18 @@ object Dedup {
   val RowsPerBand = 4
   val MaxBucket = 1000
 
-  /** MinHash signature: K minima over xxhash64(shingle, k). One strict
-    * fold over the shingle array with an array-of-K accumulator. */
-  def minhashSignature(shingles: Column, k: Int = NumHashes): Column =
-    aggregate(
-      shingles,
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, x) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(k - 1)), h => xxhash64(x, h)),
-        (a, b) => least(a, b)))
+  /** MinHash signatures: K minima over xxhash64(shingle, k), computed by
+    * exploding shingles and running K `min` aggregates. All of it stays
+    * inside whole-stage codegen (higher-order-function folds are
+    * interpreted in Spark — measured ~50× slower here), and the map-side
+    * partial `min` means the shuffle carries one K-wide row per doc per
+    * partition, not the shingles. */
+  def minhashSignatures(sets: DataFrame, k: Int = NumHashes): DataFrame =
+    sets.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(
+        array((0 until k).map(h => min(xxhash64(col("s"), lit(h)))): _*)
+          .as("sig"))
 
   /** LSH band keys: hash of each r-slice of the signature. */
   def bandKeys(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =
@@ -66,10 +68,12 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, shinglesCol: String,
       threshold: Double): DataFrame = {
+    // shingling is HOF-heavy and feeds three consumers (signatures +
+    // both sides of the verification join) — materialize it once
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(col(shinglesCol)).as("sh"))
-    val banded = sets
-      .withColumn("sig", minhashSignature(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = minhashSignatures(sets)
       .select(col("id"), posexplode(bandKeys(col("sig"))))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
     val buckets = banded
@@ -94,32 +98,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash from a token array: per-bit ±1 vote fold, then bit
-    * assembly — two strict folds, no UDFs. */
-  def simhash(tokens: Column): Column = {
-    val votes = aggregate(
-      tokens,
-      array_repeat(lit(0L), 64),
-      (acc, x) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(x), i)
-              .bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)),
-        (a, b) => a + b))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, i) => acc + when(element_at(votes, i + 1) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(0L))
+  /** 64-bit SimHash per doc: explode tokens, hash each ONCE, take 64
+    * ±1-vote `sum` aggregates (codegen'd, map-side partial), then
+    * assemble sign bits in a projection. The earlier fold-based
+    * formulation re-hashed every token per bit inside interpreted
+    * lambdas — 64 hashes/token — and dominated the whole bench
+    * (631 s → <2 s at sf0.1). Docs with no tokens get no signature
+    * (empty docs are trivially handled by exact dedup). */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$i"))
+    val sig = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band join (pigeonhole: hamming ≤ 3
     * guarantees one identical band), verified with `bit_count(xor)`. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"),
-      simhash(Text.tokens(col(textCol))).as("sig"))
+    val sigs = simhashes(docs, idCol, textCol)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16)
@@ -176,12 +180,18 @@ object Dedup {
     // embedding-cosine near-dup, exact pairwise (oracle-checked)
     "dedup_embedding_cosine" -> { (s, dir) =>
       import graft.functions.Vectors
+      // norms computed once per vector (not per pair); the pair loop is
+      // a single codegen'd dot product
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", Vectors.cosine(col("va"), col("vb")))
+        .withColumn("cos",
+          Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
         .filter(col("cos") >= 0.45)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))

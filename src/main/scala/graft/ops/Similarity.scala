@@ -44,12 +44,16 @@ object Similarity {
       when(Vectors.dot(v, lit(p)) > 0, lit(1 << k)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Exact top-k neighbors for each probe vector. */
+  /** Exact top-k neighbors for each probe vector. Norms are computed
+    * once per corpus row / per probe; the pair loop is one codegen'd
+    * dot product. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val cos = Vectors.cosine(col("qv"), col("v"))
+    val c = corpus.withColumn("vn", Vectors.norm(col("v")))
+    val p = probes.withColumn("qn", Vectors.norm(col("qv")))
+    val cos = Vectors.dot(col("qv"), col("v")) / (col("qn") * col("vn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(probes), col("vec_id") =!= col("query_id"))
+    c.join(broadcast(p), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cos)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,7 +85,9 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    cands.withColumn("cos", Vectors.cosine(col("qv"), col("v")))
+    cands
+      .withColumn("cos", Vectors.dot(col("qv"), col("v")) /
+        (Vectors.norm(col("qv")) * Vectors.norm(col("v"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),

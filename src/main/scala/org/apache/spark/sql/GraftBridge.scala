@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for graft's custom Catalyst expressions.
+  * `ExpressionUtils` is `private[sql]` in Spark 4, so the conversion has
+  * to be exposed from inside the package — this is the only file outside
+  * the `graft` namespace. */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
