@@ -26,6 +26,9 @@ object SparkEntry {
       graft.ops.TextStats.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
+      graft.ops.AsOf.queries ++
+      graft.ops.Analytics.queries ++
+      graft.sources.Sinks.queries ++
       graft.streaming.EventStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -37,5 +40,8 @@ object SparkEntry {
       graft.ops.TextStats.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++
+      graft.ops.AsOf.oracleSql ++
+      graft.ops.Analytics.oracleSql ++
+      graft.sources.Sinks.oracleSql ++
       graft.streaming.EventStream.oracleSql
 }

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Additional analytics surface: exact percentiles, pivot, custom UDAF
+  * (typed Aggregator), and deterministic dictionary-code
+  * materialization over the driver tables. */
+object Analytics {
+
+  /** Typed UDAF example: exact sum of squares. Chosen so the value is
+    * order-independent (integral inputs, exact in double far below
+    * 2^53) and therefore oracle-checkable — demonstrating the
+    * Aggregator surface without floating-point ambiguity. */
+  object SumSq extends Aggregator[Double, Double, Double] {
+    def zero: Double = 0.0
+    def reduce(b: Double, a: Double): Double = b + a * a
+    def merge(b1: Double, b2: Double): Double = b1 + b2
+    def finish(r: Double): Double = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  val Priorities: Seq[String] = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact interpolated percentiles (integral quantities → the
+    // interpolation arithmetic is exact on both engines)
+    "q_percentiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.75)").as("p75"),
+          min(col("l_quantity")).as("qmin"),
+          max(col("l_quantity")).as("qmax"))
+        .orderBy(col("l_returnflag"))
+    },
+    // pivot: order counts per status × priority
+    "q_pivot_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Priorities)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderstatus"))
+    },
+    // custom typed Aggregator (UDAF surface)
+    "q_udaf_sumsq" -> { (s, dir) =>
+      val sumsq = udaf(SumSq)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(sumsq(col("l_quantity")).as("sumsq_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+    },
+    // deterministic dictionary materialization (reference O10): codes by
+    // first-encounter order = file order; the customer file is ordered
+    // by c_custkey, so first encounter ≙ min custkey per segment
+    "ingest_dict_encode" -> { (s, dir) =>
+      val (encoded, _) = graft.ingest.Categorical.encode(
+        t(s, dir, "customer"), "c_mktsegment")
+      encoded.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_mktsegment_code"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot_orders" -> {
+      val cases = Priorities.map(p =>
+        s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+        .mkString(",\n  ")
+      s"""SELECT o_orderstatus,
+         |  $cases
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+    "q_udaf_sumsq" ->
+      """SELECT l_linestatus,
+        |  sum(l_quantity * l_quantity) AS sumsq_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "ingest_dict_encode" ->
+      """WITH firsts AS (
+        |  SELECT c_mktsegment, min(c_custkey) AS first_key
+        |  FROM customer GROUP BY c_mktsegment),
+        |codes AS (
+        |  SELECT c_mktsegment,
+        |    CAST(row_number() OVER (ORDER BY first_key) - 1 AS INT) AS c_mktsegment_code
+        |  FROM firsts)
+        |SELECT c_custkey, c.c_mktsegment, c_mktsegment_code
+        |FROM customer c JOIN codes USING (c_mktsegment)
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

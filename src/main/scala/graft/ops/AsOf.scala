@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** As-of join — an operator Spark lacks natively (SURVEY.md §4 listed it
+  * as the canonical custom-operator candidate). For each left row, find
+  * the latest right row with `rightTs <= leftTs` within the same key.
+  *
+  * Implementation: the union-and-carry technique — tag both sides, union
+  * them, and per key carry the last right payload forward over the
+  * timeline with `last(_, ignoreNulls)` ordered by (ts, side). This is
+  * ONE shuffle + sort on (key), O(n log n), with no range cross-join and
+  * no per-key state on the driver — the shape that survives 100 TB
+  * (a range join would explode; a broadcast would not fit).
+  * Right-side ties on (key, ts) must be pre-reduced by the caller to
+  * keep the result deterministic.
+  */
+object AsOf {
+
+  /** @param left     probe side
+    * @param right    reference side (one row per (key, ts))
+    * @param key      equi-join key column name (same name both sides)
+    * @param leftTs   left ordering column
+    * @param rightTs  right ordering column
+    * @param carry    right columns to attach to left rows
+    */
+  def join(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, carry: Seq[String]): DataFrame = {
+    val lCols = left.columns.toSeq
+    // side 0 sorts before side 1 at equal ts → a right row at exactly
+    // leftTs is visible to that left row (<= semantics, ASOF default)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key).as("__k"), col("__ts"), col("__side")) ++
+        lCols.map(c => col(c).as(s"__l_$c")) ++
+        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key).as("__k"), col("__ts"), col("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        carry.map(c => col(c).as(s"__r_$c")): _*)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = l.unionByName(r)
+      .select(Seq(col("__k"), col("__side")) ++
+        lCols.map(c => col(s"__l_$c")) ++
+        carry.map(c =>
+          last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__c_$c")): _*)
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(c => col(s"__l_$c").as(c)) ++
+        carry.map(c => col(s"__c_$c").as(c)): _*)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // each event joined to the user's latest order at-or-before the
+    // event time (oracle: DuckDB ASOF JOIN)
+    "q_asof_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // reduce right side to one row per (custkey, orderdate):
+      // deterministic survivor = max orderkey
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")
+      join(ev, ord, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_orderdate"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin
+  )
+}

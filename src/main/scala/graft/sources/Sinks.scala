@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Q._
+
+/** Source/sink format coverage beyond the reference's binary-columnar
+  * store: partitioned Parquet (with partition pruning), ORC, and
+  * JSON-lines — each exercised as a write→read roundtrip whose result
+  * must match the original table via the DuckDB oracle.
+  *
+  * Scale notes: `partitionBy` on a low-cardinality column is the lake
+  * layout that makes partition pruning free for every downstream reader;
+  * the roundtrip read below shows `PartitionFilters` (not just
+  * `PushedFilters`) in its scan.
+  */
+object Sinks {
+
+  private def tmp(dir: String, name: String): String =
+    s"/tmp/graft_sinks/${dir.replaceAll("\\W", "_")}/$name"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hive-style partitioned parquet + partition-pruned read-back
+    "sink_partitioned_parquet" -> { (s, dir) =>
+      val out = tmp(dir, "docs_by_lang")
+      t(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang").isin("de", "es"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    // ORC sink/scan roundtrip
+    "sink_orc_roundtrip" -> { (s, dir) =>
+      val out = tmp(dir, "orders_orc")
+      t(s, dir, "orders").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    // JSON-lines sink/scan roundtrip
+    "sink_jsonl_roundtrip" -> { (s, dir) =>
+      val out = tmp(dir, "events_jsonl")
+      events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(out)
+      s.read.json(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "sink_partitioned_parquet" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang IN ('de', 'es') ORDER BY doc_id""".stripMargin,
+    "sink_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
