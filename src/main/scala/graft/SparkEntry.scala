@@ -28,6 +28,7 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++
       graft.ops.AsOf.queries ++
       graft.ops.Analytics.queries ++
+      graft.ops.Scale.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.EventStream.queries
 
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.ops.Multimodal.oracleSql ++
       graft.ops.AsOf.oracleSql ++
       graft.ops.Analytics.oracleSql ++
+      graft.ops.Scale.oracleSql ++
       graft.sources.Sinks.oracleSql ++
       graft.streaming.EventStream.oracleSql
 }

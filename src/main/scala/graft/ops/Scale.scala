@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Scale-pattern operators: salted joins for skewed keys, bucketed
+  * co-located joins, and SQL registration of the custom codegen
+  * expressions.
+  *
+  * These exist to make the 100 TB story concrete and testable at small
+  * SF: each query's RESULT is oracle-checked against the plain
+  * formulation (salting/bucketing must be semantically invisible), and
+  * the plan shape is what changes — verified via Explain/specs.
+  */
+object Scale {
+
+  /** Salted equi-join for skew: the fact side adds a deterministic salt
+    * in [0, n); the dim side is exploded ×n so every (key, salt) bucket
+    * joins locally. One hot key is thereby spread over n tasks. AQE's
+    * skew-join split handles moderate skew automatically — explicit
+    * salting is for the pathological keys AQE can't split (a single
+    * giant hash-map build). Salt is derived by hashing a unique fact
+    * column, so results are reproducible. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltSrc: String, n: Int): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltSrc)), lit(n.toLong)).cast("int"))
+    val expanded = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    salted.join(expanded, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Make `graft_dot` callable from SQL text. */
+  def registerSqlFunctions(spark: SparkSession): Unit =
+    GraftBridge.registerFunction(spark, "graft_dot",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
+
+  /** Write both fact tables bucketed+sorted on the join key, then join
+    * the bucketed tables. With matching bucket counts the sort-merge
+    * join needs NO Exchange on either side — at 100 TB this is the
+    * difference between joining in place and reshuffling both tables
+    * for every downstream join on the same key. Returns the joined
+    * frame (plan-shape asserted in OpsSpec). */
+  def bucketedOrdersLineitem(s: SparkSession, dir: String,
+      buckets: Int = 8): DataFrame = {
+    t(s, dir, "orders")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bucketed")
+    t(s, dir, "lineitem")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bucketed")
+    s.table("orders_bucketed").hint("merge")
+      .join(s.table("lineitem_bucketed"),
+        col("o_orderkey") === col("l_orderkey"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // salted join must produce exactly the plain join's answer
+    "q_salted_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .withColumnRenamed("user_id", "c_custkey")
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      saltedJoin(ev, cust, "c_custkey", "event_id", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+    // bucketed co-located join: same answer as the plain join, no
+    // shuffle on either join input (asserted in OpsSpec)
+    "q_bucketed_join" -> { (s, dir) =>
+      bucketedOrdersLineitem(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // custom codegen expression exposed through the SQL surface
+    "q_sql_graft_dot" -> { (s, dir) =>
+      registerSqlFunctions(s)
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+        .createOrReplaceTempView("emb_v")
+      s.sql("""
+        SELECT vec_id, round(sqrt(graft_dot(v, v)), 6) AS l2_norm
+        FROM emb_v ORDER BY vec_id""")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_sql_graft_dot" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_reduce(
+        |    list_transform(range(1, len(embedding)+1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |    (x, y) -> x + y)), 6) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

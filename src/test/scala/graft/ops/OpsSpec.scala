@@ -12,6 +12,8 @@ class OpsSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
     .getOrCreate()
   import spark.implicits._
 
@@ -83,6 +85,26 @@ class OpsSpec extends AnyFunSuite {
       val key = (r.getLong(0), r.getLong(1))
       exact.get(key).foreach(c => assert(c == r.getDouble(3)))
     }
+  }
+
+  test("bucketed join plans with no shuffle on either input") {
+    val joined = Scale.bucketedOrdersLineitem(spark, "/root/testdata/sf0.001")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("salted join equals the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.ops.Q.events(spark, dir)
+      .withColumnRenamed("user_id", "c_custkey")
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment")
+    val salted = Scale.saltedJoin(ev, cust, "c_custkey", "event_id", 8)
+      .groupBy($"c_mktsegment").count().orderBy($"c_mktsegment").collect()
+    val plain = ev.join(cust, "c_custkey")
+      .groupBy($"c_mktsegment").count().orderBy($"c_mktsegment").collect()
+    assert(salted.sameElements(plain))
   }
 
   test("multimodal decode is deterministic and batch-shaped") {
