@@ -10,6 +10,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q_window_topn_orders", "q_distinct_agg", "q_rollup_orders",
+    "q_asof_join", "q_percentiles", "q_salted_join",
     "dedup_minhash", "dedup_simhash", "dedup_embedding_cosine",
     "sim_topk_bruteforce", "sim_topk_lsh",
     "text_quality", "text_term_freq", "text_fingerprint",

@@ -86,6 +86,23 @@ object IngestQueries {
       roundtrip(s, dir, "customer", "c_custkey")
     },
 
+    // O7/O8 through the full pipeline at table scale: orders exported
+    // with ISO dates, re-ingested with -d → DateType, values intact
+    "ingest_roundtrip_orders_dates" -> { (s, dir) =>
+      val src = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"))
+      val out = tmpDir(dir, "orders_dates")
+      exportCsv(src, "o_orderkey", out)
+      Collimate(s, s"$out/*.csv",
+        Collimate.Options(parseDates = true)).df
+        .select(col("o_orderkey").cast(LongType),
+          col("o_custkey").cast(LongType), col("o_orderstatus"),
+          col("o_totalprice").cast(DoubleType), col("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "ingest_infer_customer" -> { (s, dir) =>
       // export customer as CSV, run inference only, surface the decisions
       val src = s.read.parquet(s"$dir/customer.parquet")
@@ -124,6 +141,10 @@ object IngestQueries {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "ingest_roundtrip_customer" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+    "ingest_roundtrip_orders_dates" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "ingest_infer_customer" ->
       """SELECT * FROM (VALUES
         | ('c_acctbal', 'double', false),

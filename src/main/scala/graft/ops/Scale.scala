@@ -43,8 +43,20 @@ object Scale {
     * difference between joining in place and reshuffling both tables
     * for every downstream join on the same key. Returns the joined
     * frame (plan-shape asserted in OpsSpec). */
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
+    f.delete(): Unit
+  }
+
   def bucketedOrdersLineitem(s: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
+    // a fresh session's in-memory catalog doesn't know about leftover
+    // managed-table locations from a previous run — clear both
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("orders_bucketed", "lineitem_bucketed").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      rmrf(new java.io.File(s"$wh/$tbl"))
+    }
     t(s, dir, "orders")
       .write.mode("overwrite")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
