@@ -12,7 +12,7 @@ object Bench {
     "q_window_topn_orders", "q_distinct_agg", "q_rollup_orders",
     "q_asof_join", "q_percentiles", "q_salted_join",
     "dedup_minhash", "dedup_simhash", "dedup_embedding_cosine",
-    "sim_topk_bruteforce", "sim_topk_lsh",
+    "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "text_quality", "text_term_freq", "text_fingerprint",
     "mm_decode_meta", "stream_hourly_window", "stream_sessionize")
 

@@ -94,6 +94,53 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  val IvfClusters = 16
+  val IvfProbes = 4
+
+  /** IVF (inverted-file) ANN: cluster the corpus once (seeded k-means →
+    * deterministic), assign every vector to its nearest centroid, and
+    * at query time search only the `nprobe` clusters whose centroids
+    * are closest to the probe. At 100 TB the centroid table is tiny and
+    * broadcast; the corpus is partitioned by cluster id so a probe
+    * touches nprobe/k of the data. Exact cosine re-rank inside the
+    * probed clusters keeps returned scores identical to brute force. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      clusters: Int = IvfClusters, nprobe: Int = IvfProbes): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = corpus.select(col("vec_id"),
+      array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(clusters).setSeed(42L)
+      .setMaxIter(10).fit(train)
+    val assigned = model.transform(train)
+      .select(col("vec_id"), col("prediction").as("cluster"))
+      .join(corpus, "vec_id")
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray)
+    }.toSeq
+    val centDf = spark.createDataFrame(centroids)
+      .toDF("cluster", "centroid")
+    // nprobe nearest centroids per probe (centroid table is tiny)
+    val probeClusters = probes.crossJoin(broadcast(centDf))
+      .withColumn("cd", Vectors.l2sq(col("qv"), Vectors.toDouble(col("centroid"))))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cd"), col("cluster"))))
+      .filter(col("cr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cluster"))
+    val cands = probeClusters.join(assigned, "cluster")
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands
+      .withColumn("cos", Vectors.dot(col("qv"), col("v")) /
+        (Vectors.norm(col("qv")) * Vectors.norm(col("v"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
@@ -114,6 +161,13 @@ object Similarity {
     "sim_topk_lsh" -> { (s, dir) =>
       val c = corpus(s, dir)
       lshTopK(c, probes(c), 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // ANN via IVF (seeded k-means clusters + nprobe search; recall < 1
+    // by design → rows-only check, subset property in OpsSpec)
+    "sim_topk_ivf" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      ivfTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
     },
     // pairwise L2 distance stats (oracle-checked, exercises l2sq)

@@ -87,6 +87,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k scores match brute-force for the pairs it returns") {
+    val dir = "/root/testdata/sf0.001"
+    val c = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("v"))
+    val probes = c.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val exact = Similarity.bruteForceTopK(c, probes, 499)
+      .select($"query_id", $"neighbor_id", $"cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(c, probes, 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val cos = exact((r.getLong(0), r.getLong(1)))
+      assert(cos == r.getDouble(3))
+    }
+  }
+
   test("bucketed join plans with no shuffle on either input") {
     val joined = Scale.bucketedOrdersLineitem(spark, "/root/testdata/sf0.001")
     val plan = joined.queryExecution.executedPlan.toString
