@@ -62,9 +62,13 @@ object Categorical {
     val decoder = dict.orderBy("__code")
       .collect().map(r => Option(r.get(0)).map(_.toString).orNull)
     val out = withId
-      .join(broadcast(dict), Seq(colName), "left")
+      // null-SAFE equality: the null group gets a real code too (a plain
+      // equi-join would leave every null row uncoded while the decoder
+      // still advertised a code for null)
+      .join(broadcast(dict.withColumnRenamed(colName, "__dv")),
+        col(colName) <=> col("__dv"), "left")
       .withColumnRenamed("__code", s"${colName}_code")
-      .drop("__rid")
+      .drop("__rid", "__dv")
     (out, decoder)
   }
 

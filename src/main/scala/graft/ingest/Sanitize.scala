@@ -27,13 +27,21 @@ object Sanitize {
     */
   def columns(df: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, Map[String, String]) = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val mapping = df.columns.map { c =>
-      val base = apply(c)
-      val n = seen.getOrElse(base, 0)
-      seen(base) = n + 1
-      c -> (if (n == 0) base else s"${base}_${n + 1}")
+    val deduped = dedupe(df.columns.toSeq.map(apply))
+    val mapping = df.columns.toSeq.zip(deduped)
+    (df.toDF(deduped: _*), mapping.toMap)
+  }
+
+  /** Suffix colliding names until globally unique — a per-base counter
+    * alone can still collide (["a", "a_2", "a"] → "a_2" twice). */
+  def dedupe(names: Seq[String]): Seq[String] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    names.map { base =>
+      var cand = base
+      var i = 1
+      while (used(cand)) { i += 1; cand = s"${base}_$i" }
+      used += cand
+      cand
     }
-    (df.toDF(mapping.map(_._2).toIndexedSeq: _*), mapping.toMap)
   }
 }

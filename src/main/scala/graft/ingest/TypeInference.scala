@@ -72,8 +72,10 @@ object TypeInference {
     }
     val scan = scanCount(n, scanCap)
     // Prefix sample, positionally renamed so expr() below never has to
-    // quote hostile column names.
-    val canon = df.limit(scan.toInt.max(1)).select(
+    // quote hostile column names. Clamp before toInt: a >2^31 scanCap
+    // would overflow into limit(1) silently.
+    val limitRows = math.min(scan, Int.MaxValue.toLong).toInt.max(1)
+    val canon = df.limit(limitRows).select(
       cols.zipWithIndex.map { case (c, i) =>
         Nulls.canonicalize(col(c).cast(StringType)).as(s"c$i")
       }: _*)
@@ -116,11 +118,8 @@ object TypeInference {
         Categorical.isCategorical(dct, thresh), dct)
     }
     // de-dup sanitized collisions, same policy as Sanitize.columns
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val deduped = fields.map { f =>
-      val k = seen.getOrElse(f.sanitized, 0); seen(f.sanitized) = k + 1
-      if (k == 0) f else f.copy(sanitized = s"${f.sanitized}_${k + 1}")
-    }
+    val deduped = fields.zip(Sanitize.dedupe(fields.map(_.sanitized)))
+      .map { case (f, s) => f.copy(sanitized = s) }
     IngestSchema(deduped, n, scan, thresh)
   }
 

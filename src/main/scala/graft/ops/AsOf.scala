@@ -41,6 +41,10 @@ object AsOf {
         lCols.map(c => col(c).as(s"__l_$c")) ++
         carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
     val r = right
+      // SQL equi-join semantics: a null key matches nothing, so
+      // null-key right rows must never supply carry values (the union
+      // partitioning would otherwise pair them with null-key left rows)
+      .filter(col(key).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(key).as("__k"), col("__ts"), col("__side")) ++

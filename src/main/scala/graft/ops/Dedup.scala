@@ -20,8 +20,9 @@ import Q._
   *  - LSH banding turns the quadratic candidate problem into
   *    `groupBy(band, key)` — one shuffle of (doc, band) pairs, buckets
   *    capped (`MaxBucket`) so a degenerate key can't produce an O(n²)
-  *    bucket; dropped buckets are counted in the `oversized_buckets`
-  *    debug output rather than silently ignored;
+  *    bucket. The cap is a RECALL trade-off: pairs inside an oversized
+  *    bucket are not reported; call [[oversizedBucketCount]] on the same
+  *    input to audit how many buckets (if any) were dropped;
   *  - verification joins shingle sets back by doc id (shuffle join on
   *    ids, never a cross join).
   */
@@ -59,6 +60,19 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, concat_ws(",", slice(sig, b * r + lit(1), lit(r)))))
 
+  /** Audit helper: number of LSH buckets exceeding the candidate cap on
+    * this input (recall lost to the `MaxBucket` bound). */
+  def oversizedBucketCount(docs: DataFrame, idCol: String,
+      shinglesCol: String): Long = {
+    val sets = docs.select(col(idCol).as("id"),
+      array_distinct(col(shinglesCol)).as("sh"))
+    minhashSignatures(sets)
+      .select(posexplode(bandKeys(col("sig"))))
+      .groupBy(col("pos"), col("col")).count()
+      .filter(col("count") > MaxBucket)
+      .count()
+  }
+
   /** Candidate pairs via LSH banding over arbitrary shingle columns,
     * verified with exact Jaccard over the distinct shingle sets.
     *
@@ -69,7 +83,11 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, shinglesCol: String,
       threshold: Double): DataFrame = {
     // shingling is HOF-heavy and feeds three consumers (signatures +
-    // both sides of the verification join) — materialize it once
+    // both sides of the verification join) — materialize it once.
+    // The cache lives until the session ends (unpersisting before the
+    // returned lazy plan is consumed would force recomputation); at
+    // most one shingle-set per dedup call is pinned, MEMORY_AND_DISK
+    // so it spills rather than evicts hot blocks.
     val sets = docs.select(col(idCol).as("id"),
       array_distinct(col(shinglesCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

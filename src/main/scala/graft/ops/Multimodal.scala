@@ -80,6 +80,9 @@ object Multimodal {
     // checked: pure byte arithmetic, portable to DuckDB substring math)
     "mm_frame_sample" -> { (s, dir) =>
       payloads(s, dir)
+        // zero-length payloads: Spark's sequence(0,-1) would emit a
+        // descending range (a spurious frame) where DuckDB emits none
+        .filter(length(col("payload")) > 0)
         .select(col("doc_id"), col("payload"),
           explode(sequence(lit(0),
             floor((length(col("payload")) - 1) / 64).cast(IntegerType)))
@@ -109,7 +112,7 @@ object Multimodal {
         |  SELECT doc_id, text,
         |    unnest(range(0, (octet_length(CAST(text AS BLOB))-1)//64 + 1))
         |      AS frame_idx
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |WHERE frame_idx % 8 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin
   )

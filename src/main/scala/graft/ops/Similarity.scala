@@ -66,8 +66,9 @@ object Similarity {
 
   /** ANN top-k: LSH candidate generation + exact re-rank. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      tables: Int = Tables, bits: Int = Bits): DataFrame = {
-    val dim = 64
+      tables: Int = Tables, bits: Int = Bits, dim: Int = 64): DataFrame = {
+    // dim must equal the embedding dimensionality: shorter hyperplanes
+    // would silently bucket on a prefix of the vector
     val planes = hyperplanes(tables, bits, dim)
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(Seq(col(id), col(vec)) ++ planes.zipWithIndex.map {

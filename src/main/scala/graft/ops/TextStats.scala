@@ -44,6 +44,9 @@ object TextStats {
       val toks = Text.tokens(col("text"))
       t(s, dir, "documents")
         .withColumn("toks", toks)
+        // token-less docs: Spark's x/0 → NULL but DuckDB's list_reduce
+        // on an empty list ERRORS, poisoning the whole oracle compare
+        .filter(size(col("toks")) > 0)
         .select(
           col("doc_id"),
           length(col("text")).as("n_chars"),
@@ -114,7 +117,7 @@ object TextStats {
          |  CAST(len(list_filter(toks, x -> x IN ${duckStop("en")})) AS DOUBLE)
          |    / len(toks) AS stopword_ratio,
          |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
-         |FROM d ORDER BY doc_id""".stripMargin,
+         |FROM d WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
     "text_langid" -> {
       val scoreCols = LangOrder.map(l =>
         s"len(list_filter(toks, x -> x IN ${duckStop(l)})) AS s_$l").mkString(",\n  ")

@@ -136,6 +136,11 @@ class IngestSpec extends AnyFunSuite {
     assert(first == 0)
   }
 
+  test("sanitize dedupe is globally collision-free") {
+    assert(Sanitize.dedupe(Seq("a", "a_2", "a")) == Seq("a", "a_2", "a_3"))
+    assert(Sanitize.dedupe(Seq("x", "x", "x")) == Seq("x", "x_2", "x_3"))
+  }
+
   test("property: sanitize is idempotent") {
     val names = Seq(" First-Name ", "A&B", "price %", "email@addr",
       "x  y", "__z__", "weird!!name??", "95% conf.", "a-b-c")

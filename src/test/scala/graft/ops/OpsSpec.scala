@@ -124,6 +124,36 @@ class OpsSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("as-of join never matches null keys (SQL semantics)") {
+    import java.sql.Timestamp
+    val l = Seq((Option.empty[Long], Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Some(7L), Timestamp.valueOf("2024-01-01 10:00:00"), 2L))
+      .toDF("k", "ts", "row_id")
+    val r = Seq((Option.empty[Long], Timestamp.valueOf("2024-01-01 09:00:00"), "nullcarry"),
+        (Some(7L), Timestamp.valueOf("2024-01-01 09:00:00"), "ok"))
+      .toDF("k", "rts", "payload")
+    val out = AsOf.join(l, r, "k", "ts", "rts", Seq("payload"))
+      .orderBy($"row_id").collect()
+    assert(out(0).getAs[String]("payload") == null) // null key → no match
+    assert(out(1).getAs[String]("payload") == "ok")
+  }
+
+  test("dictionary encode assigns a usable code to the null group") {
+    val df = Seq(Some("x"), None, Some("y"), None).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "c")
+    val (encoded, decoder) = graft.ingest.Categorical.encode(df, "c")
+    val codes = encoded.orderBy($"id").select($"c_code").collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(!codes.contains(-1), s"null rows left uncoded: $codes")
+    assert(decoder.count(_ == null) == 1)
+  }
+
+  test("oversized-bucket audit reports zero on the test corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", Text.wordShingles($"text", 3).as("sh"))
+    assert(Dedup.oversizedBucketCount(docs, "doc_id", "sh") == 0L)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val p = Multimodal.payloads(spark, "/root/testdata/sf0.001")
     val m1 = Multimodal.decodeBatch(p).orderBy($"doc_id").collect()
