@@ -1,12 +1,16 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+
+import graft.functions.{CharShingles, WordShingles}
 
 /** Shared text primitives for the dedup / text-analysis operators.
-  * Everything here is built from codegen'd built-ins (no UDFs) and has a
-  * 1:1 DuckDB formulation so oracle queries stay portable.
+  * Tokenization stays a codegen'd built-in; shingling uses native
+  * single-pass expressions (the composed higher-order-function
+  * formulation pays interpreted lambda dispatch per shingle per token —
+  * see graft.functions.TextExpressions). The HOF variants are kept for
+  * the equivalence spec.
   */
 object Text {
 
@@ -16,8 +20,17 @@ object Text {
     filter(split(text, " "), x => x =!= "")
 
   /** Word w-shingles: overlapping windows of `w` tokens joined by a
-    * space. One pass over the token array via transform+slice. */
-  def wordShingles(text: Column, w: Int): Column = {
+    * space (single-pass native expression). */
+  def wordShingles(text: Column, w: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(text), w))
+
+  /** Character n-grams of the raw text (single-pass native expression). */
+  def charShingles(text: Column, n: Int): Column =
+    GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
+
+  /** Reference HOF formulations — semantics oracle for the native
+    * expressions above (asserted equal in OpsSpec). */
+  def wordShinglesHof(text: Column, w: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < w, array(concat_ws(" ", toks)))
       .otherwise(transform(
@@ -25,10 +38,7 @@ object Text {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(w)))))
   }
 
-  /** Character n-grams of the raw text (`Column.substr` accepts column
-    * positions; sequence is 1-based here).
-    * DuckDB: `list_transform(range(1, len-n+2), i -> text[i:i+n-1])`. */
-  def charShingles(text: Column, n: Int): Column =
+  def charShinglesHof(text: Column, n: Int): Column =
     when(length(text) < n, array(text))
       .otherwise(transform(
         sequence(lit(1), length(text) - (n - 1)),

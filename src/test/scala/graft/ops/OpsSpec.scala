@@ -124,6 +124,24 @@ class OpsSpec extends AnyFunSuite {
     assert(salted.sameElements(plain))
   }
 
+  test("native shingle expressions match the HOF formulations") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs.select(
+      Text.wordShingles($"text", 3).as("wn"),
+      Text.wordShinglesHof($"text", 3).as("wh"),
+      Text.charShingles($"text", 5).as("cn"),
+      Text.charShinglesHof($"text", 5).as("ch"))
+      .filter($"wn" =!= $"wh" || $"cn" =!= $"ch")
+    assert(cmp.count() == 0)
+    // short-input fallbacks
+    val tiny = Seq("a b", "ab", "").toDF("text").select(
+      Text.wordShingles($"text", 3).as("wn"),
+      Text.wordShinglesHof($"text", 3).as("wh"),
+      Text.charShingles($"text", 5).as("cn"),
+      Text.charShinglesHof($"text", 5).as("ch"))
+    assert(tiny.filter($"wn" =!= $"wh" || $"cn" =!= $"ch").count() == 0)
+  }
+
   test("as-of join never matches null keys (SQL semantics)") {
     import java.sql.Timestamp
     val l = Seq((Option.empty[Long], Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
