@@ -172,6 +172,13 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.oversizedBucketCount(docs, "doc_id", "sh") == 0L)
   }
 
+  test("GraftExtensions installs its functions into a SparkSessionExtensions") {
+    // full end-to-end SQL use of graft_dot is oracle-checked by
+    // q_sql_graft_dot; here we check the extension wiring itself
+    val e = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(e)
+  }
+
   test("multimodal decode is deterministic and batch-shaped") {
     val p = Multimodal.payloads(spark, "/root/testdata/sf0.001")
     val m1 = Multimodal.decodeBatch(p).orderBy($"doc_id").collect()
