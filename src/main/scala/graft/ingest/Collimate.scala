@@ -94,9 +94,20 @@ object CollimateCli {
     spark.sparkContext.setLogLevel("WARN")
     val opts = Collimate.Options(
       parseDates = flags("-d"), writeIndex = flags("-i"))
-    val result = Collimate(spark, in, opts)
-    Collimate.write(result, out, opts)
-    if (flags("-v")) result.schema.fields.foreach { f =>
+    val verbose = flags("-v")
+    // -v phase timers, mirroring the reference's instrumentation
+    // (index.js:140-143,338,489,577,641)
+    def timed[A](phase: String)(body: => A): A =
+      if (!verbose) body else {
+        print(s"$phase... "); val t0 = System.nanoTime()
+        val a = body
+        println(s"done! (${(System.nanoTime() - t0) / 1000000} ms)"); a
+      }
+    val raw = timed("Parsing input")(Collimate.read(spark, in))
+    val result = timed("Determining types + creating columns")(
+      Collimate.fromRows(raw, opts))
+    timed("Writing files")(Collimate.write(result, out, opts))
+    if (verbose) result.schema.fields.foreach { f =>
       println(s"${f.name} -> ${f.sanitized}: ${f.dataType.simpleString}" +
         (if (f.categorical) " (categorical)" else ""))
     }

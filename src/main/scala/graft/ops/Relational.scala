@@ -147,6 +147,18 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // window rank family: percent_rank / cume_dist / ntile
+    "q_window_stats" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // rollup: hierarchical subtotals
     "q_rollup_orders" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -340,6 +352,14 @@ object Relational {
         |  lag(event_type, 1) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_type
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q_window_stats" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

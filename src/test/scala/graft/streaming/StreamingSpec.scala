@@ -72,6 +72,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    val input = MemoryStream[Ev](spark)
+    val agg = EventStream.hourlyAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      // batch 1: two events in hour 10, one at 11:15 → watermark
+      // advances to 11:15-10min = 11:05, PAST the hour-10 window end
+      input.addData(Ev(1, ts(605), 1, "click", 1.0),
+        Ev(2, ts(620), 1, "click", 1.0), Ev(3, ts(675), 1, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event in hour 10 — its window end (11:00) is
+      // now below the watermark (11:05) → dropped, and the finalized
+      // hour-10 window emits with only the on-time events
+      input.addData(Ev(4, ts(700), 1, "click", 1.0),
+        Ev(5, ts(607), 1, "late", 99.0))
+      q.processAllAvailable()
+      input.addData(Ev(6, ts(840), 1, "click", 1.0)) // close hour 11
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select($"hour_start", $"event_type", $"n")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSeq.sorted
+      // hour 10 emitted with ONLY the two on-time events; the late
+      // 'late' event at 10:07 was dropped by the watermark
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 10:00:00"), "click", 2L)))
+      assert(!rows.exists(_._2 == "late"))
+    } finally q.stop()
+  }
+
   test("sessionize splits on the 30-minute gap") {
     val df = sample.toDF()
     val sessions = EventStream.sessionize(df)
