@@ -62,6 +62,22 @@ object Analytics {
           count(lit(1)).as("n"))
         .orderBy(col("l_linestatus"))
     },
+    // approximate sketches: HLL distinct, approx quantiles, CMS.
+    // Estimates are engine-specific → rows-only check here; OpsSpec
+    // asserts each estimate against the exact value with tolerance.
+    "q_approx_sketches" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"),
+          count_min_sketch(col("l_suppkey"), lit(0.01), lit(0.95), lit(42))
+            .as("cms"))
+        .select(col("l_returnflag"), col("approx_orders"),
+          col("approx_median_price"), length(col("cms")).as("cms_bytes"))
+        .orderBy(col("l_returnflag"))
+    },
     // deterministic dictionary materialization (reference O10): codes by
     // first-encounter order = file order; the customer file is ordered
     // by c_custkey, so first encounter ≙ min custkey per segment

@@ -172,6 +172,24 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.oversizedBucketCount(docs, "doc_id", "sh") == 0L)
   }
 
+  test("approx sketches land within tolerance of exact answers") {
+    val dir = "/root/testdata/sf0.01"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n"),
+        expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = Analytics.queries("q_approx_sketches")(spark, dir).collect()
+    approx.foreach { r =>
+      val (n, med) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - n).toDouble / n < 0.05,
+        s"HLL off >5%: ${r.getLong(1)} vs $n")
+      assert(math.abs(r.getDouble(2) - med) / med < 0.05,
+        s"approx median off >5%: ${r.getDouble(2)} vs $med")
+      assert(r.getInt(3) > 0) // CMS sketch materialized
+    }
+  }
+
   test("GraftExtensions installs its functions into a SparkSessionExtensions") {
     // full end-to-end SQL use of graft_dot is oracle-checked by
     // q_sql_graft_dot; here we check the extension wiring itself
