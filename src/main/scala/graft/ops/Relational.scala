@@ -91,6 +91,33 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     },
 
+    // predicate-only scan+agg (TPC-H Q6 shape): every filter reaches
+    // the parquet scan, no shuffle before the single-group agg
+    "q6_forecast_revenue" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // RANGE window frame: trailing 1-hour moving aggregate per user
+    "q_moving_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast(DecimalType(18, 6))).over(w)
+            .cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+
     // left-semi join (EXISTS)
     "q_semi_join" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
@@ -321,6 +348,23 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_moving_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q_semi_join" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
