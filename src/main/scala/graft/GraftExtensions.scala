@@ -6,27 +6,55 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{CharShingles, DotProduct, WordShingles}
 
+/** The custom-expression SQL surface, shared by both registration
+  * paths: cluster-wide via `--conf spark.sql.extensions=graft.
+  * GraftExtensions`, or in-session via
+  * [[graft.ops.Scale.registerSqlFunctions]]. */
+object GraftFunctions {
+
+  /** Positive integral literal argument (shingle sizes must be plan-time
+    * constants — they fix the output shape). */
+  private def intArg(fn: String, exprs: Seq[Expression], i: Int): Int = {
+    require(exprs.length > i, s"$fn expects ${i + 1} arguments")
+    val e = exprs(i)
+    require(e.foldable, s"$fn: argument ${i + 1} must be a literal")
+    val v = e.eval() match {
+      case x: Int => x
+      case x: Long => math.toIntExact(x)
+      case x: Short => x.toInt
+      case x: Byte => x.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: integral literal expected for argument ${i + 1}, got $other")
+    }
+    require(v > 0, s"$fn: size must be positive, got $v")
+    v
+  }
+
+  private def two(fn: String, exprs: Seq[Expression]): Unit =
+    require(exprs.length == 2, s"$fn expects exactly 2 arguments, got ${exprs.length}")
+
+  val builders: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct], exprs => {
+      two("graft_dot", exprs); DotProduct(exprs(0), exprs(1))
+    }),
+    ("graft_word_shingles", classOf[WordShingles], exprs => {
+      two("graft_word_shingles", exprs)
+      WordShingles(exprs(0), intArg("graft_word_shingles", exprs, 1))
+    }),
+    ("graft_char_shingles", classOf[CharShingles], exprs => {
+      two("graft_char_shingles", exprs)
+      CharShingles(exprs(0), intArg("graft_char_shingles", exprs, 1))
+    }))
+}
+
 /** Session-extension entry point: deploy with
   * `--conf spark.sql.extensions=graft.GraftExtensions` to make the
   * custom Catalyst expressions callable from SQL on every session of a
-  * cluster (the in-session alternative is
-  * [[graft.ops.Scale.registerSqlFunctions]]).
-  */
+  * cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(name: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, name)
-
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("graft_dot"), info("graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
-    e.injectFunction((FunctionIdentifier("graft_word_shingles"),
-      info("graft_word_shingles"),
-      (exprs: Seq[Expression]) => WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
-    e.injectFunction((FunctionIdentifier("graft_char_shingles"),
-      info("graft_char_shingles"),
-      (exprs: Seq[Expression]) => CharShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, cls, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
 }

@@ -63,10 +63,15 @@ case class CharShingles(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
+    // iterate by CODE POINTS, matching Spark's length/substr semantics —
+    // UTF-16 unit slicing would split surrogate pairs (emoji, CJK-ext)
+    val cps = s.codePointCount(0, s.length)
     val out: Array[Any] =
-      if (s.length < n) Array(UTF8String.fromString(s))
-      else Array.tabulate(s.length - n + 1) { i =>
-        UTF8String.fromString(s.substring(i, i + n))
+      if (cps < n) Array(UTF8String.fromString(s))
+      else Array.tabulate(cps - n + 1) { i =>
+        val from = s.offsetByCodePoints(0, i)
+        val to = s.offsetByCodePoints(from, n)
+        UTF8String.fromString(s.substring(from, to))
       }
     new GenericArrayData(out)
   }

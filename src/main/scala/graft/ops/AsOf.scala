@@ -40,11 +40,14 @@ object AsOf {
       .select(Seq(col(key).as("__k"), col("__ts"), col("__side")) ++
         lCols.map(c => col(c).as(s"__l_$c")) ++
         carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    require(carry.forall(c => !lCols.contains(c)),
+      s"carry columns ${carry.filter(lCols.contains)} collide with left columns")
     val r = right
-      // SQL equi-join semantics: a null key matches nothing, so
-      // null-key right rows must never supply carry values (the union
-      // partitioning would otherwise pair them with null-key left rows)
-      .filter(col(key).isNotNull)
+      // SQL semantics: a null key matches nothing, and a null rightTs
+      // satisfies no `leftTs >= rightTs` predicate — neither may supply
+      // carry values (null ts would sort first and be carried to every
+      // left row)
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(key).as("__k"), col("__ts"), col("__side")) ++

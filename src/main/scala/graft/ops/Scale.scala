@@ -32,10 +32,12 @@ object Scale {
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Make `graft_dot` callable from SQL text. */
+  /** In-session registration of the full custom-expression SQL surface
+    * (same builder table as the `GraftExtensions` deployment path). */
   def registerSqlFunctions(spark: SparkSession): Unit =
-    GraftBridge.registerFunction(spark, "graft_dot",
-      exprs => graft.functions.DotProduct(exprs(0), exprs(1)))
+    graft.GraftFunctions.builders.foreach { case (name, _, builder) =>
+      GraftBridge.registerFunction(spark, name, builder)
+    }
 
   /** Write both fact tables bucketed+sorted on the join key, then join
     * the bucketed tables. With matching bucket counts the sort-merge
@@ -43,11 +45,6 @@ object Scale {
     * difference between joining in place and reshuffling both tables
     * for every downstream join on the same key. Returns the joined
     * frame (plan-shape asserted in OpsSpec). */
-  private def rmrf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
-    f.delete(): Unit
-  }
-
   def bucketedOrdersLineitem(s: SparkSession, dir: String,
       buckets: Int = 8): DataFrame = {
     // a fresh session's in-memory catalog doesn't know about leftover
@@ -55,7 +52,7 @@ object Scale {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     Seq("orders_bucketed", "lineitem_bucketed").foreach { tbl =>
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      rmrf(new java.io.File(s"$wh/$tbl"))
+      graft.Util.rmrf(new java.io.File(s"$wh/$tbl"))
     }
     t(s, dir, "orders")
       .write.mode("overwrite")

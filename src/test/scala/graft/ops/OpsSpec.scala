@@ -156,6 +156,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("payload") == "ok")
   }
 
+  test("as-of join ignores right rows with null timestamps") {
+    import java.sql.Timestamp
+    val l = Seq((7L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("k", "ts", "row_id")
+    val r = Seq((7L, Option.empty[Timestamp], "BAD"),
+        (7L, Some(Timestamp.valueOf("2024-01-01 09:00:00")), "ok"))
+      .toDF("k", "rts", "payload")
+    val out = AsOf.join(l, r, "k", "ts", "rts", Seq("payload")).collect()
+    assert(out.head.getAs[String]("payload") == "ok")
+    // carry-name collision is rejected up front
+    intercept[IllegalArgumentException] {
+      AsOf.join(l, r.withColumnRenamed("payload", "ts"), "k", "ts", "rts",
+        Seq("ts"))
+    }
+  }
+
+  test("char shingles slice by code points, not UTF-16 units") {
+    val emoji = "a😀b" // a + 😀 + b
+    val native = Seq(emoji).toDF("text")
+      .select(Text.charShingles($"text", 2)).collect().head.getSeq[String](0)
+    val hof = Seq(emoji).toDF("text")
+      .select(Text.charShinglesHof($"text", 2)).collect().head.getSeq[String](0)
+    assert(native == hof)
+    assert(native == Seq("a😀", "😀b"))
+  }
+
+  test("SQL shingle functions accept integral literals and reject bad args") {
+    Scale.registerSqlFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_word_shingles('a b c', CAST(2 AS BIGINT)) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("a b", "b c"))
+    intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles('a b c', 0)").collect()
+    }
+  }
+
   test("dictionary encode assigns a usable code to the null group") {
     val df = Seq(Some("x"), None, Some("y"), None).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("id", "c")
@@ -195,6 +232,15 @@ class OpsSpec extends AnyFunSuite {
     // q_sql_graft_dot; here we check the extension wiring itself
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(e)
+  }
+
+  test("multimodal decode handles arbitrary non-UTF8 binary payloads") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 100L).map(i =>
+      (i, Array.fill(64 + rnd.nextInt(512))(rnd.nextInt().toByte)))
+    val m = Multimodal.decodeBatch(rows.toDF("doc_id", "payload")).collect()
+    assert(m.length == 100)
+    assert(m.forall(r => r.getLong(1) >= 64)) // n_bytes preserved
   }
 
   test("multimodal decode is deterministic and batch-shaped") {
