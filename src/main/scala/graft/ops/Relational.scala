@@ -218,6 +218,30 @@ object Relational {
         .orderBy(col("k"))
     },
 
+    // multiset set ops: INTERSECT ALL / EXCEPT ALL preserve duplicates
+    "q_set_ops_all" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") <= 25).select(col("l_suppkey").as("k"))
+      val b = li.filter(col("l_discount") > 0.03).select(col("l_suppkey").as("k"))
+      a.intersectAll(b).exceptAll(
+          li.filter(col("l_returnflag") === "R").select(col("l_suppkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
+    // lateral correlated subquery (per-customer top-2 orders)
+    "q_lateral_topn" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+      t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer_lat,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+
     // distinct aggregates
     "q_distinct_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -427,6 +451,22 @@ object Relational {
         |  EXCEPT
         |  SELECT c_custkey AS k FROM customer WHERE c_nationkey = 3)
         |ORDER BY k""".stripMargin,
+    "q_set_ops_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT k FROM (
+        |    SELECT l_suppkey AS k FROM lineitem WHERE l_quantity <= 25
+        |    INTERSECT ALL
+        |    SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.03)
+        |  EXCEPT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp,
