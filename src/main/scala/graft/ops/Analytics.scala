@@ -62,6 +62,22 @@ object Analytics {
           count(lit(1)).as("n"))
         .orderBy(col("l_linestatus"))
     },
+    // custom TypedImperativeAggregate: exact top-k heavy hitters over
+    // the exploded token stream (mutable hash-map buffer, serialized
+    // partial merge), flattened for the SQL oracle
+    "q_topk_heavy_hitters" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      val topk = GraftBridge.column(
+        graft.functions.TopKTokens(
+          GraftBridge.expression(col("token")), 20).toAggregateExpression())
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .agg(topk.as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).as("rank"), col("col.token").as("token"),
+          col("col.cnt").as("cnt"))
+        .orderBy(col("rank"))
+    },
     // approximate sketches: HLL distinct, approx quantiles, CMS.
     // Estimates are engine-specific → rows-only check here; OpsSpec
     // asserts each estimate against the exact value with tolerance.
@@ -106,6 +122,16 @@ object Analytics {
          |  $cases
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+    "q_topk_heavy_hitters" ->
+      """SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+        |  token, cnt
+        |FROM (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS token
+        |    FROM documents)
+        |  GROUP BY token)
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q_udaf_sumsq" ->
       """SELECT l_linestatus,
         |  sum(l_quantity * l_quantity) AS sumsq_qty,
