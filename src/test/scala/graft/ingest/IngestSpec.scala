@@ -136,6 +136,16 @@ class IngestSpec extends AnyFunSuite {
     assert(first == 0)
   }
 
+  test("ragged rows ingest without crashing (reference crashes, Q8-family)") {
+    // short row → missing cells null; long row → extra cells dropped
+    val r = Collimate(spark, fixture("ragged.csv"))
+    val rows = r.df.orderBy("a").collect()
+    assert(rows.length == 4)
+    assert(r.df.columns.toSeq == Seq("a", "b", "c"))
+    val shortRow = rows.find(_.getInt(0) == 4).get
+    assert(shortRow.isNullAt(2))
+  }
+
   test("sanitize dedupe is globally collision-free") {
     assert(Sanitize.dedupe(Seq("a", "a_2", "a")) == Seq("a", "a_2", "a_3"))
     assert(Sanitize.dedupe(Seq("x", "x", "x")) == Seq("x", "x_2", "x_3"))
