@@ -82,6 +82,44 @@ object IngestQueries {
       roundtrip(s, dir, "nation", "n_nationkey")
     },
 
+    // O2: TSV scan through the full pipeline (part file renamed to .tsv
+    // so the extension dispatch takes the tab-delimited branch)
+    "ingest_roundtrip_region_tsv" -> { (s, dir) =>
+      val src = s.read.parquet(s"$dir/region.parquet")
+      val out = tmpDir(dir, "region_tsv")
+      src.orderBy("r_regionkey").coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("sep", "\t").csv(out)
+      val part = new java.io.File(out).listFiles()
+        .find(_.getName.endsWith(".csv")).get
+      val tsv = new java.io.File(out, "data.tsv")
+      java.nio.file.Files.move(part.toPath, tsv.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Collimate(s, tsv.getPath).df
+        .select(src.schema.fields.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        .orderBy("r_regionkey")
+    },
+
+    // O3: whole-file JSON array (the reference's JSON.parse path) —
+    // region is a fixed 5-row dim, so writing the array driver-side is
+    // exact, not a scale compromise
+    "ingest_roundtrip_region_json" -> { (s, dir) =>
+      val src = s.read.parquet(s"$dir/region.parquet")
+      val rows = src.orderBy("r_regionkey").collect().map { r =>
+        s"""{"r_regionkey": ${r.getAs[Int]("r_regionkey")}, """ +
+          s""""r_name": "${r.getAs[String]("r_name")}"}"""
+      }
+      val out = new java.io.File(tmpDir(dir, "region_json"))
+      out.mkdirs()
+      val f = new java.io.File(out, "data.json")
+      java.nio.file.Files.writeString(f.toPath,
+        rows.mkString("[", ",\n ", "]\n"))
+      Collimate(s, f.getPath).df
+        .select(src.schema.fields.map(fd =>
+          col(fd.name).cast(fd.dataType).as(fd.name)).toIndexedSeq: _*)
+        .orderBy("r_regionkey")
+    },
+
     "ingest_roundtrip_customer" -> { (s, dir) =>
       roundtrip(s, dir, "customer", "c_custkey")
     },
@@ -139,6 +177,10 @@ object IngestQueries {
         |) t(id, iso, "global", us) ORDER BY id""".stripMargin,
     "ingest_roundtrip_nation" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "ingest_roundtrip_region_tsv" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "ingest_roundtrip_region_json" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
     "ingest_roundtrip_customer" ->
       "SELECT * FROM customer ORDER BY c_custkey",
     "ingest_roundtrip_orders_dates" ->
