@@ -242,6 +242,16 @@ object Relational {
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
     },
 
+    // array-building aggregates: collect_set + deterministic sort
+    "q_collect_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+          .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // distinct aggregates
     "q_distinct_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -467,6 +477,12 @@ object Relational {
         |         WHERE o_custkey = c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_collect_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+        |    AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_suppkey) AS n_supp,
