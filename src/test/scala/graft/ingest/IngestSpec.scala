@@ -151,6 +151,42 @@ class IngestSpec extends AnyFunSuite {
     assert(Sanitize.dedupe(Seq("x", "x", "x")) == Seq("x", "x_2", "x_3"))
   }
 
+  test("property: dictionary encode∘decode is identity (§5.3)") {
+    val df = Collimate(spark, fixture("late_surprise.csv")).df
+    val (encoded, decoder) = Categorical.encode(df, "cat")
+    val bad = encoded.collect().count { r =>
+      val v = r.getAs[String]("cat")
+      val code = r.getAs[Int]("cat_code")
+      decoder(code) != v
+    }
+    assert(bad == 0)
+  }
+
+  test("property: inference is monotone on the type lattice (§5.3)") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    def typeOf(vals: Seq[String]): DataType = {
+      val df = spark.createDataFrame(
+        vals.map(Row(_)).asJava,
+        StructType(Seq(StructField("c", StringType))))
+      TypeInference.infer(df).fields.head.dataType
+    }
+    def rank(t: DataType): Int = t match {
+      case IntegerType => 0; case LongType => 1; case DoubleType => 2
+      case _ => 3
+    }
+    // appending rows may only widen (never narrow) the inferred type
+    val base = Seq("1", "2", "3")
+    val extensions = Seq(
+      Seq("4"), Seq("2147483648"), Seq("4.5"), Seq("x"), Seq("null"))
+    extensions.foreach { ext =>
+      assert(rank(typeOf(base ++ ext)) >= rank(typeOf(base)),
+        s"narrowed on $ext")
+    }
+    assert(rank(typeOf(base ++ Seq("4.5") ++ Seq("x"))) >=
+      rank(typeOf(base ++ Seq("4.5"))))
+  }
+
   test("property: sanitize is idempotent") {
     val names = Seq(" First-Name ", "A&B", "price %", "email@addr",
       "x  y", "__z__", "weird!!name??", "95% conf.", "a-b-c")

@@ -227,6 +227,18 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKTokens buffer serde roundtrips and merges correctly") {
+    import graft.functions.TopKTokens
+    val agg = TopKTokens(
+      org.apache.spark.sql.GraftBridge.expression($"x"), 3)
+    val b1 = scala.collection.mutable.HashMap("a" -> 5L, "b" -> 2L)
+    val b2 = agg.deserialize(agg.serialize(b1))
+    assert(b2 == b1)
+    val merged = agg.merge(b2, scala.collection.mutable.HashMap("b" -> 1L, "c" -> 9L))
+    assert(merged == scala.collection.mutable.HashMap(
+      "a" -> 5L, "b" -> 3L, "c" -> 9L))
+  }
+
   test("GraftExtensions installs its functions into a SparkSessionExtensions") {
     // full end-to-end SQL use of graft_dot is oracle-checked by
     // q_sql_graft_dot; here we check the extension wiring itself
