@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.ingest.IngestQueries.queries ++
       graft.ops.Relational.queries ++
+      graft.ops.Relational2.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.TextStats.queries ++
       graft.ops.Similarity.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.ingest.IngestQueries.oracleSql ++
       graft.ops.Relational.oracleSql ++
+      graft.ops.Relational2.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.TextStats.oracleSql ++
       graft.ops.Similarity.oracleSql ++

@@ -1,0 +1,552 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Second wave of relational coverage (SURVEY.md §2c): the remaining
+  * TPC-H query shapes adapted to the driver's simplified star schema,
+  * plus scalar-function families (array/conditional/bitwise/date
+  * arithmetic), window frame variants (lead/lag-k/first/last/nth),
+  * moment statistics, unpivot, non-equi range joins and subquery
+  * forms not already exercised by [[Relational]].
+  *
+  * Scale notes (100 TB stance):
+  *  - every dimension side is `broadcast(...)`; fact-fact joins
+  *    shuffle on their join keys and lean on AQE for skew;
+  *  - disjunctive predicates (q19) stay in one scan-side filter so
+  *    they reach the parquet reader as one pushed OR;
+  *  - the range/band join broadcasts the tiny band dimension → a
+  *    BroadcastNestedLoopJoin whose inner side is 25 rows. For a
+  *    band table too big to broadcast, the contiguous-band shape
+  *    reduces to an equi-join on `floor((x-lo)/width)` — noted here
+  *    so the scale path is explicit;
+  *  - "having" aggregates (q18) pre-aggregate the fact table on its
+  *    own key BEFORE joining back (semi-join by aggregation result),
+  *    so the join input is already one row per order.
+  */
+object Relational2 {
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q7: volume shipped between a nation pair, by year —
+    // disjunctive cross-side predicate that cannot be fully pushed
+    "q7_nation_volume" -> { (s, dir) =>
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8: one nation's market share inside one region, by year —
+    // conditional-sum ratio with the division done in DOUBLE
+    "q8_market_share" -> { (s, dir) =>
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)))
+          .as("nation_vol"),
+          dsum(rev).as("total_vol"))
+        .select(col("o_year"),
+          round(col("nation_vol") / col("total_vol"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q9: profit on a part-name pattern, by supplier nation × year
+    "q9_product_profit" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_name").like("%red%"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(rev).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q10: top-20 customers by returned-item revenue in a quarter
+    "q10_returned_items" -> { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-04-01").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum(rev).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q12 shape: order-priority mix per lineitem quantity class
+    "q12_quantity_priority" -> { (s, dir) =>
+      val qclass = when(col("l_quantity") < 10, "low")
+        .when(col("l_quantity") < 30, "mid").otherwise("high")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(qclass.as("qclass"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("low_line_count"))
+        .orderBy(col("qclass"))
+    },
+
+    // TPC-H Q14: promo revenue share per month of one ship-year
+    "q14_promo_effect" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(month(col("l_shipdate")).as("l_month"))
+        .agg(dsum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+          .as("promo_rev"),
+          dsum(rev).as("total_rev"))
+        .select(col("l_month"),
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+            .as("promo_share"))
+        .orderBy(col("l_month"))
+    },
+
+    // TPC-H Q16 shape: distinct supplier count per (brand, type, size),
+    // excluding a supplier blacklist via left-anti join (NOT IN)
+    "q16_supplier_cnt" -> { (s, dir) =>
+      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < -900)
+        .select(col("s_suppkey"))
+      t(s, dir, "lineitem")
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part").filter(col("p_brand") =!= "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+
+    // TPC-H Q18: large orders (HAVING sum(qty) > 300) joined back to
+    // orders+customer; the fact table is pre-aggregated on its own key
+    // before the join so the join input is one row per order
+    "q18_large_orders" -> { (s, dir) =>
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // TPC-H Q19: disjunction of conjunctive brand/size/quantity ranges —
+    // one OR filter over the joined scan (pushable as a single predicate)
+    "q19_disjunctive" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) &&
+            col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) &&
+            col("p_size").between(1, 25)) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity").between(20, 30) &&
+            col("p_size").between(1, 35)))
+        .agg(dsum(rev).as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q22 shape: above-average-balance customers with no
+    // high-value orders, grouped by a name-derived code. The global
+    // average arrives as a broadcast scalar (cross join of a 1-row DF).
+    "q22_idle_balance" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val avgPos = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      val bigBuyers = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgPos))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(bigBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(substring(col("c_name"), 17, 2).as("code"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("code"))
+    },
+
+    // non-equi range join: customers matched to contiguous acctbal bands
+    // derived from the nation dim (broadcast nested-loop join; a huge
+    // band table would instead use the floor((x-lo)/width) equi-join)
+    "q_range_band_join" -> { (s, dir) =>
+      val bands = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("band"),
+          (col("n_nationkey") * 400 - 1000).cast(DoubleType).as("lo"),
+          ((col("n_nationkey") + 1) * 400 - 1000).cast(DoubleType).as("hi")))
+      t(s, dir, "customer")
+        .join(bands, col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("band_bal"))
+        .orderBy(col("band"))
+    },
+
+    // generator: posexplode of tokenized part names (pos + value)
+    "q_posexplode_tokens" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+        .toDF("p_partkey", "pos", "w")
+        .orderBy(col("p_partkey"), col("pos"))
+    },
+
+    // array function family over tokenized names + generated sequences
+    "q_array_funcs" -> { (s, dir) =>
+      t(s, dir, "part")
+        .withColumn("ws", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          size(col("ws")).as("n_words"),
+          array_join(array_sort(col("ws")), ",").as("words_sorted"),
+          element_at(col("ws"), 1).as("first_word"),
+          array_position(col("ws"), "widget").cast(IntegerType).as("widget_pos"),
+          array_contains(col("ws"), "bolt").as("has_bolt"),
+          array_max(sequence(lit(1), pmod(col("p_size"), lit(5)) + 1))
+            .as("seq_max"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // conditional scalar family: nullif / coalesce / greatest / least / CASE
+    "q_conditional_funcs" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("AUTOMOBILE")), lit("OTHER"))
+            .as("seg"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+          least(col("c_acctbal"), lit(0.0)).as("bal_neg"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "mid").otherwise("high").as("band"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // window frame variants: lead/lag-k, first/last/nth over full frames
+    "q_window_lead_frames" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          lag(col("o_totalprice"), 2).over(w).as("prev2_price"),
+          first(col("o_totalprice")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // bitwise scalar family
+    "q_bitwise" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_partkey").bitwiseAND(lit(255)).as("band_"),
+          col("p_partkey").bitwiseOR(lit(4096)).as("bor"),
+          col("p_partkey").bitwiseXOR(lit(9223)).as("bxor"),
+          shiftleft(col("p_partkey"), 2).as("shl"),
+          shiftright(col("p_partkey"), 1).as("shr"),
+          bit_count(col("p_partkey")).as("bc"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // date arithmetic family: add days/months, month boundaries, diffs
+    "q_date_arith" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("d", to_date(col("o_orderdate")))
+        .select(col("o_orderkey"),
+          date_add(col("d"), 30).as("d30"),
+          add_months(col("d"), 2).as("m2"),
+          last_day(col("d")).as("ld"),
+          trunc(col("d"), "month").as("mo"),
+          datediff(col("d"), lit("2000-01-01").cast(DateType)).as("dd"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // moment statistics: stddev/variance/corr/covar (rounded so the
+    // double summation-order jitter cannot flip a digit)
+    "q_stats_agg" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(stddev_samp(col("c_acctbal")), 4).as("sd"),
+          round(var_pop(col("c_acctbal")), 2).as("vp"),
+          round(corr(col("c_acctbal"), col("c_custkey").cast(DoubleType)), 6)
+            .as("cor"),
+          round(covar_samp(col("c_acctbal"), col("c_custkey").cast(DoubleType)), 2)
+            .as("cov"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // unpivot (wide → long) of conditional-aggregate counts
+    "q_unpivot" -> { (s, dir) =>
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+            .as("urgent"),
+          sum(when(col("o_orderpriority") === "2-HIGH", 1).otherwise(0))
+            .as("high"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+            .otherwise(0)).as("other"))
+      wide.unpivot(Array(col("o_orderstatus")),
+          Array(col("urgent"), col("high"), col("other")), "prio_class", "n")
+        .orderBy(col("o_orderstatus"), col("prio_class"))
+    },
+
+    // uncorrelated scalar subquery + IN subquery (SQL-path planning)
+    "q_scalar_in_subquery" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_r2")
+      t(s, dir, "customer").createOrReplaceTempView("customer_r2")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_r2
+        WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders_r2)
+          AND o_custkey IN (SELECT c_custkey FROM customer_r2
+                            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS nation_vol,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_vol
+        |  FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |    JOIN region ON cn.n_regionkey = r_regionkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1)
+        |SELECT o_year, round(nation_vol / total_vol, 6) AS mkt_share
+        |FROM vol ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q12_quantity_priority" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+        |            WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qclass,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_effect" ->
+      """WITH m AS (
+        |  SELECT month(l_shipdate) AS l_month,
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT l_month, round(100.0 * promo_rev / total_rev, 6) AS promo_share
+        |FROM m ORDER BY l_month""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < -900)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |  JOIN big ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 25)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 35)""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT substring(c_name, 17, 2) AS code, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY code""".stripMargin,
+    "q_range_band_join" ->
+      """SELECT n_nationkey AS band, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS band_bal
+        |FROM nation JOIN customer
+        |  ON c_acctbal >= n_nationkey*400 - 1000
+        | AND c_acctbal < (n_nationkey+1)*400 - 1000
+        |GROUP BY 1 ORDER BY band""".stripMargin,
+    "q_posexplode_tokens" ->
+      """SELECT p_partkey, u.pos AS pos, u.w AS w FROM (
+        |  SELECT p_partkey,
+        |    unnest(list_transform(range(1, len(ws)+1),
+        |      i -> {'pos': i-1, 'w': ws[i]})) AS u
+        |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part))
+        |ORDER BY p_partkey, pos""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+        |  len(ws) AS n_words,
+        |  array_to_string(list_sort(ws), ',') AS words_sorted,
+        |  ws[1] AS first_word,
+        |  coalesce(CAST(list_position(ws, 'widget') AS INT), 0) AS widget_pos,
+        |  list_contains(ws, 'bolt') AS has_bolt,
+        |  list_max(range(1, (p_size % 5) + 2)) AS seq_max
+        |FROM (SELECT p_partkey, p_size, string_split(p_name, ' ') AS ws FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_conditional_funcs" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'AUTOMOBILE'), 'OTHER') AS seg,
+        |  greatest(c_acctbal, 0.0) AS bal_pos,
+        |  least(c_acctbal, 0.0) AS bal_neg,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_window_lead_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  lag(o_totalprice, 2) OVER w AS prev2_price,
+        |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS first_price,
+        |  last_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS last_price,
+        |  nth_value(o_totalprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS band_,
+        |  p_partkey | 4096 AS bor,
+        |  xor(p_partkey, 9223) AS bxor,
+        |  p_partkey << 2 AS shl,
+        |  p_partkey >> 1 AS shr,
+        |  CAST(bit_count(p_partkey) AS INT) AS bc
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS d30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS m2,
+        |  last_day(CAST(o_orderdate AS DATE)) AS ld,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |  CAST(date_diff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT c_mktsegment,
+        |  round(stddev_samp(c_acctbal), 4) AS sd,
+        |  round(var_pop(c_acctbal), 2) AS vp,
+        |  round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS cor,
+        |  round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 2) AS cov,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |    CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS other
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, 'urgent' AS prio_class, urgent AS n FROM wide
+        |UNION ALL
+        |SELECT o_orderstatus, 'high' AS prio_class, high AS n FROM wide
+        |UNION ALL
+        |SELECT o_orderstatus, 'other' AS prio_class, other AS n FROM wide
+        |ORDER BY o_orderstatus, prio_class""".stripMargin,
+    "q_scalar_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
