@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Plan-shape assertions: the properties that make each operator hold
+  * at 100 TB are locked in here, so a regression that silently
+  * de-optimizes a plan (losing a pushdown, broadcasting the wrong side,
+  * dropping partial aggregation) fails CI even though results stay
+  * correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
+    .getOrCreate()
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("q6: every predicate reaches the parquet scan; schema is pruned") {
+    val plan = formatted(q("q6_forecast_revenue"))
+    assert(plan.contains("PushedFilters:"), plan)
+    // all four filter columns pushed
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(plan.contains(s"IsNotNull($c)"), s"missing pushed filter on $c\n$plan")
+    }
+    // column pruning: the scan must not read uninvolved columns
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q3: dimension join is a broadcast, not a shuffle join") {
+    val plan = formatted(q("q3_shipping_priority"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q1: hash aggregation is partial+final (map-side combine)") {
+    val plan = formatted(q("q1_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q2 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = formatted(q("q2_topk_parts"))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti (no row explosion)") {
+    assert(formatted(q("q_semi_join")).contains("LeftSemi"))
+    assert(formatted(q("q_anti_join")).contains("LeftAnti"))
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    Seq("q1_pricing_summary", "q6_forecast_revenue", "q_distinct_agg")
+      .foreach { name =>
+        val df = q(name)
+        df.collect() // AQE finalizes (and codegens) stages on execution
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("*("), s"$name has no codegen span:\n${plan.take(800)}")
+      }
+  }
+
+  test("broadcast scalar (q22) plans without a shuffle of the big side") {
+    val plan = formatted(q("q22_idle_balance"))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("range band join broadcasts the tiny band dimension") {
+    val plan = formatted(q("q_range_band_join"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ngram LSH pairs are a subset of the exact-Jaccard anchor") {
+    val exact = q("dedup_jaccard_exact").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = q("dedup_ngram_jaccard").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(key), s"LSH pair $key not in exact anchor")
+      assert(exact(key) == r.getDouble(2), s"jaccard mismatch for $key")
+    }
+  }
+}
