@@ -40,7 +40,49 @@ object EventStream {
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
   }
 
+  /** Click→purchase attribution: each purchase joined to the same
+    * user's clicks within the preceding `windowMinutes`. Under
+    * Structured Streaming both inputs carry watermarks and this
+    * time-range predicate is exactly what lets Spark bound the join
+    * state (stream-stream interval join); the batch plan is the same
+    * expression. Comparisons run on the event-time columns so the
+    * streaming planner can derive state eviction. */
+  def purchaseAttribution(ev: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buy_user"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+    buys.join(clicks,
+      col("buy_user") === col("click_user") &&
+        col("click_ts") <= col("buy_ts") &&
+        col("click_ts") >= col("buy_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("buy_id"), col("click_id"), col("buy_user").as("user_id"))
+  }
+
+  /** Keep-first dedup per (user, minute bucket) — the batch equivalent
+    * of streaming `dropDuplicatesWithinWatermark` over a bucketed key
+    * (exercised as a real streaming query in StreamingSpec). */
+  def dedupByMinute(ev: DataFrame): DataFrame = {
+    // integer division (Spark's `/` on longs is DOUBLE division)
+    val withBucket = ev.withColumn("minute_bucket",
+      floor(unix_micros(col("ts")) / lit(60000000L)).cast(LongType))
+    val w = Window.partitionBy(col("user_id"), col("minute_bucket"))
+      .orderBy(col("event_id"))
+    withBucket.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("event_id"), col("user_id"), col("minute_bucket"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_attrib" -> { (s, dir) =>
+      purchaseAttribution(events(s, dir))
+        .orderBy(col("buy_id"), col("click_id"))
+    },
+    "stream_dedup_bucket" -> { (s, dir) =>
+      dedupByMinute(events(s, dir)).orderBy(col("event_id"))
+    },
     "stream_hourly_window" -> { (s, dir) =>
       hourlyAgg(events(s, dir))
         .orderBy(col("hour_start"), col("event_type"))
@@ -52,6 +94,24 @@ object EventStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // comparisons in µs on both engines (events parquet is ns;
+    // epoch_us truncates exactly like the Spark-side ns→µs surface)
+    "stream_join_attrib" ->
+      """SELECT b.event_id AS buy_id, c.event_id AS click_id,
+        |  b.user_id AS user_id
+        |FROM events b JOIN events c
+        |  ON b.event_type = 'purchase' AND c.event_type = 'click'
+        | AND b.user_id = c.user_id
+        | AND epoch_us(c.ts) <= epoch_us(b.ts)
+        | AND epoch_us(c.ts) >= epoch_us(b.ts) - 600000000
+        |ORDER BY buy_id, click_id""".stripMargin,
+    "stream_dedup_bucket" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 60000000 AS minute_bucket
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, epoch_us(ts) // 60000000
+        |  ORDER BY event_id) = 1
+        |ORDER BY event_id""".stripMargin,
     "stream_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n,

@@ -102,6 +102,76 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch on same data") {
+    val input = MemoryStream[Ev](spark)
+    val attrib = EventStream.purchaseAttribution(
+      input.toDF().withWatermark("ts", "20 minutes"))
+    val q = attrib.writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    val data = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(8), 1, "click", 1.0),
+      Ev(3, ts(12), 1, "purchase", 9.0),        // joins clicks 1,2
+      Ev(4, ts(40), 1, "purchase", 9.0),        // joins nothing (gap > 10m)
+      Ev(5, ts(50), 2, "click", 1.0), Ev(6, ts(55), 2, "purchase", 9.0))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // close the watermark so pending matches flush
+      input.addData(Ev(7, ts(200), 9, "click", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_out")
+        .orderBy($"buy_id", $"click_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      val batch = EventStream.purchaseAttribution(data.toDF())
+        .orderBy($"buy_id", $"click_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed == Seq((3L, 1L, 1L), (3L, 2L, 1L), (6L, 5L, 2L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses cross-batch duplicates") {
+    val input = MemoryStream[Ev](spark)
+    val deduped = input.toDS()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(6), 1, "click", 1.0))
+      q.processAllAvailable()
+      // same event_id redelivered inside the watermark → suppressed
+      input.addData(Ev(1, ts(7), 1, "click", 1.0), Ev(3, ts(8), 1, "click", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink writes each microbatch transactionally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    val input = MemoryStream[Ev](spark)
+    val q = input.toDF()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.write.mode("append").parquet(s"$dir/out")
+        ()
+      }
+      .start()
+    try {
+      input.addData(sample.take(3): _*)
+      q.processAllAvailable()
+      input.addData(sample.drop(3): _*)
+      q.processAllAvailable()
+      val n = spark.read.parquet(s"$dir/out").count()
+      assert(n == sample.size)
+    } finally {
+      q.stop()
+      graft.Util.rmrf(new java.io.File(dir))
+    }
+  }
+
   test("sessionize splits on the 30-minute gap") {
     val df = sample.toDF()
     val sessions = EventStream.sessionize(df)
