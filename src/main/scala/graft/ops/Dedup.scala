@@ -42,18 +42,18 @@ object Dedup {
   val RowsPerBand = 4
   val MaxBucket = 1000
 
-  /** MinHash signatures: K minima over xxhash64(shingle, k), computed by
-    * exploding shingles and running K `min` aggregates. All of it stays
-    * inside whole-stage codegen (higher-order-function folds are
-    * interpreted in Spark — measured ~50× slower here), and the map-side
-    * partial `min` means the shuffle carries one K-wide row per doc per
-    * partition, not the shingles. */
-  def minhashSignatures(sets: DataFrame, k: Int = NumHashes): DataFrame =
-    sets.select(col("id"), explode(col("sh")).as("s"))
-      .groupBy("id")
-      .agg(
-        array((0 until k).map(h => min(xxhash64(col("s"), lit(h)))): _*)
-          .as("sig"))
+  /** MinHash signatures via [[graft.functions.MinHashSig]]: one per-row
+    * pass, one string hash per shingle, K derived hashes by splitmix
+    * mixing — NO explode and NO shuffle (the earlier explode +
+    * K-`min`-aggregate formulation shuffled every doc and hashed every
+    * shingle K times). Signatures are embarrassingly parallel, exactly
+    * what 100 TB needs. */
+  def minhashSignatures(sets: DataFrame, k: Int = NumHashes): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    sets.select(col("id"), GraftBridge.column(
+      graft.functions.MinHashSig(GraftBridge.expression(col("sh")), k))
+      .as("sig"))
+  }
 
   /** LSH band keys: hash of each r-slice of the signature. */
   def bandKeys(sig: Column, bands: Int = Bands, r: Int = RowsPerBand): Column =
@@ -116,14 +116,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash per doc: explode tokens, hash each ONCE, take 64
-    * ±1-vote `sum` aggregates (codegen'd, map-side partial), then
-    * assemble sign bits in a projection. The earlier fold-based
-    * formulation re-hashed every token per bit inside interpreted
-    * lambdas — 64 hashes/token — and dominated the whole bench
-    * (631 s → <2 s at sf0.1). Docs with no tokens get no signature
+  /** 64-bit SimHash per doc: explode tokens, hash each ONCE, aggregate
+    * all 64 vote counters in ONE [[graft.functions.SimHashAgg]] buffer
+    * (map-side partial merge, constant state). History: a fold-based
+    * HOF formulation re-hashed every token per bit in interpreted
+    * lambdas (631 s at sf0.1); 64 separate `sum(when(...))` aggregates
+    * fixed that (~2 s) but spent most of the remaining time Janino-
+    * compiling the 64-column aggregate; the single imperative
+    * aggregate removes that too. Docs with no tokens get no signature
     * (empty docs are trivially handled by exact dedup). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy("id")
+      .agg(GraftBridge.column(
+        graft.functions.SimHashAgg(GraftBridge.expression(col("h")))
+          .toAggregateExpression()).as("sig"))
+  }
+
+  /** The 64-separate-aggregates formulation — kept as the semantics
+    * oracle for [[simhashes]] (asserted equal in OpsSpec). */
+  def simhashesComposed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val votes = (0 until 64).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$i"))

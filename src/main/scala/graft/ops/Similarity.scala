@@ -64,20 +64,21 @@ object Similarity {
   val Tables = 8
   val Bits = 8
 
-  /** ANN top-k: LSH candidate generation + exact re-rank. */
+  /** ANN top-k: LSH candidate generation + exact re-rank. Bucket ids
+    * come from ONE [[graft.functions.LshBuckets]] expression per row
+    * (the composed per-table/per-bit DotProduct formulation — kept
+    * below as [[bucketId]] for the equivalence spec — spent its time
+    * Janino-compiling 64 expressions). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       tables: Int = Tables, bits: Int = Bits, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     // dim must equal the embedding dimensionality: shorter hyperplanes
     // would silently bucket on a prefix of the vector
-    val planes = hyperplanes(tables, bits, dim)
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(Seq(col(id), col(vec)) ++ planes.zipWithIndex.map {
-        case (tp, tb) => bucketId(col(vec), tp).as(s"b$tb")
-      }: _*)
-        .select(col(id), col(vec), explode(array(
-          (0 until tables).map(tb =>
-            struct(lit(tb).as("tb"), col(s"b$tb").as("bk"))): _*)).as("t"))
-        .select(col(id), col(vec), col("t.tb").as("tb"), col("t.bk").as("bk"))
+      df.select(col(id), col(vec), posexplode(GraftBridge.column(
+          graft.functions.LshBuckets(
+            GraftBridge.expression(col(vec)), tables, bits, dim))))
+        .select(col(id), col(vec), col("pos").as("tb"), col("col").as("bk"))
     val c = banded(corpus, "vec_id", "v")
     val p = banded(probes, "query_id", "qv")
     val cands = p.join(c, Seq("tb", "bk"))
@@ -110,13 +111,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = corpus.select(col("vec_id"),
+    // carry v through fit/transform: k-means iterates over this input
+    // (cache it), and keeping v avoids a join back to the corpus
+    val train = corpus.select(col("vec_id"), col("v"),
       array_to_vector(col("v")).as("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = new KMeans().setK(clusters).setSeed(42L)
       .setMaxIter(10).fit(train)
     val assigned = model.transform(train)
-      .select(col("vec_id"), col("prediction").as("cluster"))
-      .join(corpus, "vec_id")
+      .select(col("vec_id"), col("prediction").as("cluster"), col("v"))
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }.toSeq

@@ -104,6 +104,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHashAgg equals the composed 64-aggregate formulation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val slow = Dedup.simhashesComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast.nonEmpty)
+  }
+
+  test("LshBuckets expression equals the composed per-table bucketId") {
+    import org.apache.spark.sql.GraftBridge
+    val c = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", Vectors.toDouble($"embedding").as("v"))
+    val planes = Similarity.hyperplanes(Similarity.Tables, Similarity.Bits, 64)
+    val composed = c.select($"vec_id" +: planes.zipWithIndex.map {
+        case (tp, tb) => Similarity.bucketId($"v", tp).as(s"b$tb")
+      }: _*).collect()
+      .map(r => r.getLong(0) -> (0 until Similarity.Tables).map(i => r.getInt(i + 1)))
+      .toMap
+    val fused = c.select($"vec_id", GraftBridge.column(
+        graft.functions.LshBuckets(GraftBridge.expression($"v"),
+          Similarity.Tables, Similarity.Bits, 64)).as("bk")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toIndexedSeq).toMap
+    assert(fused == composed)
+  }
+
   test("bucketed join plans with no shuffle on either input") {
     val joined = Scale.bucketedOrdersLineitem(spark, "/root/testdata/sf0.001")
     val plan = joined.queryExecution.executedPlan.toString
