@@ -116,8 +116,11 @@ object Similarity {
     val train = corpus.select(col("vec_id"), col("v"),
       array_to_vector(col("v")).as("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // random init (1 pass) + few iterations: centroid quality only
+    // shifts which clusters a probe visits (recall), never the exact
+    // re-ranked scores; k-means|| init alone costs ~5 extra jobs
     val model = new KMeans().setK(clusters).setSeed(42L)
-      .setMaxIter(10).fit(train)
+      .setInitMode("random").setMaxIter(4).fit(train)
     val assigned = model.transform(train)
       .select(col("vec_id"), col("prediction").as("cluster"), col("v"))
     val centroids = model.clusterCenters.zipWithIndex.map {
