@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingles, DotProduct, WordShingles}
+import graft.functions.{CharShingles, DotProduct, LshBuckets, MinHashSig, SimHashAgg, TopKTokens, WordShingles}
 
 /** The custom-expression SQL surface, shared by both registration
   * paths: cluster-wide via `--conf spark.sql.extensions=graft.
@@ -44,6 +44,28 @@ object GraftFunctions {
     ("graft_char_shingles", classOf[CharShingles], exprs => {
       two("graft_char_shingles", exprs)
       CharShingles(exprs(0), intArg("graft_char_shingles", exprs, 1))
+    }),
+    ("graft_minhash", classOf[MinHashSig], exprs => {
+      two("graft_minhash", exprs)
+      MinHashSig(exprs(0), intArg("graft_minhash", exprs, 1))
+    }),
+    ("graft_lsh_buckets", classOf[LshBuckets], exprs => {
+      require(exprs.length == 4,
+        s"graft_lsh_buckets expects 4 arguments, got ${exprs.length}")
+      LshBuckets(exprs(0), intArg("graft_lsh_buckets", exprs, 1),
+        intArg("graft_lsh_buckets", exprs, 2),
+        intArg("graft_lsh_buckets", exprs, 3))
+    }),
+    // aggregates: the analyzer wraps AggregateFunction builders in an
+    // AggregateExpression during resolution
+    ("graft_simhash", classOf[SimHashAgg], exprs => {
+      require(exprs.length == 1,
+        s"graft_simhash expects 1 argument, got ${exprs.length}")
+      SimHashAgg(exprs(0))
+    }),
+    ("graft_topk_tokens", classOf[TopKTokens], exprs => {
+      two("graft_topk_tokens", exprs)
+      TopKTokens(exprs(0), intArg("graft_topk_tokens", exprs, 1))
     }))
 }
 

@@ -32,6 +32,22 @@ object Scale {
     salted.join(expanded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-pruned join: build a Bloom filter over the dim side's keys
+    * driver-side, pre-filter the fact scan with a codegen'd membership
+    * probe, then run the exact join. Semantically invisible (false
+    * positives are removed by the join) but at scale the fact table is
+    * pruned BEFORE its shuffle — the manual, plannable form of Spark's
+    * runtime bloom-filter injection. The dim side must be small enough
+    * to enumerate its keys on the driver (same budget as a broadcast). */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val pruned = fact.filter(GraftBridge.column(
+      graft.functions.BloomMightContain(
+        GraftBridge.expression(col(factKey)), bloom)))
+    pruned.join(dim, col(factKey) === col(dimKey))
+  }
+
   /** In-session registration of the full custom-expression SQL surface
     * (same builder table as the `GraftExtensions` deployment path). */
   def registerSqlFunctions(spark: SparkSession): Unit =
@@ -88,6 +104,17 @@ object Scale {
           dsum(col("l_extendedprice")).as("total"))
         .orderBy(col("o_orderpriority"))
     },
+    // bloom-pruned join must produce exactly the plain join's answer
+    "q_bloom_pruned_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val richCust = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      bloomPrunedJoin(ev, richCust, "user_id", "c_custkey", 2000L)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
     // custom codegen expression exposed through the SQL surface
     "q_sql_graft_dot" -> { (s, dir) =>
       registerSqlFunctions(s)
@@ -112,6 +139,12 @@ object Scale {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bloom_pruned_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events e JOIN customer c
+        |  ON e.user_id = c.c_custkey AND c.c_acctbal > 9000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_sql_graft_dot" ->
       """SELECT vec_id,
         |  round(sqrt(list_reduce(

@@ -100,6 +100,48 @@ object TextStats {
         .agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(50)
+    },
+
+    // TF-IDF: per-(doc, term) tf × smoothed idf. Three aggregations,
+    // all partial+final hash aggs; the doc count is a broadcast scalar.
+    "text_tfidf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    // end-to-end corpus cleaning: quality gate → exact near-dup removal
+    // (fingerprint keep-first) → per-(lang, source) stats. The composed
+    // pipeline a training-data run would execute, as one declarative
+    // plan Catalyst optimizes end to end.
+    "pipeline_clean_corpus" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val enriched = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast(DoubleType) / size(col("toks")))
+        .withColumn("fp", Text.fingerprint(col("text")))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      enriched
+        .filter(col("n_tokens") >= 20 && col("distinct_ratio") >= 0.3)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          davg(col("n_chars")).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
     }
   )
 
@@ -155,6 +197,38 @@ object TextStats {
       """SELECT token, count(*) AS freq FROM (
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
         |  FROM documents)
-        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        |FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, lang, source, n_chars, fp, len(toks) AS n_tokens
+        |  FROM d
+        |  WHERE len(toks) >= 20
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3),
+        |u AS (
+        |  SELECT * FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars)
+        |    AS avg_chars
+        |FROM u GROUP BY lang, source ORDER BY lang, source""".stripMargin
   )
 }

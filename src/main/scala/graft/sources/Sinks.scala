@@ -40,6 +40,22 @@ object Sinks {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderstatus"))
     },
+    // CSV sink/scan roundtrip (explicit read schema: inference is a
+    // sampling pass we don't need when the writer's schema is known)
+    "sink_csv_roundtrip" -> { (s, dir) =>
+      val out = tmp(dir, "customer_csv")
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(out)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    },
     // JSON-lines sink/scan roundtrip
     "sink_jsonl_roundtrip" -> { (s, dir) =>
       val out = tmp(dir, "events_jsonl")
@@ -60,6 +76,10 @@ object Sinks {
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sink_csv_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "sink_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -131,6 +131,34 @@ class OpsSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("bloom-pruned join equals the plain join") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.ops.Q.events(spark, dir)
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .filter($"c_acctbal" > 5000).select($"c_custkey", $"c_mktsegment")
+    val pruned = Scale.bloomPrunedJoin(ev, cust, "user_id", "c_custkey", 1000L)
+      .select($"event_id", $"c_custkey").orderBy($"event_id").collect()
+    val plain = ev.join(cust, $"user_id" === $"c_custkey")
+      .select($"event_id", $"c_custkey").orderBy($"event_id").collect()
+    assert(pruned.nonEmpty && pruned.sameElements(plain))
+  }
+
+  test("SQL surface: minhash/simhash/lsh/topk callable from SQL") {
+    Scale.registerSqlFunctions(spark)
+    Seq((1L, "a b a c"), (2L, "x y z w")).toDF("id", "text")
+      .createOrReplaceTempView("sqlfn_docs")
+    val r = spark.sql("""
+      SELECT id,
+        graft_minhash(graft_char_shingles(text, 3), 8) AS mh,
+        graft_lsh_buckets(array(1.0d, -1.0d), 4, 8, 2) AS lb,
+        graft_simhash(xxhash64(text)) AS sh,
+        graft_topk_tokens(text, 2) AS tk
+      FROM sqlfn_docs GROUP BY id, text ORDER BY id""").collect()
+    assert(r.length == 2)
+    assert(r(0).getSeq[Long](1).length == 8)
+    assert(r(0).getSeq[Int](2).length == 4)
+  }
+
   test("bucketed join plans with no shuffle on either input") {
     val joined = Scale.bucketedOrdersLineitem(spark, "/root/testdata/sf0.001")
     val plan = joined.queryExecution.executedPlan.toString
