@@ -329,6 +329,62 @@ object Relational2 {
         .orderBy(col("o_orderstatus"), col("prio_class"))
     },
 
+    // map construction from JSON + map function family
+    "q_map_json_funcs" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), MapType(StringType, IntegerType)).as("m"))
+        .select(col("event_id"),
+          size(col("m")).as("n_keys"),
+          concat_ws(",", map_keys(col("m"))).as("keys"),
+          element_at(col("m"), "k").as("k_val"),
+          map_contains_key(col("m"), "z").as("has_z"))
+        .orderBy(col("event_id"))
+    },
+
+    // second string family: pad/repeat/slice/search/translate/case-ops
+    "q_string_funcs2" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("b_lpad"),
+          rpad(col("p_brand"), 12, "-").as("b_rpad"),
+          repeat(substring(col("p_type"), 1, 2), 3).as("t_rep"),
+          expr("left(p_name, 4)").as("n_left"),
+          expr("right(p_name, 4)").as("n_right"),
+          instr(col("p_name"), "e").as("pos_e"),
+          expr("split_part(p_type, 'O', 1)").as("t_part"),
+          translate(col("p_brand"), "#", "_").as("b_tr"),
+          ascii(col("p_name")).as("n_ascii"),
+          expr("chr(65 + pmod(p_size, 26))").as("s_chr"),
+          col("p_name").contains("red").as("has_red"),
+          col("p_name").startsWith("sm").as("sm_start"),
+          col("p_name").endsWith("et").as("et_end"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // boolean / conditional-count aggregates
+    "q_bool_aggs" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_discount") > 0.09).as("any_high_disc"),
+          count_if(col("l_tax") === 0).as("n_no_tax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // arg-min/arg-max aggregates (deterministic: ordering key is unique)
+    "q_argminmax" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          max_by(col("c_name"), col("c_custkey")).as("last_cust"),
+          min_by(col("c_name"), col("c_custkey")).as("first_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // uncorrelated scalar subquery + IN subquery (SQL-path planning)
     "q_scalar_in_subquery" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders_r2")
@@ -541,6 +597,42 @@ object Relational2 {
         |UNION ALL
         |SELECT o_orderstatus, 'other' AS prio_class, other AS n FROM wide
         |ORDER BY o_orderstatus, prio_class""".stripMargin,
+    "q_map_json_funcs" ->
+      """SELECT event_id,
+        |  len(json_keys(props)) AS n_keys,
+        |  array_to_string(json_keys(props), ',') AS keys,
+        |  CAST(props->>'$.k' AS INT) AS k_val,
+        |  list_contains(json_keys(props), 'z') AS has_z
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS b_lpad,
+        |  rpad(p_brand, 12, '-') AS b_rpad,
+        |  repeat(substring(p_type, 1, 2), 3) AS t_rep,
+        |  left(p_name, 4) AS n_left,
+        |  right(p_name, 4) AS n_right,
+        |  strpos(p_name, 'e') AS pos_e,
+        |  split_part(p_type, 'O', 1) AS t_part,
+        |  translate(p_brand, '#', '_') AS b_tr,
+        |  ascii(p_name) AS n_ascii,
+        |  chr(65 + p_size % 26) AS s_chr,
+        |  contains(p_name, 'red') AS has_red,
+        |  starts_with(p_name, 'sm') AS sm_start,
+        |  ends_with(p_name, 'et') AS et_end
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_bool_aggs" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_high_disc,
+        |  count(*) FILTER (l_tax = 0) AS n_no_tax,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_argminmax" ->
+      """SELECT c_mktsegment,
+        |  arg_max(c_name, c_custkey) AS last_cust,
+        |  arg_min(c_name, c_custkey) AS first_cust,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_scalar_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
