@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property checks for the pure sketch/signature kernels (no Spark
+  * session needed — `compute` helpers are static). */
+object FunctionProps extends Properties("functions") {
+
+  private def arr(ss: Seq[String]): GenericArrayData =
+    new GenericArrayData(ss.map(s => UTF8String.fromString(s)).toArray[Any])
+
+  val shingles: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+
+  property("minhash: signature has width k; empty set is all sentinels") =
+    forAll(shingles, Gen.choose(1, 64)) { (ss, k) =>
+      val sig = MinHashSig.compute(arr(ss), k)
+      sig.length == k &&
+        (ss.nonEmpty || sig.forall(_ == Long.MaxValue))
+    }
+
+  property("minhash: order-invariant (a set function)") =
+    forAll(shingles) { ss =>
+      val k = 16
+      MinHashSig.compute(arr(ss), k)
+        .sameElements(MinHashSig.compute(arr(ss.reverse), k))
+    }
+
+  property("minhash: superset minima are elementwise <=") =
+    forAll(shingles, shingles) { (a, b) =>
+      val k = 16
+      val sa = MinHashSig.compute(arr(a), k)
+      val sab = MinHashSig.compute(arr(a ++ b), k)
+      sab.zip(sa).forall { case (u, v) => u <= v }
+    }
+
+  val vec: Gen[Array[Double]] =
+    Gen.listOfN(8, Gen.choose(-10.0, 10.0)).map(_.toArray)
+
+  property("lsh buckets: deterministic and within [0, 2^bits)") =
+    forAll(vec) { v =>
+      val (tables, bits, dim) = (4, 6, 8)
+      val planes = LshBuckets.planes(tables, bits, dim)
+      val data = new GenericArrayData(v)
+      val b1 = LshBuckets.compute(planes, tables, bits, dim, data)
+      val b2 = LshBuckets.compute(planes, tables, bits, dim, data)
+      b1.sameElements(b2) && b1.length == tables &&
+        b1.forall(b => b >= 0 && b < (1 << bits))
+    }
+
+  property("simhash votes: merge of split buffers == single-pass buffer") =
+    forAll(Gen.listOf(Gen.long), Gen.listOf(Gen.long)) { (xs, ys) =>
+      def fill(hs: Seq[Long]): Array[Int] = {
+        val b = new Array[Int](64)
+        hs.foreach { h =>
+          var i = 0
+          while (i < 64) { b(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1); i += 1 }
+        }
+        b
+      }
+      val merged = fill(xs).zip(fill(ys)).map { case (p, q) => p + q }
+      merged.sameElements(fill(xs ++ ys))
+    }
+}
