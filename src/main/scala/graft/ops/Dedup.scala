@@ -210,9 +210,19 @@ object Dedup {
     "dedup_jaccard_exact" -> { (s, dir) =>
       val g = t(s, dir, "documents")
         .select(col("doc_id"), array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
-      val a = g.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      // a small corpus arrives as ONE file partition, which would run
+      // the whole O(n²) pair loop in a single task — spread the probe
+      // side so the nested-loop join parallelizes
+      val a = g.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = g.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, col("id_a") < col("id_b"))
+      // size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= τ
+      // requires the smaller set to be >= τ × the larger — drop the pair
+      // before the expensive intersection. Purely an evaluation-order
+      // optimization: the J >= τ filter below implies this predicate.
+      a.join(b, col("id_a") < col("id_b") &&
+          size(col("sh_b")) * 2 >= size(col("sh_a")) &&
+          size(col("sh_a")) * 2 >= size(col("sh_b")))
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
             size(array_union(col("sh_a"), col("sh_b"))))
@@ -234,8 +244,11 @@ object Dedup {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", Vectors.norm(col("v")))
-      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
-        col("nrm").as("na"))
+      // spread the probe side: a single-file corpus would otherwise run
+      // the whole pair loop in one task (see dedup_jaccard_exact)
+      val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
         col("nrm").as("nb"))
       a.join(b, col("id_a") < col("id_b"))

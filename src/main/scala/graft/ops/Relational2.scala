@@ -329,6 +329,19 @@ object Relational2 {
         .orderBy(col("o_orderstatus"), col("prio_class"))
     },
 
+    // timestamp component extraction
+    "q_ts_extract" -> { (s, dir) =>
+      events(s, dir)
+        .select(col("event_id"),
+          hour(col("ts")).as("h"),
+          minute(col("ts")).as("mi"),
+          second(col("ts")).as("sec"),
+          dayofmonth(col("ts")).as("d"),
+          month(col("ts")).as("mo"),
+          year(col("ts")).as("y"))
+        .orderBy(col("event_id"))
+    },
+
     // map construction from JSON + map function family
     "q_map_json_funcs" -> { (s, dir) =>
       events(s, dir)
@@ -597,6 +610,11 @@ object Relational2 {
         |UNION ALL
         |SELECT o_orderstatus, 'other' AS prio_class, other AS n FROM wide
         |ORDER BY o_orderstatus, prio_class""".stripMargin,
+    "q_ts_extract" ->
+      """SELECT event_id, hour(ts) AS h, minute(ts) AS mi,
+        |  CAST(second(ts) AS INT) AS sec, day(ts) AS d,
+        |  month(ts) AS mo, year(ts) AS y
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_map_json_funcs" ->
       """SELECT event_id,
         |  len(json_keys(props)) AS n_keys,

@@ -40,6 +40,15 @@ object EventStream {
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
   }
 
+  /** Sliding 1-hour window, 15-minute slide (epoch-aligned, Spark's
+    * default): each event lands in 4 overlapping windows. Identical in
+    * batch and under `withWatermark → groupBy(window(...))`. */
+  def slidingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
   /** Click→purchase attribution: each purchase joined to the same
     * user's clicks within the preceding `windowMinutes`. Under
     * Structured Streaming both inputs carry watermarks and this
@@ -83,6 +92,10 @@ object EventStream {
     "stream_dedup_bucket" -> { (s, dir) =>
       dedupByMinute(events(s, dir)).orderBy(col("event_id"))
     },
+    "stream_sliding_window" -> { (s, dir) =>
+      slidingAgg(events(s, dir))
+        .orderBy(col("win_start"), col("event_type"))
+    },
     "stream_hourly_window" -> { (s, dir) =>
       hourlyAgg(events(s, dir))
         .orderBy(col("hour_start"), col("event_type"))
@@ -105,6 +118,20 @@ object EventStream {
         | AND epoch_us(c.ts) <= epoch_us(b.ts)
         | AND epoch_us(c.ts) >= epoch_us(b.ts) - 600000000
         |ORDER BY buy_id, click_id""".stripMargin,
+    // each event belongs to the 4 epoch-aligned 15-min-stepped windows
+    // covering it — reproduced with a range(0,4) cross join
+    "stream_sliding_window" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    (us // 900000000) * 900000000 - k * 900000000 AS win_us
+        |  FROM e, (SELECT unnest(range(0, 4)) AS k)
+        |  WHERE us < (us // 900000000) * 900000000 - k * 900000000
+        |    + 3600000000)
+        |SELECT make_timestamp(win_us) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_dedup_bucket" ->
       """SELECT event_id, user_id, epoch_us(ts) // 60000000 AS minute_bucket
         |FROM events

@@ -102,6 +102,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingAgg: streaming with watermark == batch on same data") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(sample: _*)
+    val q = EventStream.slidingAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_out")
+        .orderBy($"win_start", $"event_type").collect().toSeq
+      val batch = EventStream.slidingAgg(sample.toDF())
+        .orderBy($"win_start", $"event_type").collect().toSeq
+      assert(streamed == batch)
+      // 1h/15m slide → every event in exactly 4 windows
+      assert(streamed.map(_.getLong(2)).sum == sample.size * 4)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join == batch on same data") {
     val input = MemoryStream[Ev](spark)
     val attrib = EventStream.purchaseAttribution(
