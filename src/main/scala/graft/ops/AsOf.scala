@@ -81,6 +81,26 @@ object AsOf {
       join(ev, ord, "user_id", "ts", "o_orderdate",
         Seq("o_orderkey", "o_orderdate"))
         .orderBy(col("event_id"))
+    },
+    // FORWARD as-of (earliest right row at-or-after the probe) via the
+    // same union-and-carry on negated time — no second implementation:
+    // for each error event, the user's next purchase event
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val probe = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("neg_us", -unix_micros(col("ts")))
+      val ref = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+        .select(col("user_id"), col("purchase_id"),
+          (-unix_micros(col("ts"))).as("r_neg_us"),
+          col("ts").as("purchase_ts"))
+      join(probe, ref, "user_id", "neg_us", "r_neg_us",
+        Seq("purchase_id", "purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          col("purchase_ts"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -93,6 +113,20 @@ object AsOf {
         |SELECT event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+    // µs comparisons on both engines (epoch_us truncates exactly like
+    // the Spark-side ns→µs event surface)
+    "q_asof_forward" ->
+      """WITH p AS (
+        |  SELECT user_id, ts AS purchase_ts, epoch_us(ts) AS us,
+        |    max(event_id) AS purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2, 3),
+        |e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_ts
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.us <= p.us
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -192,6 +192,22 @@ object Similarity {
         .select(col("vec_id"), round(col("cos"), 6).as("cosine"))
         .orderBy(col("vec_id"))
     },
+    // embedding normalize + int8 quantize (the storage-shrink step of a
+    // vector pipeline): per-vector scalar norm + element-wise transform,
+    // surfaced as checkable aggregates (oracle-checked)
+    "sim_quantize_int8" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      e.withColumn("qv", transform(col("v"),
+          x => round(lit(127.0) * x / col("nrm"), 0).cast(IntegerType)))
+        .select(col("vec_id"),
+          round(col("nrm"), 6).as("l2_norm"),
+          aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+          array_min(col("qv")).as("q_min"),
+          array_max(col("qv")).as("q_max"))
+        .orderBy(col("vec_id"))
+    },
     // pairwise L2 distance stats (oracle-checked, exercises l2sq)
     "sim_l2_stats" -> { (s, dir) =>
       val c = corpus(s, dir)
@@ -237,6 +253,22 @@ object Similarity {
         |  FROM e a JOIN e b ON a.vec_id = 0 AND b.vec_id <> 0)
         |SELECT vec_id, round(cos, 6) AS cosine FROM p
         |WHERE cos >= 0.2 ORDER BY vec_id""".stripMargin,
+    "sim_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        |  FROM e),
+        |q AS (SELECT vec_id, nrm,
+        |    list_transform(range(1, len(v)+1),
+        |      i -> CAST(round(127.0 * v[i] / nrm, 0) AS INT)) AS qv
+        |  FROM n)
+        |SELECT vec_id, round(nrm, 6) AS l2_norm,
+        |  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
+        |  list_min(qv) AS q_min, list_max(qv) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "sim_l2_stats" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
