@@ -81,6 +81,18 @@ object Multimodal {
     "mm_decode_meta" -> { (s, dir) =>
       decodeBatch(payloads(s, dir)).orderBy(col("doc_id"))
     },
+    // resize planning: aspect-preserving fit into 224×224 over the
+    // decoded dims (the byte-resample itself is the stubbed codec step;
+    // the Spark-side plumbing and dim arithmetic are real + oracled)
+    "mm_resize_meta" -> { (s, dir) =>
+      decodeBatch(payloads(s, dir))
+        .withColumn("scale",
+          least(lit(224.0) / col("width"), lit(224.0) / col("height")))
+        .select(col("doc_id"), col("width"), col("height"),
+          floor(col("width") * col("scale")).cast(IntegerType).as("out_w"),
+          floor(col("height") * col("scale")).cast(IntegerType).as("out_h"))
+        .orderBy(col("doc_id"))
+    },
     // frame sampling: every 64-byte "frame", keep each 8th (oracle-
     // checked: pure byte arithmetic, portable to DuckDB substring math)
     "mm_frame_sample" -> { (s, dir) =>
@@ -128,6 +140,26 @@ object Multimodal {
         |  CAST(1 + (s + 7 * n) % 120 AS INT) AS n_frames,
         |  s / greatest(n, 1) AS gray_mean
         |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_resize_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+        |    CAST(CASE WHEN length(text) = 0 THEN 0 ELSE
+        |      list_reduce(list_transform(range(1, length(text)+1),
+        |        i -> ord(substr(text, i, 1))), (a, b) -> a + b) END
+        |      AS BIGINT) AS s
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    CAST(320 + s % 1600 AS INT) AS width,
+        |    CAST(240 + (s * 31 + n) % 840 AS INT) AS height
+        |  FROM b)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * least(224.0 / width, 224.0 / height)) AS INT)
+        |    AS out_w,
+        |  CAST(floor(height * least(224.0 / width, 224.0 / height)) AS INT)
+        |    AS out_h
+        |FROM d ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, frame_idx,
         |  length(substring(text, CAST(frame_idx*64+1 AS INT), 64))
