@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingles, DotProduct, LshBuckets, MinHashSig, SimHashAgg, TopKTokens, WordShingles}
+import graft.functions.{CharShingles, DotProduct, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
 
 /** The custom-expression SQL surface, shared by both registration
   * paths: cluster-wide via `--conf spark.sql.extensions=graft.
@@ -44,6 +44,11 @@ object GraftFunctions {
     ("graft_char_shingles", classOf[CharShingles], exprs => {
       two("graft_char_shingles", exprs)
       CharShingles(exprs(0), intArg("graft_char_shingles", exprs, 1))
+    }),
+    ("graft_rolling_hash", classOf[RollingHash], exprs => {
+      require(exprs.length == 1,
+        s"graft_rolling_hash expects 1 argument, got ${exprs.length}")
+      RollingHash(exprs(0))
     }),
     ("graft_minhash", classOf[MinHashSig], exprs => {
       two("graft_minhash", exprs)

@@ -102,6 +102,17 @@ object TextStats {
         .limit(50)
     },
 
+    // order-sensitive Karp–Rabin fingerprint (vs the order-insensitive
+    // md5 token fingerprint above) via the codegen RollingHash expression
+    "text_rolling_hash" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      t(s, dir, "documents")
+        .select(col("doc_id"), GraftBridge.column(
+          graft.functions.RollingHash(GraftBridge.expression(col("text"))))
+          .as("rh"))
+        .orderBy(col("doc_id"))
+    },
+
     // TF-IDF: per-(doc, term) tf × smoothed idf. Three aggregations,
     // all partial+final hash aggs; the doc count is a broadcast scalar.
     "text_tfidf" -> { (s, dir) =>
@@ -198,6 +209,13 @@ object TextStats {
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "text_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text)+1),
+        |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT))),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
