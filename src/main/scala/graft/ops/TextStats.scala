@@ -38,6 +38,14 @@ object TextStats {
     * Portable regex (no \s / shorthand classes). */
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
+  /** Characteristic character-trigram profiles (ASCII; the n-gram
+    * flavor of language ID, complementing the stopword profiles). */
+  val TrigramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "ing", "and", " th", "ion"),
+    "de" -> Seq("der", "und", "sch", "ein", "ich"),
+    "es" -> Seq("que", "los", " de", "ent", "cio"),
+    "fr" -> Seq("les", " le", "ait", "oun", "eur"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // quality scoring: length / token stats / stopword density
     "text_quality" -> { (s, dir) =>
@@ -68,6 +76,18 @@ object TextStats {
         (Seq(col("doc_id"), col("lang").as("declared_lang")) ++
           LangOrder.map(l =>
             stopwordCount(col("toks"), l).as(s"s_$l"))): _*)
+      val scores = LangOrder.map(l => l -> col(s"s_$l")).toMap
+      scored.withColumn("pred_lang", predictLang(scores))
+        .orderBy(col("doc_id"))
+    },
+    // language id, n-gram flavor: distinct char-3-gram overlap with
+    // per-language trigram profiles + the same argmax precedence
+    "text_langid_ngram" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .withColumn("g3", array_distinct(Text.charShingles(col("text"), 3)))
+        .select(Seq(col("doc_id"), col("lang").as("declared_lang")) ++
+          LangOrder.map(l => size(array_intersect(col("g3"),
+            lit(TrigramProfiles(l).toArray))).as(s"s_$l")): _*)
       val scores = LangOrder.map(l => l -> col(s"s_$l")).toMap
       scored.withColumn("pred_lang", predictLang(scores))
         .orderBy(col("doc_id"))
@@ -177,6 +197,26 @@ object TextStats {
       // same precedence chain as predictLang
       s"""WITH d AS (SELECT doc_id, lang,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang AS declared_lang,
+         |  $scoreCols
+         |FROM d)
+         |SELECT doc_id, declared_lang, s_en, s_de, s_es, s_fr,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "text_langid_ngram" -> {
+      val scoreCols = LangOrder.map(l =>
+        s"len(list_intersect(g3, ${TrigramProfiles(l)
+          .map(g => s"'$g'").mkString("[", ", ", "]")})) AS s_$l")
+        .mkString(",\n  ")
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, list_distinct(list_transform(
+         |    range(1, length(text)-1), i -> substr(text, i, 3))) AS g3
          |  FROM documents),
          |sc AS (SELECT doc_id, lang AS declared_lang,
          |  $scoreCols
