@@ -398,6 +398,18 @@ object Relational2 {
         .orderBy(col("c_mktsegment"))
     },
 
+    // custom whole-operator path: TopKPerKey LogicalPlan + Strategy +
+    // partial/final physical exec — same answer as the window
+    // formulation, but the shuffle carries <= k rows per key per
+    // input partition instead of every row
+    "q_topk_custom" -> { (s, dir) =>
+      graft.plans.TopK.perKey(t(s, dir, "orders"),
+          Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // uncorrelated scalar subquery + IN subquery (SQL-path planning)
     "q_scalar_in_subquery" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders_r2")
@@ -651,6 +663,11 @@ object Relational2 {
         |  arg_min(c_name, c_custkey) AS first_cust,
         |  count(*) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_scalar_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders

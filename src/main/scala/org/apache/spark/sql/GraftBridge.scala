@@ -11,6 +11,18 @@ object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a custom LogicalPlan (`Dataset.ofRows` is
+    * `private[sql]`): the entry point for whole-operator custom nodes
+    * like graft.plans.TopKPerKey. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The analyzed plan of a DataFrame (for wrapping in custom nodes). */
+  def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Register a custom expression under a SQL-callable name
     * (`sessionState` is also `private[sql]`). Idempotent. */
   def registerFunction(spark: SparkSession, name: String,

@@ -84,6 +84,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("TopKPerKey: partial+final execs around one shuffle; equals window") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val custom = graft.plans.TopK.perKey(orders,
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("Exchange"), plan)
+    val got = custom.select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey")).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val exp = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select(col("o_custkey"), col("o_orderkey"))
+      .orderBy(col("o_custkey"), col("o_orderkey")).collect().toSeq
+    assert(got == exp)
+  }
+
   test("ngram LSH pairs are a subset of the exact-Jaccard anchor") {
     val exact = q("dedup_jaccard_exact").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
