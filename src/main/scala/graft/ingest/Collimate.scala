@@ -20,14 +20,20 @@ object Collimate {
   case class Options(
       parseDates: Boolean = false,   // -d, index.js:541-543
       writeIndex: Boolean = false,   // -i, index.js:544-545
-      scanCap: Long = TypeInference.DefaultScanCap)
+      scanCap: Long = TypeInference.DefaultScanCap,
+      // newlines inside quoted fields (csv-parse handles them
+      // implicitly; Spark must opt in, and multiLine files are NOT
+      // split across tasks — a real cost at 100 TB, so it's off unless
+      // the data needs it)
+      multiLine: Boolean = false)
 
   case class Result(df: DataFrame, schema: IngestSchema)
 
   /** Extension-dispatched scan (reference `index.js:554-572`): `.csv`
     * comma, `.tsv` tab — header row, trimmed cells, no auto-typing —
     * `.json` a whole-file array of objects. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      multiLine: Boolean = false): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv") || lower.endsWith(".tsv"))
       spark.read
@@ -36,6 +42,10 @@ object Collimate {
         .option("ignoreLeadingWhiteSpace", "true")
         .option("ignoreTrailingWhiteSpace", "true")
         .option("inferSchema", "false") // typing is ours (O4/O5)
+        // RFC 4180 `""` quote doubling, csv-parse's default (Spark's
+        // own default escape is backslash)
+        .option("escape", "\"")
+        .option("multiLine", multiLine.toString)
         .csv(path)
     else if (lower.endsWith(".json"))
       spark.read.option("multiLine", "true").json(path)
@@ -52,7 +62,7 @@ object Collimate {
   /** File entry (reference E1/E2): read + infer + cast. */
   def apply(spark: SparkSession, path: String,
       opts: Options = Options()): Result =
-    fromRows(read(spark, path), opts)
+    fromRows(read(spark, path, opts.multiLine), opts)
 
   /** Columnar sink (O13/O14): Parquet dataset dir + `index.json`
     * sidecar mapping original name → sanitized name / logical type /
@@ -82,7 +92,7 @@ object CollimateCli {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("-")).toSet
     val rest = args.filterNot(_.startsWith("-"))
-    require(rest.nonEmpty, "usage: collimate [-d] [-i] <file> [outDir]")
+    require(rest.nonEmpty, "usage: collimate [-d] [-i] [-m] <file> [outDir]")
     val in = rest(0)
     val base = in.replaceAll("\\.[^.]+$", "")
     val out = if (rest.length > 1) rest(1) else base
@@ -93,7 +103,8 @@ object CollimateCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val opts = Collimate.Options(
-      parseDates = flags("-d"), writeIndex = flags("-i"))
+      parseDates = flags("-d"), writeIndex = flags("-i"),
+      multiLine = flags("-m"))
     val verbose = flags("-v")
     // -v phase timers, mirroring the reference's instrumentation
     // (index.js:140-143,338,489,577,641)

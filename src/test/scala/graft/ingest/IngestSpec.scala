@@ -97,6 +97,28 @@ class IngestSpec extends AnyFunSuite {
     assert(tsv.schema == csv.schema)
   }
 
+  test("RFC4180 quoting: embedded delimiters + doubled quotes (O1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quotes")
+    val f = dir.resolve("q.csv")
+    java.nio.file.Files.writeString(f,
+      "id,note\n1,\"a, b\"\n2,\"say \"\"hi\"\", ok\"\n")
+    val rows = Collimate.read(spark, f.toString)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("a, b", "say \"hi\", ok"))
+    graft.Util.rmrf(dir.toFile)
+  }
+
+  test("multiLine option: newlines inside quoted fields (O1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml")
+    val f = dir.resolve("m.csv")
+    java.nio.file.Files.writeString(f,
+      "id,note\n1,\"line one\nline two\"\n2,plain\n")
+    val rows = Collimate.read(spark, f.toString, multiLine = true)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(rows == Seq("line one\nline two", "plain"))
+    graft.Util.rmrf(dir.toFile)
+  }
+
   test("empty input → empty result, no crash (index.js:134)") {
     val r = Collimate(spark, fixture("empty.csv"))
     assert(r.df.count() == 0)
