@@ -33,6 +33,66 @@ object Relational2 {
   private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q4: EXISTS with a cross-side interval predicate (orders
+    // with any line shipped > 60 days after the order date)
+    "q4_order_priority" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+        .join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q13: distribution of orders-per-customer (double aggregation
+    // over a left join that must preserve order-less customers)
+    "q13_custdist" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15: supplier(s) achieving the maximum quarterly revenue —
+    // the max arrives as a broadcast scalar; equality is exact because
+    // both revenues come from the same decimal-sum arithmetic
+    "q15_top_supplier" -> { (s, dir) =>
+      val revBySupp = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(rev).as("total_rev"))
+      val maxRev = revBySupp.agg(max(col("total_rev")).as("mr"))
+      t(s, dir, "supplier")
+        .join(revBySupp, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_rev") === col("mr"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q17: correlated per-part average quantity threshold
+    "q17_small_qty" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_q17")
+      t(s, dir, "part").createOrReplaceTempView("part_q17")
+      s.sql("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / 7.0 AS avg_yearly,
+               count(*) AS n
+        FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem_q17 l2
+                            WHERE l2.l_partkey = l_partkey)""")
+    },
+
     // TPC-H Q7: volume shipped between a nation pair, by year —
     // disjunctive cross-side predicate that cannot be fully pushed
     "q7_nation_volume" -> { (s, dir) =>
@@ -425,6 +485,42 @@ object Relational2 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / 7.0 AS avg_yearly,
+        |       count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l_partkey)""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
