@@ -90,7 +90,7 @@ object Relational2 {
         WHERE p_brand = 'Brand#23'
           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
                             FROM lineitem_q17 l2
-                            WHERE l2.l_partkey = l_partkey)""")
+                            WHERE l2.l_partkey = p_partkey)""")
     },
 
     // TPC-H Q7: volume shipped between a nation pair, by year —
@@ -202,7 +202,7 @@ object Relational2 {
     // TPC-H Q16 shape: distinct supplier count per (brand, type, size),
     // excluding a supplier blacklist via left-anti join (NOT IN)
     "q16_supplier_cnt" -> { (s, dir) =>
-      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < -900)
+      val excluded = t(s, dir, "supplier").filter(col("s_acctbal") < 2000)
         .select(col("s_suppkey"))
       t(s, dir, "lineitem")
         .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
@@ -250,8 +250,10 @@ object Relational2 {
     // average arrives as a broadcast scalar (cross join of a 1-row DF).
     "q22_idle_balance" -> { (s, dir) =>
       val cust = t(s, dir, "customer")
+      // threshold via dsum/count, not raw avg: double summation order
+      // would make the scalar differ in the last ulps across engines
       val avgPos = cust.filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("avg_bal"))
+        .agg((dsum(col("c_acctbal")) / count(col("c_acctbal"))).as("avg_bal"))
       val bigBuyers = t(s, dir, "orders")
         .filter(col("o_totalprice") > 300000)
         .select(col("o_custkey"))
@@ -477,7 +479,10 @@ object Relational2 {
       s.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders_r2
-        WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders_r2)
+        WHERE o_totalprice > (
+            SELECT 1.5 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(o_totalprice)
+            FROM orders_r2)
           AND o_custkey IN (SELECT c_custkey FROM customer_r2
                             WHERE c_mktsegment = 'BUILDING')
         ORDER BY o_orderkey""")
@@ -520,7 +525,7 @@ object Relational2 {
         |WHERE p_brand = 'Brand#23'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |                    FROM lineitem l2
-        |                    WHERE l2.l_partkey = l_partkey)""".stripMargin,
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
@@ -602,7 +607,7 @@ object Relational2 {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#1'
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-        |                        WHERE s_acctbal < -900)
+        |                        WHERE s_acctbal < 2000)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q18_large_orders" ->
@@ -629,8 +634,9 @@ object Relational2 {
       """SELECT substring(c_name, 17, 2) AS code, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-        |                   WHERE c_acctbal > 0)
+        |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+        |                            / count(c_acctbal)
+        |                   FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey
         |                    AND o_totalprice > 300000)
@@ -767,7 +773,10 @@ object Relational2 {
     "q_scalar_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
-        |WHERE o_totalprice > (SELECT 1.5 * avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > (
+        |    SELECT 1.5 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |               / count(o_totalprice)
+        |    FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin

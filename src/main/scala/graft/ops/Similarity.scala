@@ -121,6 +121,10 @@ object Similarity {
     // re-ranked scores; k-means|| init alone costs ~5 extra jobs
     val model = new KMeans().setK(clusters).setSeed(42L)
       .setInitMode("random").setMaxIter(4).fit(train)
+    // fit is eager — release the cache now rather than leak one pinned
+    // dataset per invocation; the single assignment pass below simply
+    // recomputes the projection from the source
+    train.unpersist(blocking = false)
     val assigned = model.transform(train)
       .select(col("vec_id"), col("prediction").as("cluster"), col("v"))
     val centroids = model.clusterCenters.zipWithIndex.map {

@@ -74,9 +74,10 @@ object EventStream {
     * of streaming `dropDuplicatesWithinWatermark` over a bucketed key
     * (exercised as a real streaming query in StreamingSpec). */
   def dedupByMinute(ev: DataFrame): DataFrame = {
-    // integer division (Spark's `/` on longs is DOUBLE division)
+    // integral `div` (truncation toward zero), matching the oracle's
+    // `//`; floor() would diverge on pre-1970 (negative-µs) timestamps
     val withBucket = ev.withColumn("minute_bucket",
-      floor(unix_micros(col("ts")) / lit(60000000L)).cast(LongType))
+      expr("unix_micros(ts) div 60000000"))
     val w = Window.partitionBy(col("user_id"), col("minute_bucket"))
       .orderBy(col("event_id"))
     withBucket.withColumn("__rn", row_number().over(w))
