@@ -303,6 +303,23 @@ object Relational2 {
         .orderBy(col("p_partkey"))
     },
 
+    // array set algebra: intersect / except / overlap / union
+    "q_array_setops" -> { (s, dir) =>
+      val hw = array(lit("small"), lit("red"), lit("widget"))
+      t(s, dir, "part")
+        .withColumn("ws", split(col("p_name"), " "))
+        .select(col("p_partkey"),
+          array_join(array_sort(array_intersect(col("ws"), hw)), ",")
+            .as("inter"),
+          array_join(array_sort(array_except(col("ws"), hw)), ",")
+            .as("minus"),
+          arrays_overlap(col("ws"), array(lit("bolt"), lit("gear")))
+            .as("overlaps_hw"),
+          array_join(array_sort(array_union(col("ws"), array(lit("extra")))), ",")
+            .as("uni"))
+        .orderBy(col("p_partkey"))
+    },
+
     // conditional scalar family: nullif / coalesce / greatest / least / CASE
     "q_conditional_funcs" -> { (s, dir) =>
       t(s, dir, "customer")
@@ -664,6 +681,19 @@ object Relational2 {
         |  list_contains(ws, 'bolt') AS has_bolt,
         |  list_max(range(1, (p_size % 5) + 2)) AS seq_max
         |FROM (SELECT p_partkey, p_size, string_split(p_name, ' ') AS ws FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    // empty lists stringify to NULL in DuckDB but "" in Spark → coalesce
+    "q_array_setops" ->
+      """SELECT p_partkey,
+        |  coalesce(array_to_string(list_sort(
+        |    list_intersect(ws, ['small','red','widget'])), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_filter(ws,
+        |    x -> NOT list_contains(['small','red','widget'], x))), ','), '')
+        |    AS minus,
+        |  list_has_any(ws, ['bolt','gear']) AS overlaps_hw,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_concat(ws, ['extra']))), ','), '') AS uni
+        |FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
         |ORDER BY p_partkey""".stripMargin,
     "q_conditional_funcs" ->
       """SELECT c_custkey,
