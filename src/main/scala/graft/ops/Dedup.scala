@@ -174,6 +174,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over near-dup pairs — the clustering step of
+    * production dedup (pairs alone can't answer "which doc do I keep"
+    * when A~B and B~C but A≁C). Alternating min-label propagation:
+    * each round, every node takes the minimum of its own and its
+    * neighbors' labels — one shuffle per round, O(log n) rounds to
+    * converge, no driver-side graph state. `localCheckpoint` truncates
+    * the iterative lineage (on a real cluster use a checkpoint dir for
+    * fault tolerance). Returns (id, comp) with comp = the component's
+    * minimum id — the canonical representative to keep. */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).cast(LongType).as("src"),
+        col(bCol).cast(LongType).as("dst"))
+      .union(pairs.select(col(bCol).cast(LongType).as("src"),
+        col(aCol).cast(LongType).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")),
+          "dst")
+        .groupBy(col("src"))
+        .agg(min(col("nbr_comp")).as("nmin"))
+      val next = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("comp"))).head().getLong(0)
+      converged = s == prevSum // min-propagation is monotone per node
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Exact all-pairs char-5-gram Jaccard pairs at `threshold` (shared
+    * by dedup_jaccard_exact and dedup_components). */
+  private def exactJaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val g = t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
+    // a small corpus arrives as ONE file partition, which would run
+    // the whole O(n²) pair loop in a single task — spread the probe
+    // side so the nested-loop join parallelizes
+    val a = g.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= τ
+    // requires the smaller set to be >= τ × the larger — drop the pair
+    // before the expensive intersection. Purely an evaluation-order
+    // optimization: the J >= τ filter below implies this predicate.
+    a.join(b, col("id_a") < col("id_b") &&
+        size(col("sh_b")).cast(DoubleType) >= size(col("sh_a")) * threshold &&
+        size(col("sh_a")).cast(DoubleType) >= size(col("sh_b")) * threshold)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact keep-first dedup by key (oracle: QUALIFY row_number)
     "dedup_exact_by_key" -> { (s, dir) =>
@@ -208,27 +279,15 @@ object Dedup {
     // LSH path approximates (oracle-checked; LSH recall is audited
     // against it — at sf0.01 both return the same 25 pairs)
     "dedup_jaccard_exact" -> { (s, dir) =>
-      val g = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
-      // a small corpus arrives as ONE file partition, which would run
-      // the whole O(n²) pair loop in a single task — spread the probe
-      // side so the nested-loop join parallelizes
-      val a = g.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = g.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      // size-ratio prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so J >= τ
-      // requires the smaller set to be >= τ × the larger — drop the pair
-      // before the expensive intersection. Purely an evaluation-order
-      // optimization: the J >= τ filter below implies this predicate.
-      a.join(b, col("id_a") < col("id_b") &&
-          size(col("sh_b")) * 2 >= size(col("sh_a")) &&
-          size(col("sh_a")) * 2 >= size(col("sh_b")))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
+      exactJaccardPairs(s, dir, 0.5).orderBy(col("id_a"), col("id_b"))
+    },
+    // near-dup clustering: connected components over the exact pairs +
+    // canonical-representative selection (keep = min id per component)
+    "dedup_components" -> { (s, dir) =>
+      components(exactJaccardPairs(s, dir, 0.5), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp"),
+          (col("comp") === col("id")).as("keep"))
+        .orderBy(col("doc_id"))
     },
     // SimHash hamming-distance near-dup (not SQL-expressible)
     "dedup_simhash" -> { (s, dir) =>
@@ -288,6 +347,26 @@ object Dedup {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    // reachability closure via recursive CTE; comp = min reachable id
+    "dedup_components" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS comp, min(dst) = src AS keep
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

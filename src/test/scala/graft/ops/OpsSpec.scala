@@ -131,6 +131,16 @@ class OpsSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("components: chains merge transitively, min id wins") {
+    // two chains (1-2-3-4, 10-11) and an isolated pair (20, 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("bloom-pruned join equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.ops.Q.events(spark, dir)
