@@ -103,6 +103,19 @@ class PlanSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("TopKPerKey groups null keys together, like window partitionBy") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((Some(1L), 10, 1), (Some(1L), 20, 2), (None, 30, 3),
+      (None, 40, 4), (None, 50, 5), (Some(2L), 60, 6))
+      .toDF("k", "v", "id")
+    val got = graft.plans.TopK.perKey(df, Seq("k"),
+        Seq(("v", true), ("id", false)), 2)
+      .select($"id").as[Int].collect().sorted.toSeq
+    // null group keeps top-2 by v desc → ids 5,4; others keep all
+    assert(got == Seq(1, 2, 4, 5, 6))
+  }
+
   test("ngram LSH pairs are a subset of the exact-Jaccard anchor") {
     val exact = q("dedup_jaccard_exact").collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
