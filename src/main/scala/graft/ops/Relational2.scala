@@ -489,6 +489,33 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // linear-regression aggregate family (rounded: moment sums in
+    // double differ in final ulps across partitionings)
+    "q_regr_aggs" -> { (s, dir) =>
+      val x = col("c_custkey").cast(DoubleType)
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(regr_slope(col("c_acctbal"), x), 6).as("sl"),
+          round(regr_intercept(col("c_acctbal"), x), 2).as("ic"),
+          round(regr_r2(col("c_acctbal"), x), 6).as("r2"),
+          regr_count(col("c_acctbal"), x).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // rollup with GROUPING() markers distinguishing real NULLs from
+    // subtotal rows
+    "q_grouping_id" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        // grouping() is only resolvable inside the rollup aggregate
+        .agg(grouping(col("o_orderstatus")).cast(IntegerType).as("g1"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g2"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // uncorrelated scalar subquery + IN subquery (SQL-path planning)
     "q_scalar_in_subquery" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders_r2")
@@ -800,6 +827,21 @@ object Relational2 {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_regr_aggs" ->
+      """SELECT c_mktsegment,
+        |  round(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS sl,
+        |  round(regr_intercept(c_acctbal, CAST(c_custkey AS DOUBLE)), 2) AS ic,
+        |  round(regr_r2(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS r2,
+        |  CAST(regr_count(c_acctbal, CAST(c_custkey AS DOUBLE)) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+        |  count(*) AS n
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |         o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_scalar_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
