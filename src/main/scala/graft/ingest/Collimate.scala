@@ -47,6 +47,11 @@ object Collimate {
         .option("escape", "\"")
         .option("multiLine", multiLine.toString)
         .csv(path)
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
+      // extension beyond the reference: line-delimited JSON is the
+      // splittable format — a whole-file array (.json below) must be
+      // parsed by a single task
+      spark.read.json(path)
     else if (lower.endsWith(".json"))
       spark.read.option("multiLine", "true").json(path)
     else sys.error(s"Unrecognized extension: $path") // index.js:574-576

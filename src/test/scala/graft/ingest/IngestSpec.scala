@@ -119,6 +119,20 @@ class IngestSpec extends AnyFunSuite {
     graft.Util.rmrf(dir.toFile)
   }
 
+  test("JSONL scan: line-delimited records agree with whole-file JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("a.jsonl"),
+      """{"id": 1, "v": "x"}
+        |{"id": 2, "v": "y"}
+        |""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("a.json"),
+      """[{"id": 1, "v": "x"}, {"id": 2, "v": "y"}]""")
+    val jl = Collimate.read(spark, s"$dir/a.jsonl").orderBy("id").collect().toSeq
+    val wf = Collimate.read(spark, s"$dir/a.json").orderBy("id").collect().toSeq
+    assert(jl == wf && jl.size == 2)
+    graft.Util.rmrf(dir.toFile)
+  }
+
   test("empty input → empty result, no crash (index.js:134)") {
     val r = Collimate(spark, fixture("empty.csv"))
     assert(r.df.count() == 0)
