@@ -489,6 +489,19 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // per-aggregate FILTER clauses (SQL-standard conditional aggregation)
+    "q_agg_filter_clause" -> { (s, dir) =>
+      t(s, dir, "orders").createOrReplaceTempView("orders_fc")
+      s.sql("""
+        SELECT o_orderstatus,
+          count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+               FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+            AS urgent_total,
+          count(*) AS n
+        FROM orders_fc GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+
     // linear-regression aggregate family (rounded: moment sums in
     // double differ in final ulps across partitionings)
     "q_regr_aggs" -> { (s, dir) =>
@@ -827,6 +840,14 @@ object Relational2 {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_agg_filter_clause" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+        |    AS urgent_total,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_regr_aggs" ->
       """SELECT c_mktsegment,
         |  round(regr_slope(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS sl,
