@@ -133,6 +133,40 @@ class IngestSpec extends AnyFunSuite {
     graft.Util.rmrf(dir.toFile)
   }
 
+  test("raw columnar sink writes reference-format files (O13/O14)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dir = java.nio.file.Files.createTempDirectory("graft_raw")
+    val csv = dir.resolve("t.csv")
+    val rows = (1 to 20).map(i =>
+      s"$i,${i + 0.5},${if (i % 2 == 0) "even" else "odd"}").mkString("\n")
+    java.nio.file.Files.writeString(csv, s"Num,Score,Seg\n$rows\n")
+    val res = Collimate(spark, csv.toString)
+    val out = dir.resolve("out").toString
+    val index = graft.sources.RawColumnarSink.write(res, out)
+    assert(index == Map("Num" -> "num.i32", "Score" -> "score.f32",
+      "Seg" -> "seg.k8"))
+    // .i32: 20 little-endian ints in file order
+    val i32 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/num.i32"))
+    val ib = ByteBuffer.wrap(i32).order(ByteOrder.LITTLE_ENDIAN)
+    assert(i32.length == 80 && (1 to 20).forall(i => ib.getInt(4 * (i - 1)) == i))
+    // .f32: float32 values
+    val f32 = ByteBuffer.wrap(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/score.f32"))).order(ByteOrder.LITTLE_ENDIAN)
+    assert(f32.getFloat(0) == 1.5f && f32.getFloat(76) == 20.5f)
+    // .k8 codes by first encounter (odd=0, even=1) + valid-JSON decoder
+    val k8 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/seg.k8"))
+    assert(k8.toSeq == (1 to 20).map(i => (if (i % 2 == 0) 1 else 0).toByte))
+    val key = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/seg.k8.key"))
+    assert(key == "[\"odd\",\n \"even\"]\n")
+    val idxJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/index.json"))
+    assert(idxJson.contains("\"Seg\" : \"seg.k8\""))
+    graft.Util.rmrf(dir.toFile)
+  }
+
   test("empty input → empty result, no crash (index.js:134)") {
     val r = Collimate(spark, fixture("empty.csv"))
     assert(r.df.count() == 0)
