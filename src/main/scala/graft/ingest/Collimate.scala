@@ -97,7 +97,8 @@ object CollimateCli {
   def main(args: Array[String]): Unit = {
     val flags = args.filter(_.startsWith("-")).toSet
     val rest = args.filterNot(_.startsWith("-"))
-    require(rest.nonEmpty, "usage: collimate [-d] [-i] [-m] <file> [outDir]")
+    // -r: also write the reference-format raw binary columns (interop)
+    require(rest.nonEmpty, "usage: collimate [-d] [-i] [-m] [-r] <file> [outDir]")
     val in = rest(0)
     val base = in.replaceAll("\\.[^.]+$", "")
     val out = if (rest.length > 1) rest(1) else base
@@ -123,6 +124,9 @@ object CollimateCli {
     val result = timed("Determining types + creating columns")(
       Collimate.fromRows(raw, opts))
     timed("Writing files")(Collimate.write(result, out, opts))
+    if (flags("-r"))
+      timed("Writing raw columns")(
+        graft.sources.RawColumnarSink.write(result, s"$out/raw"))
     if (verbose) result.schema.fields.foreach { f =>
       println(s"${f.name} -> ${f.sanitized}: ${f.dataType.simpleString}" +
         (if (f.categorical) " (categorical)" else ""))
