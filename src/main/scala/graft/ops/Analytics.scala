@@ -44,6 +44,16 @@ object Analytics {
           max(col("l_quantity")).as("qmax"))
         .orderBy(col("l_returnflag"))
     },
+    // exact percentile as a WINDOW aggregate (per-order median
+    // attached to every line; integral inputs → exact interpolation)
+    "q_window_percentile" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_wp")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+          percentile(l_quantity, 0.5) OVER (PARTITION BY l_orderkey)
+            AS med_qty
+        FROM lineitem_wp ORDER BY l_orderkey, l_linenumber""")
+    },
     // pivot: order counts per status × priority
     "q_pivot_orders" -> { (s, dir) =>
       t(s, dir, "orders")
@@ -114,6 +124,11 @@ object Analytics {
         |  quantile_cont(l_quantity, 0.75) AS p75,
         |  min(l_quantity) AS qmin, max(l_quantity) AS qmax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_percentile" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  quantile_cont(l_quantity, 0.5) OVER (PARTITION BY l_orderkey)
+        |    AS med_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_pivot_orders" -> {
       val cases = Priorities.map(p =>
         s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")

@@ -86,6 +86,47 @@ object EventStream {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // conversion funnel: first view → first click within 1h → first
+    // purchase within 1h, per user; LEFT joins keep non-converters.
+    // All µs arithmetic so both engines compare identically.
+    "events_funnel" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val c = e.filter(col("event_type") === "click").as("e")
+        .join(v.as("v"), col("e.user_id") === col("v.user_id") &&
+          col("e.us") >= col("t_view") &&
+          col("e.us") <= col("t_view") + lit(3600000000L))
+        .groupBy(col("e.user_id").as("cu"))
+        .agg(min(col("e.us")).as("t_click"))
+      val p = e.filter(col("event_type") === "purchase").as("e2")
+        .join(c.as("c"), col("e2.user_id") === col("cu") &&
+          col("e2.us") >= col("t_click") &&
+          col("e2.us") <= col("t_click") + lit(3600000000L))
+        .groupBy(col("e2.user_id").as("pu"))
+        .agg(min(col("e2.us")).as("t_buy"))
+      v.join(c, col("user_id") === col("cu"), "left")
+        .join(p, col("user_id") === col("pu"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"), col("t_buy"))
+        .orderBy(col("user_id"))
+    },
+    // weekly cohort retention: users active in epoch-week w who are
+    // also active in w+1
+    "events_cohort_retention" -> { (s, dir) =>
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("w"))
+        .distinct()
+      uw.as("a").join(uw.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.w") === col("a.w") + 1, "left")
+        .groupBy(col("a.w").as("w"))
+        .agg(countDistinct(col("a.user_id")).as("active"),
+          countDistinct(col("b.user_id")).as("retained"))
+        .orderBy(col("w"))
+    },
     "stream_join_attrib" -> { (s, dir) =>
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
@@ -108,6 +149,31 @@ object EventStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS t_click
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |       AND e.us >= v.t_view AND e.us <= v.t_view + 3600000000
+        |      WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS t_buy
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |       AND e.us >= c.t_click AND e.us <= c.t_click + 3600000000
+        |      WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT v.user_id, t_view, t_click, t_buy
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "events_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS w
+        |  FROM events)
+        |SELECT a.w, count(DISTINCT a.user_id) AS active,
+        |  count(DISTINCT b.user_id) AS retained
+        |FROM uw a LEFT JOIN uw b
+        |  ON a.user_id = b.user_id AND b.w = a.w + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // comparisons in µs on both engines (events parquet is ns;
     // epoch_us truncates exactly like the Spark-side ns→µs surface)
     "stream_join_attrib" ->
