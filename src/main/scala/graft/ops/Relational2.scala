@@ -489,6 +489,25 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // gaps-and-islands: runs of >= 3 consecutive same-type events per
+    // user via the row_number-difference grouping trick
+    "q_gaps_islands" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("grp",
+          row_number().over(wAll) - row_number().over(wType))
+        .groupBy(col("user_id"), col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), min(col("event_id")).as("first_id"))
+        .filter(col("run_len") >= 3)
+        .select(col("user_id"), col("event_type"), col("run_len"),
+          col("first_id"))
+        .orderBy(col("user_id"), col("first_id"))
+    },
+
     // per-aggregate FILTER clauses (SQL-standard conditional aggregation)
     "q_agg_filter_clause" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders_fc")
@@ -840,6 +859,17 @@ object Relational2 {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH r AS (SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts, event_id) AS grp
+        | FROM events)
+        |SELECT user_id, event_type, count(*) AS run_len,
+        |  min(event_id) AS first_id
+        |FROM r GROUP BY user_id, event_type, grp
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, first_id""".stripMargin,
     "q_agg_filter_clause" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
