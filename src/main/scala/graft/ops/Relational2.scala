@@ -489,6 +489,16 @@ object Relational2 {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     },
 
+    // JSON build → path-extract roundtrip (to_json of nested structs)
+    "q_json_roundtrip" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          get_json_object(
+            to_json(struct(struct(col("o_orderkey").as("b")).as("a"))),
+            "$.a.b").cast(LongType).as("extracted"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // gaps-and-islands: runs of >= 3 consecutive same-type events per
     // user via the row_number-difference grouping trick
     "q_gaps_islands" -> { (s, dir) =>
@@ -859,6 +869,11 @@ object Relational2 {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
         |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT o_orderkey,
+        |  CAST(to_json({'a': {'b': o_orderkey}})->>'$.a.b' AS BIGINT)
+        |    AS extracted
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_gaps_islands" ->
       """WITH r AS (SELECT user_id, event_id, event_type,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) -

@@ -56,6 +56,22 @@ object Sinks {
         .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("total_bal"))
         .orderBy(col("c_nationkey"))
     },
+    // schema evolution: two writers with different schemas, one
+    // mergeSchema read (the lake reality of long-lived datasets —
+    // readers must tolerate added columns)
+    "sink_merge_schema" -> { (s, dir) =>
+      val out = tmp(dir, "orders_evolving")
+      val ord = t(s, dir, "orders")
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
     // JSON-lines sink/scan roundtrip
     "sink_jsonl_roundtrip" -> { (s, dir) =>
       val out = tmp(dir, "events_jsonl")
@@ -80,6 +96,13 @@ object Sinks {
       """SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "sink_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
     "sink_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
