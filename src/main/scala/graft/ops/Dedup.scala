@@ -289,6 +289,21 @@ object Dedup {
           (col("comp") === col("id")).as("keep"))
         .orderBy(col("doc_id"))
     },
+    // the complete dedup pipeline: cluster near-dups, then keep the
+    // BEST doc per cluster (longest, tie → min id) — docs in no pair
+    // are their own singleton cluster
+    "dedup_keep_best" -> { (s, dir) =>
+      val comp = components(exactJaccardPairs(s, dir, 0.5), "id_a", "id_b")
+      val docs = t(s, dir, "documents")
+        .join(comp, col("doc_id") === col("id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
     // SimHash hamming-distance near-dup (not SQL-expressible)
     "dedup_simhash" -> { (s, dir) =>
       // 4×16-bit bands guarantee full recall exactly for hamming ≤ 3
@@ -367,6 +382,29 @@ object Dedup {
         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
         |SELECT src AS doc_id, min(dst) AS comp, min(dst) = src AS keep
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cc AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)
+        |SELECT doc_id, coalesce(comp, doc_id) AS cluster, n_chars
+        |FROM documents LEFT JOIN cc ON doc_id = id
+        |QUALIFY row_number() OVER (PARTITION BY coalesce(comp, doc_id)
+        |  ORDER BY n_chars DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
