@@ -31,6 +31,18 @@ object Sinks {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
+    // codec control: zstd-compressed parquet roundtrip (the 100 TB
+    // storage default trade: ~30% smaller than snappy, similar scan cost)
+    "sink_zstd_roundtrip" -> { (s, dir) =>
+      val out = tmp(dir, "lineitem_zstd")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
     // ORC sink/scan roundtrip
     "sink_orc_roundtrip" -> { (s, dir) =>
       val out = tmp(dir, "orders_orc")
@@ -88,6 +100,9 @@ object Sinks {
     "sink_partitioned_parquet" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang IN ('de', 'es') ORDER BY doc_id""".stripMargin,
+    "sink_zstd_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "sink_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total

@@ -79,6 +79,18 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloom membership filter sits on the fact scan before the join") {
+    val plan = formatted(q("q_bloom_pruned_join"))
+    assert(plan.contains("graft_bloom_contains"), plan)
+  }
+
+  test("LSH bucket cap: no oversized buckets on the test corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), graft.ops.Text.wordShingles(col("text"), 3).as("sh"))
+    assert(graft.ops.Dedup.oversizedBucketCount(docs, "doc_id", "sh") == 0L)
+  }
+
   test("range band join broadcasts the tiny band dimension") {
     val plan = formatted(q("q_range_band_join"))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
