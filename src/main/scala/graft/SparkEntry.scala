@@ -30,6 +30,7 @@ object SparkEntry {
       graft.ops.AsOf.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Scale.queries ++
+      graft.ops.Typed.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.EventStream.queries
 
@@ -46,6 +47,7 @@ object SparkEntry {
       graft.ops.AsOf.oracleSql ++
       graft.ops.Analytics.oracleSql ++
       graft.ops.Scale.oracleSql ++
+      graft.ops.Typed.oracleSql ++
       graft.sources.Sinks.oracleSql ++
       graft.streaming.EventStream.oracleSql
 }
