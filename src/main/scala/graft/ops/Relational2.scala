@@ -558,6 +558,20 @@ object Relational2 {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // correlated scalar subquery in the PROJECTION (decorrelates to a
+    // left outer aggregate join — different path from WHERE subqueries)
+    "q_select_scalar_subquery" -> { (s, dir) =>
+      t(s, dir, "customer").createOrReplaceTempView("customer_ss")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ss")
+      s.sql("""
+        SELECT c_custkey,
+          (SELECT count(*) FROM orders_ss WHERE o_custkey = c_custkey)
+            AS n_orders,
+          (SELECT max(o_totalprice) FROM orders_ss
+           WHERE o_custkey = c_custkey) AS max_price
+        FROM customer_ss ORDER BY c_custkey""")
+    },
+
     // uncorrelated scalar subquery + IN subquery (SQL-path planning)
     "q_scalar_in_subquery" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders_r2")
@@ -908,6 +922,13 @@ object Relational2 {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_select_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey)
+        |    AS n_orders,
+        |  (SELECT max(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_scalar_in_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
