@@ -106,9 +106,18 @@ object TopK {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val plan = GraftBridge.analyzed(df)
-    def attr(n: String): Attribute = plan.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no column $n in ${plan.output.map(_.name).mkString(", ")}"))
+    // match Spark's session-configured resolution (case-insensitive by
+    // default) rather than exact-name matching, so `perKey(df,
+    // Seq("O_CUSTKEY"), …)` behaves like every other column reference
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String): Attribute = {
+      val hits = plan.output.filter(a => resolver(a.name, n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"no column $n in ${plan.output.map(_.name).mkString(", ")}")
+      if (hits.size > 1) throw new IllegalArgumentException(
+        s"ambiguous column $n: ${hits.map(_.name).mkString(", ")}")
+      hits.head
+    }
     val sortOrder = order.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

@@ -97,23 +97,46 @@ object RawColumnarSink {
     /** Categorical: codes assigned by first encounter in stream order
       * (exactly the reference's `index.js:366-368,445-462`), buffered
       * (one int per row) because the code width isn't known until the
-      * dictionary is complete. */
+      * dictionary is complete. A dictionary past 65,536 entries can't be
+      * expressed in the format's widest (16-bit) code file, so the
+      * column degrades to a plain `.json` value array — the analogue of
+      * the reference reclassifying high-cardinality columns out of
+      * `cat` before the sink (`index.js:361,433-443`); truncating codes
+      * to their low 16 bits would silently corrupt the export. */
     class Cat(name: String, valueType: DataType) extends Sink {
       val codes = new mutable.ArrayBuffer[Int]()
       val decoder = new mutable.ArrayBuffer[String]()
       private val seen = mutable.HashMap.empty[String, Int]
-      def ext: String = if (decoder.size <= 256) ".k8" else ".k16"
+      private val quoted = valueType == StringType || valueType == DateType
+      def ext: String =
+        if (decoder.size <= 256) ".k8"
+        else if (decoder.size <= 65536) ".k16"
+        else ".json"
       def add(v: Any): Unit = {
         val s = if (v == null) "null" else v.toString
         codes += seen.getOrElseUpdate(s, { decoder += s; decoder.size - 1 })
       }
       def close(): Unit = {
+        if (decoder.size > 65536) {
+          val os = out(name, ext)
+          os.write('[')
+          var first = true
+          codes.foreach { c =>
+            if (!first) os.write(",\n ".getBytes)
+            first = false
+            val d = decoder(c)
+            val s = if (d == "null") "null" else if (quoted) jsonStr(d) else d
+            os.write(s.getBytes("UTF-8"))
+          }
+          os.write("]\n".getBytes)
+          os.close()
+          return
+        }
         val os = out(name, ext)
         if (decoder.size <= 256) codes.foreach(c => os.write(c))
         else codes.foreach { c => os.write(c & 0xff); os.write((c >> 8) & 0xff) }
         os.close()
         val key = out(name, ext + ".key")
-        val quoted = valueType == StringType || valueType == DateType
         key.write(("[" + decoder.map(d =>
           if (quoted) jsonStr(d) else d).mkString(",\n ") + "]\n").getBytes("UTF-8"))
         key.close()

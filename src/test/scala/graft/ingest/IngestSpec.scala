@@ -168,8 +168,42 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("empty input → empty result, no crash (index.js:134)") {
+    // header-only CSV: columns survive with the all-null seed type
     val r = Collimate(spark, fixture("empty.csv"))
     assert(r.df.count() == 0)
+    assert(r.df.columns.toSeq == Seq("a", "b"))
+    assert(r.schema.fields.forall(_.dataType == IntegerType))
+  }
+
+  test("empty JSONL input → empty result, no crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("e.jsonl"), "")
+    val r = Collimate(spark, s"$dir/e.jsonl")
+    assert(r.df.count() == 0)
+    assert(r.schema.rowCount == 0L)
+    graft.Util.rmrf(dir.toFile)
+  }
+
+  test("raw sink: dictionary past 65,536 entries degrades to .json " +
+      "(no 16-bit code truncation)") {
+    import org.apache.spark.sql.functions._
+    val n = 66000
+    val df = spark.range(n.toLong)
+      .select(concat(lit("v"), col("id")).as("c"))
+      .coalesce(1).sortWithinPartitions("c")
+    val meta = FieldMeta("c", "c", StringType, None,
+      categorical = true, n.toLong)
+    val res = Collimate.Result(df,
+      IngestSchema(Seq(meta), n.toLong, n.toLong, n.toDouble))
+    val out = java.nio.file.Files.createTempDirectory("graft_bigcat").toString
+    val index = graft.sources.RawColumnarSink.write(res, out)
+    assert(index == Map("c" -> "c.json")) // not .k16
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$out/c.k16")))
+    val body = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/c.json"))
+    assert(body.startsWith("[\"v0\"") && body.count(_ == ',') == n - 1)
+    graft.Util.rmrf(new java.io.File(out))
   }
 
   test("late surprise after the scan prefix → NULL, not 0 (Q8)") {

@@ -131,6 +131,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("components: empty pair set returns an empty frame, no NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+    assert(comp.columns.toSeq == Seq("id", "comp"))
+    assert(comp.collect().isEmpty)
+  }
+
+  test("components: a 60-node chain (diameter > 25) → one cluster") {
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 60)
+    assert(comp.values.forall(_ == 1L), s"split clusters: $comp")
+  }
+
   test("components: chains merge transitively, min id wins") {
     // two chains (1-2-3-4, 10-11) and an isolated pair (20, 21)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))

@@ -115,6 +115,23 @@ class PlanSpec extends AnyFunSuite {
     assert(got == exp)
   }
 
+  test("TopKPerKey resolves columns with the session resolver (case-insensitive)") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val upper = graft.plans.TopK.perKey(orders,
+      Seq("O_CUSTKEY"), Seq(("O_TOTALPRICE", true), ("o_orderkey", false)), 3)
+    val lower = graft.plans.TopK.perKey(orders,
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+    assert(upper.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+      .collect().toSeq ==
+      lower.select(col("o_orderkey")).orderBy(col("o_orderkey"))
+        .collect().toSeq)
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perKey(orders, Seq("no_such_col"),
+        Seq(("o_orderkey", false)), 1)
+    }
+  }
+
   test("TopKPerKey groups null keys together, like window partitionBy") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
