@@ -241,6 +241,50 @@ object Dedup {
     labels
   }
 
+  /** Banded embedding near-dup — the scale path for cosine dedup,
+    * replacing the exact all-pairs plan (`dedup_embedding_cosine`) as
+    * the recommended API. Candidates come from a random-hyperplane LSH
+    * band join (equi-join on (table, bucket) — no theta/cross self-join
+    * anywhere), exactly the [[graft.functions.LshBuckets]] harness
+    * `Similarity.lshTopK` uses; candidate pairs then get an exact
+    * cosine verification, so precision is always 1.0 and recall is the
+    * only approximation. Only ids travel through the ×tables band
+    * explode; vectors join back by id for verification (shuffle joins
+    * on ids, never duplicated per band).
+    *
+    * Recall tuning: a pair at cosine τ collides in one b-bit table with
+    * probability (1 − θ/π)^b, θ = acos(τ). The defaults (48 tables × 4
+    * bits) hold recall ≈ 1 down to the loose τ = 0.45 the exact anchor
+    * uses (miss ≈ (1−0.18)^48 < 1e-4 per pair); for real near-dup
+    * thresholds (τ ≥ 0.9 → collide ≥ 0.87/table) far fewer tables and
+    * more bits suffice — raise `bits` with log₂(corpus/target-bucket)
+    * so bucket size, and with it join fan-out, stays bounded. */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 48, bits: Int = 4,
+      dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.Vectors
+    val e = corpus.select(col(idCol).cast(LongType).as("id"),
+        Vectors.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = e.select(col("id"), posexplode(GraftBridge.column(
+        graft.functions.LshBuckets(
+          GraftBridge.expression(col("v")), tables, bits, dim))))
+      .select(col("id"), col("pos").as("tb"), col("col").as("bk"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), Seq("tb", "bk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val a = e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Exact all-pairs char-5-gram Jaccard pairs at `threshold` (shared
     * by dedup_jaccard_exact and dedup_components). */
   private def exactJaccardPairs(s: SparkSession, dir: String,
@@ -267,7 +311,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Pair-set recall audit: how many exact pairs the LSH path also
+    * found. Both inputs are (id_a, id_b, …) frames. */
+  private def pairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("id_a"), col("id_b"))
+    val matched = approx.select(col("id_a"), col("id_b"))
+      .join(e, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(matched) // two 1-row aggregates
+      .select(col("n_exact"), col("n_matched"),
+        round(col("n_matched").cast(DoubleType) / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // approximation audits (rows-only by design): the MaxBucket recall
+    // trade-off and LSH-vs-exact pair recall, surfaced as query results
+    // so the driver tracks them per round, not just in specs
+    "audit_lsh_oversized_buckets" -> { (s, dir) =>
+      // the lazy-plan formulation of [[oversizedBucketCount]]
+      val sets = t(s, dir, "documents").select(col("doc_id").as("id"),
+        array_distinct(Text.wordShingles(col("text"), 3)).as("sh"))
+      minhashSignatures(sets)
+        .select(posexplode(bandKeys(col("sig"))))
+        .groupBy(col("pos"), col("col")).count()
+        .filter(col("count") > MaxBucket)
+        .agg(count(lit(1)).as("oversized_buckets"))
+    },
+    "audit_ngram_lsh_recall" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+      pairRecall(nearDupPairs(docs, "doc_id", "sh", 0.5),
+        exactJaccardPairs(s, dir, 0.5))
+    },
+    "audit_embedding_ann_recall" -> { (s, dir) =>
+      pairRecall(
+        embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", 0.45),
+        exactCosinePairs(s, dir, 0.45))
+    },
     // exact keep-first dedup by key (oracle: QUALIFY row_number)
     "dedup_exact_by_key" -> { (s, dir) =>
       exact(t(s, dir, "documents"),
@@ -326,35 +409,54 @@ object Dedup {
         .select(col("doc_id"), col("cluster"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
+    // embedding near-dup via LSH banding + exact-cosine verify: the
+    // scale path. Exact verification makes precision 1.0, and the LSH
+    // parameters are tuned for recall 1.0 at this threshold, so the
+    // result — and therefore the oracle — is the same as the exact
+    // all-pairs query; OpsSpec locks the recall property explicitly.
+    "dedup_embedding_ann" -> { (s, dir) =>
+      embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // SimHash hamming-distance near-dup (not SQL-expressible)
     "dedup_simhash" -> { (s, dir) =>
       // 4×16-bit bands guarantee full recall exactly for hamming ≤ 3
       simhashPairs(t(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b"))
     },
-    // embedding-cosine near-dup, exact pairwise (oracle-checked)
+    // embedding-cosine near-dup, exact pairwise (oracle-checked): the
+    // small-scale correctness anchor for dedup_embedding_ann above
     "dedup_embedding_cosine" -> { (s, dir) =>
-      import graft.functions.Vectors
-      // norms computed once per vector (not per pair); the pair loop is
-      // a single codegen'd dot product
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
-        .withColumn("nrm", Vectors.norm(col("v")))
-      // spread the probe side: a single-file corpus would otherwise run
-      // the whole pair loop in one task (see dedup_jaccard_exact)
-      val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id").as("id_a"), col("v").as("va"),
-          col("nrm").as("na"))
-      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos",
-          Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-        .filter(col("cos") >= 0.45)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
-        .orderBy(col("id_a"), col("id_b"))
+      exactCosinePairs(s, dir, 0.45).orderBy(col("id_a"), col("id_b"))
     }
   )
+
+  /** Exact all-pairs embedding-cosine pairs at `threshold` — the O(n²)
+    * correctness anchor the banded [[embeddingNearDupPairs]] path
+    * approximates (small-scale-only by design, like
+    * [[exactJaccardPairs]]). */
+  private def exactCosinePairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    // norms computed once per vector (not per pair); the pair loop is
+    // a single codegen'd dot product
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+    // spread the probe side: a single-file corpus would otherwise run
+    // the whole pair loop in one task (see dedup_jaccard_exact)
+    val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact_by_key" ->
@@ -427,6 +529,20 @@ object Dedup {
         |QUALIFY row_number() OVER (PARTITION BY coalesce(comp, doc_id)
         |  ORDER BY n_chars DESC, doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // same oracle as the exact query: precision 1.0 by construction
+    // (exact re-verify), recall 1.0 by parameter choice at this scale
+    "dedup_embedding_ann" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y))) AS cos
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

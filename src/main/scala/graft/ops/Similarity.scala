@@ -98,6 +98,12 @@ object Similarity {
 
   val IvfClusters = 16
   val IvfProbes = 4
+  /** Rows used to fit IVF centroids: above this, k-means trains on a
+    * seeded random sample so the fit cost stops scaling with the corpus
+    * (centroid QUALITY needs a representative sample, not every row —
+    * recall is the only thing affected, never the exact re-ranked
+    * scores). 100k rows × 64 dims ≈ 50 MB, comfortably one executor. */
+  val IvfFitSampleCap = 100000L
 
   /** IVF (inverted-file) ANN: cluster the corpus once (seeded k-means →
     * deterministic), assign every vector to its nearest centroid, and
@@ -113,8 +119,16 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     // carry v through fit/transform: k-means iterates over this input
     // (cache it), and keeping v avoids a join back to the corpus
-    val train = corpus.select(col("vec_id"), col("v"),
+    val projected = corpus.select(col("vec_id"), col("v"),
       array_to_vector(col("v")).as("features"))
+    // fit on a bounded sample: the count is one columnar-scan job, and
+    // past the cap the 4 k-means passes run over ≤ IvfFitSampleCap rows
+    // instead of the whole corpus
+    val n = projected.count()
+    val train = (if (n > IvfFitSampleCap)
+        projected.sample(withReplacement = false,
+          IvfFitSampleCap.toDouble / n, seed = 42L)
+      else projected)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // random init (1 pass) + few iterations: centroid quality only
     // shifts which clusters a probe visits (recall), never the exact
@@ -125,7 +139,7 @@ object Similarity {
     // dataset per invocation; the single assignment pass below simply
     // recomputes the projection from the source
     train.unpersist(blocking = false)
-    val assigned = model.transform(train)
+    val assigned = model.transform(projected)
       .select(col("vec_id"), col("prediction").as("cluster"), col("v"))
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
@@ -150,6 +164,23 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Approximation-quality audit: fraction of the exact top-k
+    * (query, neighbor) pairs the approximate result also returned.
+    * Deterministic (seeded hyperplanes / seeded k-means), so the driver
+    * can track recall per round as a first-class query result instead
+    * of a spec-only property. */
+  def recallVsBruteForce(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val matched = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_matched"))
+    val total = e.agg(count(lit(1)).as("n_exact"))
+    total.crossJoin(matched) // two 1-row aggregates
+      .select(col("n_exact"), col("n_matched"),
+        round(col("n_matched").cast(DoubleType) / col("n_exact"), 4)
+          .as("recall"))
   }
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
@@ -180,6 +211,18 @@ object Similarity {
       val c = corpus(s, dir)
       ivfTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+    // recall audits (rows-only by design — recall < 1 is expected and
+    // the point is to TRACK it): LSH and IVF top-k vs brute force
+    "audit_sim_lsh_recall" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      recallVsBruteForce(lshTopK(c, probes(c), 5),
+        bruteForceTopK(c, probes(c), 5))
+    },
+    "audit_sim_ivf_recall" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      recallVsBruteForce(ivfTopK(c, probes(c), 5),
+        bruteForceTopK(c, probes(c), 5))
     },
     // radius (range) search: all corpus vectors within cosine ≥ τ of a
     // fixed probe — the probe is a broadcast scalar row, the corpus is

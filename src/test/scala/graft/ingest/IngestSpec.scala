@@ -184,6 +184,25 @@ class IngestSpec extends AnyFunSuite {
     graft.Util.rmrf(dir.toFile)
   }
 
+  test("ragged JSONL: missing keys → NULL, extra keys widen the schema " +
+      "(divergence from reference crash, index.js:307)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ragged_jsonl")
+    java.nio.file.Files.writeString(dir.resolve("r.jsonl"),
+      """{"id": 1, "a": "x"}
+        |{"id": 2, "b": "y"}
+        |{"id": 3, "a": "z", "b": "w", "extra": 9}
+        |""".stripMargin)
+    val r = Collimate(spark, s"$dir/r.jsonl")
+    assert(r.df.columns.toSeq.sorted == Seq("a", "b", "extra", "id"))
+    val rows = r.df.orderBy("id").collect()
+    assert(rows(0).getAs[String]("a") == "x" && rows(0).isNullAt(
+      rows(0).fieldIndex("b")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("a")) &&
+      rows(1).getAs[String]("b") == "y")
+    assert(rows(2).getAs[Integer]("extra") == 9)
+    graft.Util.rmrf(dir.toFile)
+  }
+
   test("raw sink: dictionary past 65,536 entries degrades to .json " +
       "(no 16-bit code truncation)") {
     import org.apache.spark.sql.functions._

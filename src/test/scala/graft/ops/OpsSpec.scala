@@ -131,6 +131,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("embedding ANN equals the exact all-pairs result (recall 1.0), no cross join") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = Dedup.queries("dedup_embedding_cosine")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ann = Dedup.queries("dedup_embedding_ann")(spark, dir)
+    val got = ann.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty)
+    assert((exact -- got).isEmpty, s"ANN missed pairs: ${exact -- got}")
+    assert((got -- exact).isEmpty, s"ANN extra pairs: ${got -- exact}")
+    val plan = ann.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ANN plan contains a cross/theta join:\n${plan.take(1200)}")
+  }
+
   test("components: empty pair set returns an empty frame, no NPE") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val comp = Dedup.components(pairs, "id_a", "id_b")
