@@ -122,6 +122,73 @@ object TextStats {
         .limit(50)
     },
 
+    // Gopher-style quality rule flags (word-count bounds, mean word
+    // length, alphabetic-word ratio, stopword presence) — the rule-based
+    // filter stage of a training-data pipeline, per-doc codegen only
+    "text_gopher_rules" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_words"),
+          (aggregate(col("toks"), lit(0),
+            (a, x) => a + length(x)).cast(DoubleType) /
+            size(col("toks"))).as("mean_word_len"),
+          (size(filter(col("toks"), x => x.rlike("[a-z]"))).cast(DoubleType) /
+            size(col("toks"))).as("alpha_word_ratio"),
+          stopwordCount(col("toks"), "en").as("stopword_hits"))
+        .withColumn("pass",
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("alpha_word_ratio") > 0.8 &&
+            col("stopword_hits") >= 2)
+        .orderBy(col("doc_id"))
+    },
+    // repetition detection: most-frequent-word and most-frequent-bigram
+    // fractions (the "repetitive document" removal signal) — two
+    // explode→agg passes, both partial+final hash aggs
+    "text_repetition" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 1)
+      val uni = d
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tokens"))
+        .agg(max(col("c")).as("top_word"))
+      val bi = d
+        .select(col("doc_id"), explode(Text.wordShingles(col("text"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bigram"), sum(col("c")).as("n_bigrams"))
+      uni.join(bi, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("top_word").cast(DoubleType) / col("n_tokens"), 6)
+            .as("top_word_frac"),
+          round(col("top_bigram").cast(DoubleType) / col("n_bigrams"), 6)
+            .as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+    // benchmark-contamination screen: flag documents sharing any word
+    // 8-gram with the held-out set (source = src0 stands in for the
+    // benchmark). Distinct grams per side + one equi-join — at real
+    // scale join on xxhash64(gram) instead of the gram string (same
+    // plan shape, 8 bytes a key); strings kept here for oracle parity.
+    "text_contamination" -> { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(Text.wordShingles(col("text"), 8))).as("g"))
+      val bench = grams.filter(col("source") === "src0")
+        .select(col("g")).distinct()
+      grams.filter(col("source") =!= "src0")
+        .join(bench, "g")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
     // order-sensitive Karp–Rabin fingerprint (vs the order-insensitive
     // md5 token fingerprint above) via the codegen RollingHash expression
     "text_rolling_hash" -> { (s, dir) =>
@@ -249,6 +316,60 @@ object TextStats {
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+    "text_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |m AS (SELECT doc_id, len(toks) AS n_words,
+         |  CAST(list_reduce(list_transform(toks, x -> length(x)), (a,b) -> a+b) AS DOUBLE)
+         |    / len(toks) AS mean_word_len,
+         |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |    / len(toks) AS alpha_word_ratio,
+         |  len(list_filter(toks, x -> x IN ${duckStop("en")})) AS stopword_hits
+         |FROM d WHERE len(toks) > 0)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio, stopword_hits,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND alpha_word_ratio > 0.8
+         |    AND stopword_hits >= 2 AS pass
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |t AS (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS tok
+        |  FROM d WHERE len(toks) > 1),
+        |uni AS (
+        |  SELECT doc_id, n_tokens, max(c) AS top_word FROM (
+        |    SELECT doc_id, n_tokens, tok, count(*) AS c
+        |    FROM t GROUP BY doc_id, n_tokens, tok)
+        |  GROUP BY doc_id, n_tokens),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM d WHERE len(toks) > 1),
+        |bi AS (
+        |  SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigrams FROM (
+        |    SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(top_word AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+        |  round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+        |FROM uni JOIN bi USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, unnest(list_distinct(
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, len(toks)-6),
+        |      i -> array_to_string(toks[i:i+7], ' ')) END)) AS g
+        |  FROM d),
+        |b AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_shared_grams
+        |FROM g JOIN b USING (g)
+        |WHERE source <> 'src0'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
