@@ -429,6 +429,25 @@ object Dedup {
     // small-scale correctness anchor for dedup_embedding_ann above
     "dedup_embedding_cosine" -> { (s, dir) =>
       exactCosinePairs(s, dir, 0.45).orderBy(col("id_a"), col("id_b"))
+    },
+    // SEMANTIC dedup end-to-end: banded ANN pairs → connected
+    // components → keep the longest doc per cluster (embeddings are
+    // 1:1 with documents by id). The full scale path composed — no
+    // all-pairs join anywhere; the oracle rebuilds the closure from
+    // exact cosine pairs with a recursive CTE.
+    "dedup_semantic_keep" -> { (s, dir) =>
+      val pairs = embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", 0.45)
+      val comp = components(pairs, "id_a", "id_b")
+      val docs = t(s, dir, "documents")
+        .join(comp, col("doc_id") === col("id"), "left")
+        .withColumn("cluster", coalesce(col("comp"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -554,6 +573,30 @@ object Dedup {
         |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y))) AS cos
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM p
-        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin
+        |WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+    // closure over exact cosine pairs + keep-longest per component
+    "dedup_semantic_keep" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]), (x,y) -> x+y))) >= 0.45),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+        |cc AS (SELECT src AS id, min(dst) AS comp FROM reach GROUP BY src)
+        |SELECT doc_id, coalesce(comp, doc_id) AS cluster, n_chars
+        |FROM documents LEFT JOIN cc ON doc_id = id
+        |QUALIFY row_number() OVER (PARTITION BY coalesce(comp, doc_id)
+        |  ORDER BY n_chars DESC, doc_id) = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

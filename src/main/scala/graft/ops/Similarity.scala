@@ -61,8 +61,17 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  val Tables = 8
-  val Bits = 8
+  /** LSH table/bit defaults. The recall/cost trade: a pair at cosine τ
+    * collides per b-bit table with probability (1 − acos(τ)/π)^b, and
+    * expected bucket size is corpus/2^b — more bits = smaller buckets
+    * but lower per-table recall, compensated with more tables. 24×6
+    * measures `audit_sim_lsh_recall` 0.78 / 0.74 at sf0.01 / sf0.1
+    * (8×8 measured 0.24 — buckets of ~2 vectors generate almost no
+    * candidates at small corpus sizes). At 100 TB raise `bits` with
+    * log₂(corpus) to keep buckets bounded and add tables to buy recall
+    * back. */
+  val Tables = 24
+  val Bits = 6
 
   /** ANN top-k: LSH candidate generation + exact re-rank. Bucket ids
     * come from ONE [[graft.functions.LshBuckets]] expression per row
@@ -212,6 +221,35 @@ object Similarity {
       ivfTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
     },
+    // kNN label evaluation (the embeddings table carries a label):
+    // 5-NN by cosine for every vector, majority vote (ties → smaller
+    // label), confusion counts against the true label — the
+    // embedding-quality eval step of a vector pipeline. All-pairs here
+    // (every vector is a probe, so candidates ARE the workload); at
+    // scale the probe set is a sample and the ANN paths above generate
+    // candidates instead.
+    "sim_knn_label_acc" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDouble(col("embedding")).as("v"))
+      val nn = bruteForceTopK(e.select(col("vec_id"), col("v")),
+        e.select(col("vec_id").as("query_id"), col("v").as("qv")), 5)
+      val votes = nn
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlabel")), "neighbor_id")
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c").desc, col("nlabel"))
+      votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("nlabel").as("pred_label"))
+        .join(e.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    },
     // recall audits (rows-only by design — recall < 1 is expected and
     // the point is to TRACK it): LSH and IVF top-k vs brute force
     "audit_sim_lsh_recall" -> { (s, dir) =>
@@ -288,6 +326,30 @@ object Similarity {
         |FROM s
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "sim_knn_label_acc" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+        |    list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*c.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i]*q.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i]), (x,y) -> x+y))) AS cos
+        |  FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+        |nn AS (
+        |  SELECT query_id, neighbor_id, nlabel FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, neighbor_id) <= 5),
+        |votes AS (
+        |  SELECT query_id, nlabel, count(*) AS c
+        |  FROM nn GROUP BY query_id, nlabel),
+        |pred AS (
+        |  SELECT query_id, nlabel AS pred_label FROM votes
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c DESC, nlabel) = 1)
+        |SELECT t.label AS true_label, p.pred_label, count(*) AS n
+        |FROM pred p JOIN e t ON p.query_id = t.vec_id
+        |GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
     "sim_range_search" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -217,6 +217,42 @@ object TextStats {
         .orderBy(col("doc_id"), col("term"))
     },
 
+    // sequence packing for training: concatenate docs in a stable order
+    // and cut at a fixed token budget — each doc's bin is determined by
+    // the running token count before it (concat-then-chunk packing).
+    // The global running sum is a single-partition window HERE for
+    // oracle determinism; at 100 TB pack per shard instead:
+    // repartitionByRange on the sort key, then the same window inside
+    // each shard (bin ids offset by shard), which needs no global order.
+    "pipeline_pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", floor((col("cum") - col("n_tokens")) / 8192))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bin"))
+    },
+    // deterministic stratified train/val/test split (hash-free so both
+    // engines agree: doc_id mod 10 → 8/1/1) + per-(split, lang) stats —
+    // the reproducible-split stage of a training-data pipeline
+    "pipeline_stratified_split" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(col("doc_id") % 10 < 8, "train")
+            .when(col("doc_id") % 10 === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+
     // end-to-end corpus cleaning: quality gate → exact near-dup removal
     // (fingerprint keep-first) → per-(lang, source) stats. The composed
     // pipeline a training-data run would execute, as one declarative
@@ -389,6 +425,24 @@ object TextStats {
         |  round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
         |FROM tf JOIN dfq USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+        |  FROM d)
+        |SELECT CAST(floor((cum - n_tokens) / 8192) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "pipeline_stratified_split" ->
+      """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
+        |    WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars,

@@ -132,18 +132,21 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("embedding ANN equals the exact all-pairs result (recall 1.0), no cross join") {
-    val dir = "/root/testdata/sf0.01"
-    val exact = Dedup.queries("dedup_embedding_cosine")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val ann = Dedup.queries("dedup_embedding_ann")(spark, dir)
-    val got = ann.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(exact.nonEmpty)
-    assert((exact -- got).isEmpty, s"ANN missed pairs: ${exact -- got}")
-    assert((got -- exact).isEmpty, s"ANN extra pairs: ${got -- exact}")
-    val plan = ann.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"ANN plan contains a cross/theta join:\n${plan.take(1200)}")
+    // both SFs: the ANN query shares the exact query's oracle, so the
+    // equality must hold wherever the driver might run Verify
+    Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val exact = Dedup.queries("dedup_embedding_cosine")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val ann = Dedup.queries("dedup_embedding_ann")(spark, dir)
+      val got = ann.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty)
+      assert((exact -- got).isEmpty, s"$dir: ANN missed pairs: ${exact -- got}")
+      assert((got -- exact).isEmpty, s"$dir: ANN extra pairs: ${got -- exact}")
+      val plan = ann.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"ANN plan contains a cross/theta join:\n${plan.take(1200)}")
+    }
   }
 
   test("components: empty pair set returns an empty frame, no NPE") {
