@@ -12,8 +12,10 @@ object Bench {
     "q_window_topn_orders", "q_distinct_agg", "q_rollup_orders",
     "q_asof_join", "q_percentiles", "q_salted_join",
     "dedup_minhash", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_embedding_ann", // the banded scale path beside its exact anchor
     "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "text_quality", "text_term_freq", "text_fingerprint",
+    "text_contamination", "pipeline_pack_sequences",
     "mm_decode_meta", "stream_hourly_window", "stream_sessionize")
 
   def main(args: Array[String]): Unit = {

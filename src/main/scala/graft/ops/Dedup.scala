@@ -253,14 +253,15 @@ object Dedup {
     * on ids, never duplicated per band).
     *
     * Recall tuning: a pair at cosine τ collides in one b-bit table with
-    * probability (1 − θ/π)^b, θ = acos(τ). The defaults (48 tables × 4
+    * probability (1 − θ/π)^b, θ = acos(τ). The defaults (48 tables × 5
     * bits) hold recall ≈ 1 down to the loose τ = 0.45 the exact anchor
-    * uses (miss ≈ (1−0.18)^48 < 1e-4 per pair); for real near-dup
+    * uses (miss ≈ (1−0.648⁵)^48 ≈ 0.003 per pair; measured 14/14 at
+    * sf0.01 and sf0.1, locked in OpsSpec); for real near-dup
     * thresholds (τ ≥ 0.9 → collide ≥ 0.87/table) far fewer tables and
     * more bits suffice — raise `bits` with log₂(corpus/target-bucket)
-    * so bucket size, and with it join fan-out, stays bounded. */
+    * so bucket size, and with it band-join fan-out, stays bounded. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 48, bits: Int = 4,
+      threshold: Double, tables: Int = 48, bits: Int = 5,
       dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     import graft.functions.Vectors

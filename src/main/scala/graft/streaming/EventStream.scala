@@ -40,6 +40,21 @@ object EventStream {
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
   }
 
+  /** Native session windows (`session_window`, Spark's built-in
+    * gap-based session operator): same 30-minute-inactivity semantics
+    * as [[sessionize]] but expressed as a groupBy on the generated
+    * window — the streaming-native formulation (state store merges
+    * sessions incrementally; no per-user global sort). A session's end
+    * is the last event + gap, so `session_end` here = sessionize's
+    * `session_end` + 30 min. */
+  def sessionWindowAgg(ev: DataFrame, gap: String = "30 minutes"): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Sliding 1-hour window, 15-minute slide (epoch-aligned, Spark's
     * default): each event lands in 4 overlapping windows. Identical in
     * batch and under `withWatermark → groupBy(window(...))`. */
@@ -145,6 +160,10 @@ object EventStream {
     "stream_sessionize" -> { (s, dir) =>
       sessionize(events(s, dir))
         .orderBy(col("user_id"), col("session_id"))
+    },
+    "stream_session_native" -> { (s, dir) =>
+      sessionWindowAgg(events(s, dir))
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 
@@ -211,6 +230,27 @@ object EventStream {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // session_window semantics from the same gap CTE: start = first
+    // event, end = last event + gap
+    "stream_session_native" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1
+        |         WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "stream_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,

@@ -191,6 +191,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("session_window: streaming with watermark == batch on same data") {
+    val input = MemoryStream[Ev](spark)
+    input.addData(sample: _*)
+    val q = EventStream.sessionWindowAgg(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("session_out")
+        .orderBy($"user_id", $"session_start").collect().toSeq
+      val batch = EventStream.sessionWindowAgg(sample.toDF())
+        .orderBy($"user_id", $"session_start").collect().toSeq
+      assert(streamed == batch)
+      // same session split as the window-based sessionize
+      assert(streamed.map(r => (r.getLong(0), r.getLong(3))) ==
+        Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on the 30-minute gap") {
     val df = sample.toDF()
     val sessions = EventStream.sessionize(df)
