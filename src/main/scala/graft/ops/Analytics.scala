@@ -88,6 +88,17 @@ object Analytics {
           col("col.cnt").as("cnt"))
         .orderBy(col("rank"))
     },
+    // fixed-width numeric histogram: one partial+final hash agg on the
+    // computed bucket; bucket arithmetic is exact (division before
+    // floor happens in DOUBLE identically on both engines)
+    "q_histogram_prices" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        .orderBy(col("bucket"))
+    },
     // approximate sketches: HLL distinct, approx quantiles, CMS.
     // Estimates are engine-specific → rows-only check here; OpsSpec
     // asserts each estimate against the exact value with tolerance.
@@ -137,6 +148,11 @@ object Analytics {
          |  $cases
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+    "q_histogram_prices" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(l_extendedprice) AS lo,
+        |  max(l_extendedprice) AS hi
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_topk_heavy_hitters" ->
       """SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
         |  token, cnt

@@ -387,6 +387,29 @@ object Dedup {
     "dedup_jaccard_exact" -> { (s, dir) =>
       exactJaccardPairs(s, dir, 0.5).orderBy(col("id_a"), col("id_b"))
     },
+    // containment |A∩B|/|A| over char-5-gram sets: catches excerpt
+    // duplicates (a doc fully contained in a longer doc has low Jaccard
+    // but containment 1.0). Ordered pairs; same small-scale-anchor
+    // framing as dedup_jaccard_exact, with the evaluation-order prune
+    // containment ≥ τ ⟹ |B| ≥ τ·|A| ahead of the intersection; the
+    // MinHash/LSH harness is the scale path for candidate generation.
+    "dedup_containment" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
+      val a = g.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") =!= col("id_b") &&
+          size(col("sh_b")).cast(DoubleType) >= size(col("sh_a")) * 0.8)
+        .withColumn("containment",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(col("sh_a")))
+        .filter(col("containment") >= 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // near-dup clustering: connected components over the exact pairs +
     // canonical-representative selection (keep = min id per component)
     "dedup_components" -> { (s, dir) =>
@@ -505,6 +528,18 @@ object Dedup {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(a.sh), 6) AS containment
+        |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(a.sh) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     // reachability closure via recursive CTE; comp = min reachable id
     "dedup_components" ->

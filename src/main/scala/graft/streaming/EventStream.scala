@@ -164,6 +164,24 @@ object EventStream {
     "stream_session_native" -> { (s, dir) =>
       sessionWindowAgg(events(s, dir))
         .orderBy(col("user_id"), col("session_start"))
+    },
+    // time-series gap filling: zero rows for (hour, type) combinations
+    // with no events, via a generated hour spine × the distinct type
+    // set (both tiny — the spine is one row per hour of the span and
+    // the cross join is broadcast; the fact side joins once)
+    "events_gap_fill" -> { (s, dir) =>
+      val hourly = hourlyAgg(events(s, dir))
+      val span = hourly.agg(min(col("hour_start")).as("h0"),
+        max(col("hour_start")).as("h1"))
+      val hours = span.select(explode(
+        sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+        .as("hour_start"))
+      val types = hourly.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(hourly, Seq("hour_start", "event_type"), "left")
+        .select(col("hour_start"), col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("hour_start"), col("event_type"))
     }
   )
 
@@ -230,6 +248,23 @@ object EventStream {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_gap_fill" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT min(hour_start) FROM h),
+        |    (SELECT max(hour_start) FROM h),
+        |    INTERVAL 1 HOUR)) AS hour_start),
+        |ty AS (SELECT DISTINCT event_type FROM h)
+        |SELECT spine.hour_start AS hour_start, ty.event_type AS event_type,
+        |  coalesce(h.n, 0) AS n
+        |FROM spine CROSS JOIN ty
+        |LEFT JOIN h ON h.hour_start = spine.hour_start
+        |  AND h.event_type = ty.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // session_window semantics from the same gap CTE: start = first
     // event, end = last event + gap
     "stream_session_native" ->
