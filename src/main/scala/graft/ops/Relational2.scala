@@ -518,6 +518,49 @@ object Relational2 {
         .orderBy(col("user_id"), col("first_id"))
     },
 
+    // forward fill (last-non-null imputation): carry each user's most
+    // recent view value onto later events — per-row window carry, no
+    // aggregation, so doubles compare exactly
+    "q_forward_fill" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("v", when(col("event_type") === "view", col("value")))
+        .select(col("event_id"), col("user_id"),
+          last(col("v"), ignoreNulls = true).over(w).as("last_view_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // ntile bucketing: decile of order value within status (unique
+    // tiebreak makes the bucket assignment engine-independent)
+    "q_window_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // merge/upsert semantics via full-outer coalesce (the Delta-style
+    // MERGE shape on plain tables): updates win over base, inserts
+    // survive, untouched rows carry through — one shuffle on the key
+    "q_merge_upsert" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val updates = base.filter(col("k") % 100 === 0)
+        .select(col("k"), (col("price") * 2).as("price"))
+      val inserts = base.filter(col("k") % 100 === 1)
+        .select((col("k") + 100000000L).as("k"), col("price"))
+      val delta = updates.union(inserts)
+        .select(col("k").as("uk"), col("price").as("uprice"))
+      base.join(delta, col("k") === col("uk"), "full_outer")
+        .select(coalesce(col("k"), col("uk")).as("k"),
+          coalesce(col("uprice"), col("price")).as("price"))
+        .orderBy(col("k"))
+    },
+
     // per-aggregate FILTER clauses (SQL-standard conditional aggregation)
     "q_agg_filter_clause" -> { (s, dir) =>
       t(s, dir, "orders").createOrReplaceTempView("orders_fc")
@@ -899,6 +942,29 @@ object Relational2 {
         |FROM r GROUP BY user_id, event_type, grp
         |HAVING count(*) >= 3
         |ORDER BY user_id, first_id""".stripMargin,
+    "q_forward_fill" ->
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_view_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |delta AS (
+        |  SELECT k AS uk, price * 2 AS uprice FROM base WHERE k % 100 = 0
+        |  UNION ALL
+        |  SELECT k + 100000000 AS uk, price AS uprice FROM base
+        |  WHERE k % 100 = 1)
+        |SELECT coalesce(k, uk) AS k, coalesce(uprice, price) AS price
+        |FROM base FULL OUTER JOIN delta ON k = uk
+        |ORDER BY k""".stripMargin,
     "q_agg_filter_clause" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,

@@ -46,6 +46,28 @@ object TextStats {
     "es" -> Seq("que", "los", " de", "ent", "cio"),
     "fr" -> Seq("les", " le", "ait", "oun", "eur"))
 
+  /** Sharded concat-then-chunk sequence packing — the 100 TB shape of
+    * `pipeline_pack_sequences`: hash docs into `shards`, run the
+    * running-token-count window INSIDE each shard (shuffle on shard id,
+    * no global sort), and make bin ids globally unique as
+    * (shard, local bin). Each doc lands in the bin where its first
+    * token falls, so a bin's docs all start inside one `tokenBudget`
+    * span — the invariant OpsSpec locks. */
+  def packSequences(docs: DataFrame, textCol: String, orderCol: String,
+      tokenBudget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("shard", pmod(col(orderCol), lit(shards)))
+      .withColumn("n_tokens", size(Text.tokens(col(textCol))))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_start", col("cum") - col("n_tokens"))
+      .withColumn("bin", floor(col("bin_start") / tokenBudget))
+      .select(col(orderCol), col("shard"), col("bin"), col("n_tokens"),
+        col("bin_start"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // quality scoring: length / token stats / stopword density
     "text_quality" -> { (s, dir) =>

@@ -149,6 +149,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sharded sequence packing: every doc starts inside its bin's token span") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 4096L
+    val packed = TextStats.packSequences(docs, "text", "doc_id", budget, 8)
+      .collect()
+    assert(packed.nonEmpty)
+    packed.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val start = r.getAs[Long]("bin_start")
+      assert(start >= bin * budget && start < (bin + 1) * budget,
+        s"doc ${r.get(0)} starts at $start outside bin $bin")
+    }
+    // packing must cover every doc exactly once
+    assert(packed.length == docs.count())
+  }
+
   test("components: empty pair set returns an empty frame, no NPE") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val comp = Dedup.components(pairs, "id_a", "id_b")
