@@ -24,6 +24,7 @@ object SparkEntry {
       graft.ops.Relational.queries ++
       graft.ops.Relational2.queries ++
       graft.ops.Dedup.queries ++
+      graft.ops.Corpus.queries ++
       graft.ops.TextStats.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       graft.ops.Relational.oracleSql ++
       graft.ops.Relational2.oracleSql ++
       graft.ops.Dedup.oracleSql ++
+      graft.ops.Corpus.oracleSql ++
       graft.ops.TextStats.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++

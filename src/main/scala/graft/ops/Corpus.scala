@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Corpus-preparation operators beyond TextStats: PII redaction, text
+  * normalization, unigram language-model scoring (pseudo-perplexity),
+  * CCNet-style segment-level dedup, and per-source quota downsampling.
+  *
+  * Scale notes: every op is per-row codegen or a partial+final hash agg;
+  * the only joins are against vocabulary/frequency tables (broadcast:
+  * vocab size, not corpus size) or segment-count tables (equi-join on
+  * the segment key — hash the key with xxhash64 at real scale, strings
+  * kept here for oracle parity).
+  */
+object Corpus {
+
+  /** Segment a token array into fixed-size chunks (CCNet dedups lines;
+    * the synthetic corpus has no newlines, so fixed 16-token windows
+    * stand in for lines — same plan shape either way). */
+  private def segments(toks: org.apache.spark.sql.Column, n: Int) =
+    transform(
+      sequence(lit(0), ceil(size(toks) / lit(n.toDouble)).cast(IntegerType) - 1),
+      i => concat_ws(" ", slice(toks, i * n + 1, lit(n))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII redaction: mask all but the last 2 digits of the account
+    // number, pseudonymize the name (keyed md5 token), count digit runs
+    // left in the name — the scrubbing stage of a corpus pipeline.
+    // Pure per-row codegen.
+    "text_pii_redact" -> { (s, dir) =>
+      val acct = col("c_custkey").cast(StringType)
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(
+          regexp_replace(
+            substr(acct, lit(1), greatest(length(acct) - 2, lit(0))),
+            "[0-9]", "X"),
+          substr(acct, greatest(length(acct) - 1, lit(1)), lit(2)))
+          .as("acct_masked"),
+        concat(lit("person_"), substring(md5(col("c_name")), 1, 8))
+          .as("name_token"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]+"), lit(0)))
+          .as("name_digit_runs"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // text normalization: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the canonicalization step before fingerprint/dedup
+    "text_normalize" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")).as("norm_text"))
+        .withColumn("norm_chars", length(col("norm_text")))
+        .orderBy(col("doc_id"))
+    },
+
+    // unigram LM scoring (pseudo-perplexity): corpus term frequencies →
+    // per-doc mean -ln p(token). The frequency table is vocabulary-sized
+    // — broadcast it; the corpus itself is never shuffled beyond the
+    // final per-doc agg. The KenLM-bucket stage of a quality pipeline.
+    "text_unigram_logprob" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(broadcast(freq), "tok").crossJoin(broadcast(total))
+        .withColumn("lp",
+          -log(col("tf").cast(DoubleType) / col("n_total")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(davg(col("lp")), 6).as("mean_neg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
+    // segment-level dedup signal: per-doc fraction of 16-token segments
+    // that occur more than once corpus-wide (boilerplate / template
+    // detection). One explode + one count agg + one equi-join back.
+    "dedup_segments" -> { (s, dir) =>
+      val occ = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), explode(segments(col("toks"), 16)).as("seg"))
+      val segCount = occ.groupBy(col("seg")).agg(count(lit(1)).as("n_occ"))
+      occ.join(segCount, "seg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+        .withColumn("dup_frac",
+          round(col("n_dup_segments").cast(DoubleType) / col("n_segments"), 6))
+        .orderBy(col("doc_id"))
+    },
+
+    // per-source quota downsampling: cap each source at its 10 best docs
+    // by distinct-token ratio (over-represented-domain rebalancing).
+    // One shuffle on source + a bounded window — no global sort.
+    "pipeline_source_quota" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast(DoubleType) /
+            size(col("toks")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("distinct_ratio").desc, col("doc_id"))
+      scored.withColumn("rank_in_source", row_number().over(w))
+        .filter(col("rank_in_source") <= 10)
+        .select(col("source"), col("doc_id"),
+          col("rank_in_source"), round(col("distinct_ratio"), 6).as("score"))
+        .orderBy(col("source"), col("rank_in_source"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_pii_redact" ->
+      """WITH a AS (SELECT c_custkey, c_name,
+        |    CAST(c_custkey AS VARCHAR) AS acct FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(substring(acct, 1, greatest(length(acct)-2, 0)),
+        |    '[0-9]', 'X', 'g')
+        |    || substring(acct, greatest(length(acct)-1, 1), 2)
+        |    AS acct_masked,
+        |  'person_' || substring(md5(c_name), 1, 8) AS name_token,
+        |  CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS INT)
+        |    AS name_digit_runs
+        |FROM a ORDER BY c_custkey""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS norm_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |lp AS (SELECT doc_id,
+        |    -ln(CAST(tf AS DOUBLE) / n_total) AS lp
+        |  FROM toks JOIN freq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp), 6)
+        |    AS mean_neg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_segments" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS INT)),
+        |      i -> array_to_string(toks[i*16+1 : i*16+16], ' '))) AS seg
+        |  FROM d WHERE len(toks) > 0),
+        |c AS (SELECT seg, count(*) AS n_occ FROM s GROUP BY seg)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_segments,
+        |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM s JOIN c USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_source_quota" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (SELECT source, doc_id,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |      AS distinct_ratio
+        |  FROM d WHERE len(toks) > 0)
+        |SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY distinct_ratio DESC, doc_id) AS INT) AS rank_in_source,
+        |  round(distinct_ratio, 6) AS score
+        |FROM sc
+        |QUALIFY rank_in_source <= 10
+        |ORDER BY source, rank_in_source""".stripMargin
+  )
+}
