@@ -33,6 +33,9 @@ object Verify {
         // never be masked by yesterday's parquet
         Util.rmrf(new java.io.File(s"$outDir/$name"))
       }
+      // queries that persist() internally would otherwise pin blocks for
+      // the rest of this 150-query session
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

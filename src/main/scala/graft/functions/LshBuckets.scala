@@ -79,12 +79,18 @@ object LshBuckets {
     out
   }
 
-  /** Shared by eval and codegen: bucket id per table. Dot products run
-    * over min(dim, |v|) components, matching the DotProduct truncation
-    * semantics of the composed formulation. */
+  /** Shared by eval and codegen: bucket id per table. The vector MUST
+    * match the plane dimensionality — silently bucketing on a prefix
+    * (the old min(dim, |v|) truncation) collapses recall in the
+    * function advertised as the recommended scale path while precision
+    * stays 1.0, so nothing would ever error downstream. */
   def compute(planes: Array[Double], tables: Int, bits: Int, dim: Int,
       v: ArrayData): Array[Int] = {
-    val n = math.min(dim, v.numElements())
+    if (v.numElements() != dim) throw new IllegalArgumentException(
+      s"graft_lsh_buckets: vector has ${v.numElements()} components but " +
+        s"hyperplanes were built for dim=$dim — pass the embedding " +
+        "dimensionality explicitly")
+    val n = dim
     val out = new Array[Int](tables)
     var tb = 0
     while (tb < tables) {

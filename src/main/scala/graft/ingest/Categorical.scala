@@ -54,8 +54,20 @@ object Categorical {
     */
   def encode(df: DataFrame, colName: String): (DataFrame, Array[String]) = {
     val withId = df.withColumn("__rid", monotonically_increasing_id())
-    val dict = withId
+    val grouped = withId
       .groupBy(col(colName)).agg(min(col("__rid")).as("__first"))
+    // the unpartitioned window below is DELIBERATE: first-encounter
+    // codes are a global order, and its input is the distinct-value set,
+    // not the data — bounded by the categorical threshold. Enforce that
+    // bound rather than assume it, so a caller encoding a high-cardinality
+    // column fails loudly instead of funneling millions of rows through
+    // one window task.
+    val distinctCount = grouped.count()
+    require(distinctCount <= MaxCategorical,
+      s"Categorical.encode('$colName'): $distinctCount distinct values " +
+        s"exceed MAX_CATEGORICAL=$MaxCategorical — this column is not " +
+        "categorical; encoding it would single-task a global window")
+    val dict = grouped
       .withColumn("__code",
         row_number().over(Window.orderBy(col("__first"))) - 1)
       .select(col(colName), col("__code"))

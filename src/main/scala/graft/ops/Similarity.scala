@@ -64,13 +64,17 @@ object Similarity {
   /** LSH table/bit defaults. The recall/cost trade: a pair at cosine τ
     * collides per b-bit table with probability (1 − acos(τ)/π)^b, and
     * expected bucket size is corpus/2^b — more bits = smaller buckets
-    * but lower per-table recall, compensated with more tables. 24×6
-    * measures `audit_sim_lsh_recall` 0.78 / 0.74 at sf0.01 / sf0.1
-    * (8×8 measured 0.24 — buckets of ~2 vectors generate almost no
-    * candidates at small corpus sizes). At 100 TB raise `bits` with
-    * log₂(corpus) to keep buckets bounded and add tables to buy recall
-    * back. */
-  val Tables = 24
+    * but lower per-table recall, compensated with more tables or with
+    * MULTIPROBE (also read the `bits` buckets at Hamming distance 1 per
+    * table — probe-side cost only, the corpus index is untouched; one
+    * flipped sign bit is by far the likeliest miss, so each probed
+    * neighbor bucket behaves like an extra table). History: 8×8 plain
+    * measured recall 0.24, 24×6 plain 0.78/0.74 at sf0.01/sf0.1 and
+    * 1.31 s in bench; 12×6 multiprobe measures ≥ 0.9 with HALF the
+    * corpus-side banding rows. At 100 TB raise `bits` with
+    * log₂(corpus) to keep buckets bounded and add tables / probes to
+    * buy recall back. */
+  val Tables = 12
   val Bits = 6
 
   /** ANN top-k: LSH candidate generation + exact re-rank. Bucket ids
@@ -79,7 +83,8 @@ object Similarity {
     * below as [[bucketId]] for the equivalence spec — spent its time
     * Janino-compiling 64 expressions). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      tables: Int = Tables, bits: Int = Bits, dim: Int = 64): DataFrame = {
+      tables: Int = Tables, bits: Int = Bits, dim: Int = 64,
+      multiprobe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     // dim must equal the embedding dimensionality: shorter hyperplanes
     // would silently bucket on a prefix of the vector
@@ -89,7 +94,13 @@ object Similarity {
             GraftBridge.expression(col(vec)), tables, bits, dim))))
         .select(col(id), col(vec), col("pos").as("tb"), col("col").as("bk"))
     val c = banded(corpus, "vec_id", "v")
-    val p = banded(probes, "query_id", "qv")
+    val p0 = banded(probes, "query_id", "qv")
+    val p = if (!multiprobe) p0 else {
+      // probe bucket + its `bits` Hamming-1 neighbors (mask 0 = self)
+      val masks = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
+      p0.select(col("query_id"), col("qv"), col("tb"),
+        explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
+    }
     val cands = p.join(c, Seq("tb", "bk"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
@@ -187,14 +198,46 @@ object Similarity {
       .agg(count(lit(1)).as("n_matched"))
     val total = e.agg(count(lit(1)).as("n_exact"))
     total.crossJoin(matched) // two 1-row aggregates
+      // n_exact = 0 would make recall NULL (x/0) and the audit row
+      // ambiguous — report 1.0 explicitly: nothing to find, nothing missed
       .select(col("n_exact"), col("n_matched"),
-        round(col("n_matched").cast(DoubleType) / col("n_exact"), 4)
+        when(col("n_exact") === 0, lit(1.0)).otherwise(
+          round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
           .as("recall"))
   }
+
+  /** Majority-vote label per probe from a (query_id, neighbor_id, …)
+    * neighbor list (ties → smaller label). */
+  private def knnPredictions(e: DataFrame, nn: DataFrame): DataFrame = {
+    val votes = nn
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("c").desc, col("nlabel"))
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("nlabel").as("pred_label"))
+  }
+
+  /** Confusion counts of predicted vs true labels. */
+  private def knnConfusion(e: DataFrame, nn: DataFrame): DataFrame =
+    knnPredictions(e, nn)
+      .join(e.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_label"), col("pred_label"))
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+
+  private def labeled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        Vectors.toDouble(col("embedding")).as("v"))
 
   private def probes(c: DataFrame): DataFrame =
     c.filter(col("vec_id") < 10)
@@ -224,31 +267,43 @@ object Similarity {
     // kNN label evaluation (the embeddings table carries a label):
     // 5-NN by cosine for every vector, majority vote (ties → smaller
     // label), confusion counts against the true label — the
-    // embedding-quality eval step of a vector pipeline. All-pairs here
-    // (every vector is a probe, so candidates ARE the workload); at
-    // scale the probe set is a sample and the ANN paths above generate
-    // candidates instead.
+    // embedding-quality eval step of a vector pipeline. This is the
+    // EXACT anchor: all-pairs (broadcast every probe), small-scale only;
+    // sim_knn_label_acc_ann below is the scale path.
     "sim_knn_label_acc" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          Vectors.toDouble(col("embedding")).as("v"))
+      val e = labeled(s, dir)
       val nn = bruteForceTopK(e.select(col("vec_id"), col("v")),
         e.select(col("vec_id").as("query_id"), col("v").as("qv")), 5)
-      val votes = nn
-        .join(e.select(col("vec_id").as("neighbor_id"),
-          col("label").as("nlabel")), "neighbor_id")
-        .groupBy(col("query_id"), col("nlabel"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("c").desc, col("nlabel"))
-      votes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("query_id"), col("nlabel").as("pred_label"))
-        .join(e.select(col("vec_id").as("query_id"),
-          col("label").as("true_label")), "query_id")
-        .groupBy(col("true_label"), col("pred_label"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("true_label"), col("pred_label"))
+      knnConfusion(e, nn)
+    },
+    // the 100 TB form of the same eval: candidates from the multiprobe
+    // LSH band equi-join instead of an all-pairs broadcast, exact
+    // cosine re-rank, same vote. Rows-only (ANN recall < 1 can flip a
+    // vote); audit_knn_ann_agreement tracks per-probe agreement with
+    // the exact anchor.
+    "sim_knn_label_acc_ann" -> { (s, dir) =>
+      val e = labeled(s, dir)
+      val nn = lshTopK(e.select(col("vec_id"), col("v")),
+        e.select(col("vec_id").as("query_id"), col("v").as("qv")), 5)
+      knnConfusion(e, nn)
+    },
+    // fraction of probes whose ANN-kNN majority label equals the exact
+    // anchor's (rows-only by design — this IS the measurement)
+    "audit_knn_ann_agreement" -> { (s, dir) =>
+      val e = labeled(s, dir)
+      val c = e.select(col("vec_id"), col("v"))
+      val p = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val exact = knnPredictions(e, bruteForceTopK(c, p, 5))
+        .withColumnRenamed("pred_label", "exact_label")
+      val ann = knnPredictions(e, lshTopK(c, p, 5))
+        .withColumnRenamed("pred_label", "ann_label")
+      exact.join(ann, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("ann_label") === col("exact_label"), 1L)
+            .otherwise(0L)).as("n_agree"))
+        .select(col("n_queries"), col("n_agree"),
+          round(col("n_agree").cast(DoubleType) / col("n_queries"), 4)
+            .as("agreement"))
     },
     // recall audits (rows-only by design — recall < 1 is expected and
     // the point is to TRACK it): LSH and IVF top-k vs brute force

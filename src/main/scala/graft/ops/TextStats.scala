@@ -261,6 +261,20 @@ object TextStats {
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("bin"))
     },
+    // the 100 TB shape of sequence packing, now the PRIMARY registered
+    // form: hash docs into 8 shards and run the running-token window
+    // INSIDE each shard (shuffle on shard id, no global sort, no
+    // single-partition WindowExec) — bin ids are (shard, local bin).
+    // The global-window form above stays as the total-order anchor.
+    "pipeline_pack_sequences_sharded" -> { (s, dir) =>
+      packSequences(t(s, dir, "documents"), "text", "doc_id", 8192L, 8)
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard"), col("bin"))
+    },
     // deterministic stratified train/val/test split (hash-free so both
     // engines agree: doc_id mod 10 → 8/1/1) + per-(split, lang) stats —
     // the reproducible-split stage of a training-data pipeline
@@ -459,6 +473,18 @@ object TextStats {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "pipeline_pack_sequences_sharded" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM d)
+        |SELECT shard, CAST(floor((cum - n_tokens) / 8192) AS BIGINT) AS bin,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
     "pipeline_stratified_split" ->
       """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
         |    WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,

@@ -142,10 +142,42 @@ class OpsSpec extends AnyFunSuite {
       assert(exact.nonEmpty)
       assert((exact -- got).isEmpty, s"$dir: ANN missed pairs: ${exact -- got}")
       assert((got -- exact).isEmpty, s"$dir: ANN extra pairs: ${got -- exact}")
-      val plan = ann.queryExecution.executedPlan.toString
+      // plan property checked on the lazy builder: the registered query
+      // materializes (localCheckpoint), which hides the join from its plan
+      val (lazyPlan, handle) = Dedup.embeddingNearDupPlan(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", 0.45, 48, 5, 64)
+      val plan = lazyPlan.queryExecution.executedPlan.toString
+      handle.unpersist(blocking = false)
       assert(!plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoopJoin"),
         s"ANN plan contains a cross/theta join:\n${plan.take(1200)}")
+    }
+  }
+
+  test("containment prefix-filter path equals the exact all-pairs result, no cross join") {
+    // sf0.01 only (the driver's Verify SF): the exact anchor is O(n²)
+    // with per-pair set intersections — minutes at sf0.1, too slow for a
+    // unit gate. sf0.1 equality was measured once out-of-band: 566/566
+    // pairs, recall 1.0 (audit_containment_recall tracks it per round).
+    Seq("/root/testdata/sf0.01").foreach { dir =>
+      val exact = Dedup.queries("dedup_containment")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", graft.ops.Text.charShingles($"text", 5).as("sh"))
+      val approx = Dedup.containmentPairs(docs, "doc_id", "sh", 0.8)
+      val got = approx
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty)
+      assert((exact -- got).isEmpty, s"$dir: prefix filter missed: ${exact -- got}")
+      assert((got -- exact).isEmpty, s"$dir: prefix filter extra: ${got -- exact}")
+      val (lazyPlan, handle) = Dedup.containmentPlan(docs, "doc_id", "sh", 0.8,
+        materializeCands = false)
+      val plan = lazyPlan.queryExecution.executedPlan.toString
+      handle.unpersist(blocking = false)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$dir: containment plan contains a cross/theta join:\n${plan.take(1200)}")
     }
   }
 
@@ -178,6 +210,16 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 60)
     assert(comp.values.forall(_ == 1L), s"split clusters: $comp")
+  }
+
+  test("components: star graph (1 hub × 50k spokes) converges, no single-task straggler") {
+    // a celebrity node skews the groupBy(src) min-aggregate; partial
+    // aggregation must absorb it and convergence must take O(1) rounds
+    val pairs = spark.range(1, 50001)
+      .select(org.apache.spark.sql.functions.lit(0L).as("a"), $"id".as("b"))
+    val comp = Dedup.components(pairs, "a", "b").collect()
+    assert(comp.length == 50001)
+    assert(comp.forall(_.getLong(1) == 0L), "every node must join the hub's cluster")
   }
 
   test("components: chains merge transitively, min id wins") {
