@@ -348,6 +348,54 @@ object Similarity {
           array_max(col("qv")).as("q_max"))
         .orderBy(col("vec_id"))
     },
+    // per-label centroids (class-mean vectors — the prototype step of
+    // embedding evaluation / nearest-class-mean classification). One
+    // posexplode + one partial/final agg on (label, dim): n×64 narrow
+    // rows through a 64·|labels|-key aggregate — fully distributed, no
+    // vector ever collected. Emitted flat (label, dim_idx, mean) so the
+    // oracle compares element-wise.
+    "sim_label_centroids" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(Vectors.toDouble(col("embedding"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(davg(col("col")), 6).as("mean_val"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("pos").cast(LongType).as("dim_idx"),
+          col("mean_val"), col("n_vecs"))
+        .orderBy(col("label"), col("dim_idx"))
+    },
+    // nearest-class-mean classification eval: assign every vector to
+    // the label whose centroid is closest (L2), confusion counts vs the
+    // true label. Centroids are a 64·|labels|-row aggregate broadcast
+    // against one corpus scan — the classifier itself never shuffles
+    // the corpus. Complements kNN eval (prototype- vs instance-based).
+    "sim_ncm_label_acc" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDouble(col("embedding")).as("v"))
+      // element means per label, reassembled into centroid vectors
+      // davg, not avg: a partitioning-order ulp in a centroid component
+      // could flip the argmin on a near-tie between two centroids
+      val cents = e
+        .select(col("label").as("clabel"), posexplode(col("v")))
+        .groupBy(col("clabel"), col("pos"))
+        .agg(davg(col("col")).as("m"))
+        .groupBy(col("clabel"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("st"))
+        .select(col("clabel"),
+          transform(col("st"), s => s.getField("m")).as("centroid"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2"), col("clabel"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", Vectors.l2sq(col("v"), col("centroid")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .groupBy(col("label").as("true_label"),
+          col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    },
     // pairwise L2 distance stats (oracle-checked, exercises l2sq)
     "sim_l2_stats" -> { (s, dir) =>
       val c = corpus(s, dir)
@@ -433,6 +481,38 @@ object Similarity {
         |  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+        |    generate_subscripts(embedding, 1) AS idx
+        |  FROM embeddings)
+        |SELECT label, CAST(idx - 1 AS BIGINT) AS dim_idx,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_val,
+        |  count(*) AS n_vecs
+        |FROM e GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
+    "sim_ncm_label_acc" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |x AS (SELECT label AS clabel, unnest(v) AS comp,
+        |    generate_subscripts(v, 1) AS idx
+        |  FROM e),
+        |m AS (SELECT clabel, idx,
+        |    CAST(sum(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+        |  FROM x GROUP BY 1, 2),
+        |c AS (SELECT clabel, list(m ORDER BY idx) AS centroid
+        |  FROM m GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label, c.clabel,
+        |    list_reduce(list_transform(range(1, len(e.v)+1),
+        |      i -> (e.v[i]-c.centroid[i])*(e.v[i]-c.centroid[i])),
+        |      (a,b) -> a+b) AS d2
+        |  FROM e CROSS JOIN c),
+        |p AS (SELECT vec_id, label, clabel FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, clabel) = 1)
+        |SELECT label AS true_label, clabel AS pred_label, count(*) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY true_label, pred_label""".stripMargin,
     "sim_l2_stats" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -289,6 +289,62 @@ object TextStats {
         .orderBy(col("split"), col("lang"))
     },
 
+    // per-language quantile quality gate: keep docs whose distinct-token
+    // ratio is above their LANGUAGE's median — per-group adaptive
+    // thresholds instead of one global cutoff (an English cutoff is
+    // wrong for German). One shuffle on lang; the median is an exact
+    // percentile window over each lang partition (bounded by the
+    // per-lang doc count; at 100 TB switch to approx_percentile in a
+    // pre-aggregate and broadcast the per-lang thresholds).
+    "pipeline_quality_gate_quantile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("toks"))).cast(DoubleType) /
+            size(col("toks")))
+      val w = Window.partitionBy(col("lang"))
+      scored
+        .withColumn("lang_median",
+          expr("percentile(distinct_ratio, 0.5)").over(w))
+        .filter(col("distinct_ratio") > col("lang_median"))
+        .select(col("doc_id"), col("lang"),
+          round(col("distinct_ratio"), 6).as("distinct_ratio"),
+          round(col("lang_median"), 6).as("lang_median"))
+        .orderBy(col("doc_id"))
+    },
+    // overlapping token-window chunking (retrieval/RAG prep): fixed
+    // 128-token chunks at stride 64 — per-row sequence generate +
+    // explode, embarrassingly parallel, no shuffle at all
+    "pipeline_chunk_overlap" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("n_tokens", size(Text.tokens(col("text"))))
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(sequence(lit(0), col("n_tokens") - 1, lit(64))))
+        .select(col("doc_id"),
+          col("pos").cast(LongType).as("chunk_idx"),
+          col("col").cast(LongType).as("chunk_start"),
+          least(lit(128), col("n_tokens") - col("col"))
+            .cast(LongType).as("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    // deterministic hash-based corpus sampling: keep a doc iff the hex
+    // md5 of its id starts below '20' (a ~12.5% Bernoulli sample that is
+    // reproducible across engines, runs, and cluster sizes — no RNG
+    // state, no seed plumbing); reported per (lang, source) so quota
+    // drift is visible. The per-row hash is codegen'd; one final agg.
+    "pipeline_hash_sample" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast(StringType)), 1, 2) < "20")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sampled_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("source"))
+    },
+
     // end-to-end corpus cleaning: quality gate → exact near-dup removal
     // (fingerprint keep-first) → per-(lang, source) stats. The composed
     // pipeline a training-data run would execute, as one declarative
@@ -473,6 +529,38 @@ object TextStats {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "pipeline_quality_gate_quantile" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+        |  FROM d WHERE len(toks) > 0),
+        |m AS (SELECT doc_id, lang, distinct_ratio,
+        |    quantile_cont(distinct_ratio, 0.5)
+        |      OVER (PARTITION BY lang) AS lang_median
+        |  FROM s)
+        |SELECT doc_id, lang, round(distinct_ratio, 6) AS distinct_ratio,
+        |  round(lang_median, 6) AS lang_median
+        |FROM m WHERE distinct_ratio > lang_median
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_chunk_overlap" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    unnest(range(0, n_tokens, 64)) AS chunk_start
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, chunk_start // 64 AS chunk_idx, chunk_start,
+        |  least(128, n_tokens - chunk_start) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipeline_hash_sample" ->
+      """SELECT lang, source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+        |  min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "pipeline_pack_sequences_sharded" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
