@@ -21,6 +21,7 @@ object Bench {
     "sim_topk_bruteforce", "sim_topk_lsh", "sim_topk_ivf",
     "text_quality", "text_term_freq", "text_fingerprint",
     "text_contamination", "pipeline_pack_sequences_sharded",
+    "text_bigram_lm", "q_zorder_key",
     "mm_decode_meta", "stream_hourly_window", "stream_sessionize")
 
   def main(args: Array[String]): Unit = {

@@ -31,6 +31,7 @@ object SparkEntry {
       graft.ops.AsOf.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Scale.queries ++
+      graft.ops.Warehouse.queries ++
       graft.ops.Typed.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.EventStream.queries
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.ops.AsOf.oracleSql ++
       graft.ops.Analytics.oracleSql ++
       graft.ops.Scale.oracleSql ++
+      graft.ops.Warehouse.oracleSql ++
       graft.ops.Typed.oracleSql ++
       graft.sources.Sinks.oracleSql ++
       graft.streaming.EventStream.oracleSql

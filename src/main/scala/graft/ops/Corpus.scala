@@ -98,6 +98,83 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // domain-mixture weights: per-source token counts → temperature-
+    // scaled sampling weights w ∝ n^α (α = 0.5 upsamples the tail like
+    // multilingual-LM data mixing) plus the effective epochs each
+    // source runs at for a fixed token budget. One hash agg over the
+    // corpus; the normalizer is a one-row broadcast.
+    "pipeline_mixture_weights" -> { (s, dir) =>
+      val alpha = 0.5
+      val budgetTokens = 1000000L
+      val perSource = t(s, dir, "documents")
+        .select(col("source"), size(Text.tokens(col("text"))).as("n_toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks").cast(LongType)).as("n_tokens"))
+        .withColumn("w_raw", pow(col("n_tokens").cast(DoubleType), lit(alpha)))
+      val z = perSource.agg(dsum(col("w_raw")).as("z"))
+      perSource.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("w_raw") / col("z"), 6).as("weight"),
+          round(col("w_raw") / col("z") * budgetTokens / col("n_tokens"), 6)
+            .as("eff_epochs"))
+        .orderBy(col("source"))
+    },
+
+    // boilerplate removal (CCNet line dedup): drop every 16-token
+    // segment that occurs in more than one distinct document, rebuild
+    // the surviving text in original segment order. One explode, one
+    // distinct-count agg on the segment key, one equi-join back, and a
+    // per-doc sort of its own (bounded) segment list — the corpus is
+    // never globally sorted. Docs whose every segment is boilerplate
+    // drop out entirely, like the filter stage would at scale.
+    "pipeline_remove_boilerplate" -> { (s, dir) =>
+      val segs = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("segs", segments(col("toks"), 16))
+        .selectExpr("doc_id", "posexplode(segs) AS (pos, seg)")
+      val docFreq = segs.groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with_seg"))
+      segs.join(docFreq, "seg")
+        .filter(col("n_docs_with_seg") <= 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("seg")))),
+            p => p("seg")), " ").as("kept_text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // bigram LM scoring: corpus bigram/context counts → per-doc mean
+    // -ln p(w2|w1). Count tables are vocabulary²-bounded (broadcast
+    // here; plain equi-join once they outgrow the broadcast threshold
+    // — the corpus side still shuffles at most once). The next rung
+    // above text_unigram_logprob on the KenLM-bucket ladder.
+    "text_bigram_lm" -> { (s, dir) =>
+      val pairs = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bigramCnt = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val contextCnt = pairs.groupBy(col("w1"))
+        .agg(count(lit(1)).as("n_context"))
+      pairs
+        .join(broadcast(bigramCnt), Seq("w1", "w2"))
+        .join(broadcast(contextCnt), Seq("w1"))
+        .withColumn("lp",
+          -log(col("n_bigram").cast(DoubleType) / col("n_context")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(davg(col("lp")), 6).as("mean_neg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
     // per-source quota downsampling: cap each source at its 10 best docs
     // by distinct-token ratio (over-represented-domain rebalancing).
     // One shuffle on source + a bounded window — no global sort.
@@ -167,6 +244,53 @@ object Corpus {
         |  round(CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS dup_frac
         |FROM s JOIN c USING (seg) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_mixture_weights" ->
+      """WITH d AS (SELECT source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS n_toks
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+        |gw AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM g),
+        |z AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS z
+        |  FROM gw)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w_raw / z, 6) AS weight,
+        |  round(w_raw / z * 1000000 / n_tokens, 6) AS eff_epochs
+        |FROM gw CROSS JOIN z ORDER BY source""".stripMargin,
+    "pipeline_remove_boilerplate" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks)/16.0) AS INT))) AS i
+        |  FROM d WHERE len(toks) > 0),
+        |s AS (SELECT doc_id, i AS pos,
+        |    array_to_string(toks[i*16+1 : i*16+16], ' ') AS seg
+        |  FROM s0),
+        |c AS (SELECT seg, count(DISTINCT doc_id) AS n_docs_with_seg
+        |  FROM s GROUP BY seg)
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY pos) AS kept_text
+        |FROM s JOIN c USING (seg)
+        |WHERE n_docs_with_seg <= 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |  FROM d WHERE len(toks) >= 2),
+        |p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p0),
+        |cb AS (SELECT w1, w2, count(*) AS n_bigram FROM p GROUP BY w1, w2),
+        |cu AS (SELECT w1, count(*) AS n_context FROM p GROUP BY w1),
+        |lp AS (SELECT doc_id,
+        |    -ln(CAST(n_bigram AS DOUBLE) / n_context) AS lp
+        |  FROM p JOIN cb USING (w1, w2) JOIN cu USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp), 6)
+        |    AS mean_neg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_source_quota" ->
       """WITH d AS (SELECT source, doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 import Q._
 
@@ -115,6 +116,34 @@ object Scale {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
         .orderBy(col("c_mktsegment"))
     },
+    // z-order (Morton) clustering key + the data-skipping index it
+    // yields: interleave 8 bits of customer bucket with 8 bits of
+    // price bucket, assign rows to fixed-width z-ranges ("files"), and
+    // emit each file's per-dimension min/max — the footer stats a scan
+    // would prune on. Pure per-row bit arithmetic plus one hash agg;
+    // no global sort is needed because file assignment is value-based
+    // (z >> 4), not rank-based.
+    "q_zorder_key" -> { (s, dir) =>
+      val withBuckets = t(s, dir, "orders")
+        .withColumn("xb", (col("o_custkey") % 256).cast(IntegerType))
+        .withColumn("yb",
+          least(floor(col("o_totalprice") / 2000.0), lit(255.0))
+            .cast(IntegerType))
+      val z = (0 until 8).foldLeft(lit(0)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(shiftright(col("xb"), i).bitwiseAND(lit(1)),
+            2 * i))
+          .bitwiseOR(shiftleft(shiftright(col("yb"), i).bitwiseAND(lit(1)),
+            2 * i + 1))
+      }
+      withBuckets.withColumn("zval", z)
+        .withColumn("file_id", shiftright(col("zval"), 4))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("xb")).as("x_min"), max(col("xb")).as("x_max"),
+          min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
+        .orderBy(col("file_id"))
+    },
     // custom codegen expression exposed through the SQL surface
     "q_sql_graft_dot" -> { (s, dir) =>
       registerSqlFunctions(s)
@@ -145,6 +174,20 @@ object Scale {
         |FROM events e JOIN customer c
         |  ON e.user_id = c.c_custkey AND c.c_acctbal > 9000
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_zorder_key" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((xb >> $i) & 1) << ${2 * i})",
+        s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (SELECT
+         |    CAST(o_custkey % 256 AS INT) AS xb,
+         |    CAST(least(floor(o_totalprice / 2000.0), 255.0) AS INT) AS yb
+         |  FROM orders),
+         |z AS (SELECT xb, yb, ($terms) AS zval FROM b)
+         |SELECT zval >> 4 AS file_id, count(*) AS n_rows,
+         |  min(xb) AS x_min, max(xb) AS x_max,
+         |  min(yb) AS y_min, max(yb) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q_sql_graft_dot" ->
       """SELECT vec_id,
         |  round(sqrt(list_reduce(

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Warehouse-modeling analytics the reference has no counterpart for
+  * (its 642-line ingest script ends at the columnar sink — see
+  * SURVEY §2c): slowly-changing-dimension history, RFM customer
+  * segmentation, and statistical anomaly flagging over the event
+  * stream.
+  *
+  * Scale notes: SCD-2 is one shuffle on the dimension key plus a
+  * bounded per-key window; anomaly z-scores reduce the event stream to
+  * one row per (type, hour) before any join, and the per-type stats
+  * table is broadcast. RFM's three ntile windows run over the
+  * *post-aggregation* per-user table (|users| rows, not |events|) —
+  * see the comment on the query for the 100 TB variant.
+  */
+object Warehouse {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SCD type-2 history build: each order becomes a versioned row of
+    // the customer's "current order" dimension with [valid_from,
+    // valid_to) from the next change, NULL-open for the latest (the
+    // MERGE-free formulation of dimension versioning). One shuffle on
+    // o_custkey; the window is bounded per key.
+    "q_scd2_history" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // RFM segmentation: per-user recency/frequency/monetary → quintile
+    // scores → 3-digit segment code. The ntile windows are global by
+    // definition (quintiles of the whole user base) but run over the
+    // per-user aggregate, which is orders of magnitude smaller than the
+    // event stream; at 100 TB swap ntile for a join against
+    // approx-quantile thresholds (same output contract, audited like
+    // the ANN recall queries) once |users| itself outgrows one task.
+    "events_rfm" -> { (s, dir) =>
+      val e = events(s, dir)
+      val now = e.agg(max(unix_micros(col("ts"))).as("t_now"))
+      val perUser = e.groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("t_last"),
+          count(lit(1)).as("frequency"),
+          dsum(col("value")).as("monetary"))
+        .crossJoin(broadcast(now))
+        .withColumn("recency_us", col("t_now") - col("t_last"))
+      val wr = Window.orderBy(col("recency_us").desc, col("user_id"))
+      val wf = Window.orderBy(col("frequency"), col("user_id"))
+      val wm = Window.orderBy(col("monetary"), col("user_id"))
+      perUser.select(col("user_id"), col("recency_us"),
+          col("frequency"), col("monetary"),
+          ntile(5).over(wr).as("r_score"),
+          ntile(5).over(wf).as("f_score"),
+          ntile(5).over(wm).as("m_score"))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("user_id"))
+    },
+
+    // hourly anomaly flags: z-score of each (event_type, hour) count
+    // against that type's own hourly distribution, |z| > 2 flagged.
+    // The stream reduces to one row per (type, hour) before the stats
+    // join; variance comes from exact integer sum/sum-of-squares (the
+    // two-pass-free formulation), so the doubles are reproducible on
+    // any partitioning and in DuckDB.
+    "events_anomaly_zscore" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("n")).as("sum_n"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        .withColumn("mean_n", col("sum_n").cast(DoubleType) / col("n_hours"))
+        .withColumn("var_n",
+          (col("sum_sq").cast(DoubleType) -
+            col("sum_n").cast(DoubleType) * col("sum_n") / col("n_hours")) /
+            (col("n_hours") - 1))
+      hourly.join(broadcast(stats), "event_type")
+        .filter(col("n_hours") > 1 && col("var_n") > 0)
+        .withColumn("z",
+          round((col("n") - col("mean_n")) / sqrt(col("var_n")), 4))
+        .select(col("event_type"), col("hour_start"), col("n"),
+          col("z"), (abs(col("z")) > 2).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hour_start"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "events_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT max(us) AS t_now FROM e),
+        |u AS (SELECT user_id, max(us) AS t_last, count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS monetary
+        |  FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, t_now - t_last AS recency_us,
+        |    frequency, monetary
+        |  FROM u CROSS JOIN mx),
+        |sc AS (SELECT user_id, recency_us, frequency, monetary,
+        |    CAST(ntile(5) OVER (ORDER BY recency_us DESC, user_id) AS INT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS INT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INT)
+        |      AS m_score
+        |  FROM r)
+        |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM sc ORDER BY user_id""".stripMargin,
+    "events_anomaly_zscore" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n_hours, sum(n) AS sum_n,
+        |    sum(n * n) AS sum_sq
+        |  FROM h GROUP BY event_type),
+        |sv AS (SELECT event_type, n_hours,
+        |    CAST(sum_n AS DOUBLE) / n_hours AS mean_n,
+        |    (CAST(sum_sq AS DOUBLE)
+        |      - CAST(sum_n AS DOUBLE) * sum_n / n_hours) / (n_hours - 1)
+        |      AS var_n
+        |  FROM st)
+        |SELECT event_type, hour_start, n,
+        |  round((n - mean_n) / sqrt(var_n), 4) AS z,
+        |  abs(round((n - mean_n) / sqrt(var_n), 4)) > 2 AS is_anomaly
+        |FROM h JOIN sv USING (event_type)
+        |WHERE n_hours > 1 AND var_n > 0
+        |ORDER BY event_type, hour_start""".stripMargin
+  )
+}

@@ -83,4 +83,63 @@ class CorpusSpec extends AnyFunSuite {
       assert(r.getInt(2) == t.length)
     }
   }
+
+  test("mixture weights sum to 1 and epochs are consistent with weights") {
+    val rows = Corpus.queries("pipeline_mixture_weights")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getDouble(3)).sum
+    // weights are rounded to 6 decimals per source before the sum
+    assert(math.abs(wSum - 1.0) < 1e-3)
+    rows.foreach { r =>
+      val (nTokens, w, epochs) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(w > 0 && epochs > 0)
+      // w is rounded to 6 dp, so the recomputed epochs can be off by
+      // up to 0.5e-6 * budget / n_tokens
+      assert(math.abs(epochs - w * 1000000L / nTokens) <=
+        0.5e-6 * 1000000L / nTokens + 1e-4)
+    }
+    // α = 0.5 compresses the spread: weight ratio ≤ sqrt(token ratio)
+    val byTok = rows.sortBy(_.getLong(2))
+    val (lo, hi) = (byTok.head, byTok.last)
+    if (lo.getLong(2) < hi.getLong(2)) {
+      val tokRatio = hi.getLong(2).toDouble / lo.getLong(2)
+      val wRatio = hi.getDouble(3) / lo.getDouble(3)
+      assert(wRatio <= math.sqrt(tokRatio) * 1.001)
+    }
+  }
+
+  test("boilerplate removal keeps only segments unique to one doc") {
+    val rows = Corpus.queries("pipeline_remove_boilerplate")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // kept segments are all 16 tokens except possibly the original
+    // final short one, so re-grouping the rebuilt text by 16 recovers
+    // exactly the kept segments
+    val segToDocs = rows.flatMap { r =>
+      val toks = r.getString(2).split(" ").filter(_.nonEmpty)
+      toks.grouped(16).map(g => g.mkString(" ") -> r.getLong(0))
+    }
+    rows.foreach { r =>
+      val n = r.getString(2).split(" ").count(_.nonEmpty)
+      assert(r.getLong(1) == math.ceil(n / 16.0).toLong)
+    }
+    // no surviving segment spans two output docs
+    segToDocs.groupBy(_._1).foreach { case (_, occ) =>
+      assert(occ.map(_._2).distinct.length == 1)
+    }
+  }
+
+  test("bigram LM: scores positive, repeated-bigram docs score lower") {
+    val rows = Corpus.queries("text_bigram_lm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // n_bigrams = n_tokens - 1 for docs with ≥ 2 tokens
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(Text.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach(r => assert(r.getLong(1) == toks(r.getLong(0)) - 1))
+  }
 }

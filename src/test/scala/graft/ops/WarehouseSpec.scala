@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the warehouse-modeling operators (Warehouse.scala) and the
+  * z-order layout op (Scale.scala), run on the driver's sf0.001 tables.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scd2: per customer, intervals chain and exactly one is current") {
+    val rows = Warehouse.queries("q_scd2_history")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def ts(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDateTime =
+      r.getAs[java.time.LocalDateTime](i)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.count(_.getBoolean(5)) == 1)
+      // ordered by (valid_from, orderkey): each valid_to equals the
+      // next row's valid_from and never precedes its own valid_from
+      val sorted = rs.sortWith { (a, b) =>
+        val c = ts(a, 3).compareTo(ts(b, 3))
+        c < 0 || (c == 0 && a.getLong(1) < b.getLong(1))
+      }
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(!a.isNullAt(4))
+        assert(ts(a, 4) == ts(b, 3))
+        assert(!ts(a, 4).isBefore(ts(a, 3)))
+      }
+      assert(sorted.last.isNullAt(4))
+    }
+  }
+
+  test("rfm: scores are quintiles 1..5 with near-equal bucket sizes") {
+    val rows = Warehouse.queries("events_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    Seq(4, 5, 6).foreach { i => // r_score, f_score, m_score
+      val counts = rows.groupBy(_.getInt(i)).map { case (k, v) =>
+        assert(k >= 1 && k <= 5)
+        v.size
+      }
+      assert(counts.max - counts.min <= 1) // ntile balance
+    }
+    rows.foreach { r =>
+      assert(r.getInt(7) ==
+        r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6))
+    }
+    assert(n >= 5)
+  }
+
+  test("anomaly z-scores: per type, mean(z) ≈ 0 and flags match |z|>2") {
+    val rows = Warehouse.queries("events_anomaly_zscore")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 2)))
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val zs = rs.map(_.getDouble(3))
+      assert(math.abs(zs.sum / zs.length) < 0.05)
+    }
+  }
+
+  test("zorder: value-based files cover disjoint z-ranges with bounded " +
+    "per-dim spread") {
+    val rows = Scale.queries("q_zorder_key")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // file ids are distinct (groupBy) and each file's x/y ranges are
+    // min ≤ max within the 8-bit bucket domain
+    rows.foreach { r =>
+      Seq((r.getInt(2), r.getInt(3)), (r.getInt(4), r.getInt(5))).foreach {
+        case (lo, hi) =>
+          assert(lo >= 0 && hi <= 255 && lo <= hi)
+      }
+    }
+    // the low 4 z-bits interleave exactly 2 x-bits and 2 y-bits, so one
+    // file (fixed z >> 4) varies x and y by at most 3 each — the
+    // data-skipping property a min/max-pruned scan exploits
+    rows.foreach { r =>
+      assert(r.getInt(3) - r.getInt(2) <= 3)
+      assert(r.getInt(5) - r.getInt(4) <= 3)
+    }
+  }
+}
