@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage profiler: times named sub-plans of the expensive
+  * queries so a bench outlier can be attributed to a stage instead of
+  * guessed at. Not part of the driver contract.
+  *
+  * Usage: sbt "runMain graft.Profile <sfDir> <queryName>"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = args.drop(1).headOption.getOrElse("containment")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    what match {
+      case "containment" => profileContainment(spark, sfDir)
+      case "containment2" => profileContainment2(spark, sfDir)
+      case q => // bench-identical: untimed warm-up, median of 3, cache
+        // cleared between runs
+        def run(): Unit = SparkEntry.queries(q)(spark, sfDir).count()
+        time(s"$q warm")(run())
+        val times = (1 to 3).map { i =>
+          spark.catalog.clearCache()
+          time(s"$q run$i") { run() }
+          0
+        }
+        ()
+    }
+    spark.stop()
+  }
+
+  private def time[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  private def profileContainment2(s: SparkSession, dir: String): Unit = {
+    import graft.ops.{Dedup, Text}
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+    time("shingles scan")(docs.count())
+    val raw = docs.select(col("doc_id").as("id"),
+      array_distinct(transform(col("sh"), x => xxhash64(x))).as("h0"))
+    val toks = raw.select(col("id"), explode(col("h0")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sets = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), x => x.getField("tok")).as("hs"))
+      .persist()
+    time("sets build+persist")(sets.count())
+    val postings = sets
+      .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
+      .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
+      .filter(size(col("ids")) <= Dedup.MaxBucket)
+    time("posting volume probe")(
+      println("  vol=" + postings.agg(sum(size(col("ids")))).head.get(0)))
+    val collected = time("postings collect")(
+      postings.select(col("tok"), col("ids")).collect())
+    println("  postings rows=" + collected.length)
+    val cands = time("full containmentPairs")(
+      Dedup.containmentPairs(docs, "doc_id", "sh", 0.8))
+    time("cands count")(println("  cands=" + cands.count()))
+    sets.unpersist()
+  }
+
+  private def profileContainment(s: SparkSession, dir: String): Unit = {
+    import graft.ops.{Dedup, Text}
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+    val raw = docs.select(col("doc_id").as("id"),
+      array_distinct(transform(col("sh"), x => xxhash64(x))).as("h0"))
+    val toks = raw.select(col("id"), explode(col("h0")).as("tok"))
+    time("toks explode")(toks.count())
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    time("dfreq distinct toks")(println("  distinct=" + dfreq.count()))
+    val sets = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), x => x.getField("tok")).as("hs"))
+      .persist()
+    time("sets build+persist")(sets.count())
+    val sz = size(col("hs"))
+    val threshold = 0.8
+    val missMax = (sz - ceil(sz * threshold))
+      .cast(org.apache.spark.sql.types.IntegerType)
+    val prefLen = least(sz, missMax * 2 + 1)
+      .cast(org.apache.spark.sql.types.IntegerType)
+    val pref = sets.select(col("id").as("id_a"), missMax.as("mm"),
+      prefLen.as("m"), explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
+    time("pref rows")(println("  pref=" + pref.count()))
+    val postings = sets
+      .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
+      .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
+      .filter(size(col("ids")) <= Dedup.MaxBucket)
+    time("postings")(println("  postings=" + postings.count()))
+    val joined = pref.join(postings, "tok")
+      .select(col("id_a"), col("mm"), col("m"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    time("join+explode volume")(println("  joined=" + joined.count()))
+    val counted = joined
+      .groupBy(col("id_a"), col("id_b"), col("mm"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("m") - col("mm"))
+      .select(col("id_a"), col("id_b"))
+    time("counted candidates")(println("  cands=" + counted.count()))
+    sets.unpersist()
+  }
+}

@@ -41,6 +41,14 @@ object Dedup {
   val Bands = 8 // 8 bands × 4 rows
   val RowsPerBand = 4
   val MaxBucket = 1000
+  /** Max Σ|posting| for the broadcast in-memory candidate counter in
+    * [[containmentPlan]] (~32 MB of longs). Under it — the degenerate
+    * small-vocabulary regime, where fat postings make the shuffle
+    * count-join explode — pair counting runs as classic in-memory
+    * AllPairs per partition with zero shuffle; over it (real Zipf
+    * corpora: huge vocab, thin postings) the distributed count-filter
+    * join is the right plan and the broadcast wouldn't fit. */
+  val BroadcastPostingsCap: Long = 4L << 20
 
   /** MinHash signatures via [[graft.functions.MinHashSig]]: one per-row
     * pass, one string hash per shingle, K derived hashes by splitmix
@@ -399,13 +407,25 @@ object Dedup {
       .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
       .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
       .filter(size(col("ids")) <= MaxBucket)
-    val counted = pref.join(postings, "tok")
-      .select(col("id_a"), col("mm"), col("m"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("mm"), col("m"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= col("m") - col("mm"))
-      .select(col("id_a"), col("id_b"))
+    // Adaptive pair counting — both branches apply the identical
+    // lossless pigeonhole filter, so candidates (and recall) are the
+    // same either way; only the execution strategy differs. The volume
+    // probe is one vocabulary-sized agg (bounded driver scalar, like
+    // the components convergence check).
+    val postingVolume = postings.agg(sum(size(col("ids"))))
+      .head.get(0) match { case null => 0L; case v: Long => v }
+    val counted =
+      if (postingVolume <= BroadcastPostingsCap)
+        inMemoryPairCount(sets, postings, threshold)
+      else
+        pref.join(postings, "tok")
+          .select(col("id_a"), col("mm"), col("m"),
+            explode(col("ids")).as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("mm"), col("m"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= col("m") - col("mm"))
+          .select(col("id_a"), col("id_b"))
     val cands = if (materializeCands) counted.localCheckpoint() else counted
     val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
@@ -417,6 +437,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
     (out, sets)
+  }
+
+  /** In-memory AllPairs candidate counting for [[containmentPlan]]'s
+    * small-vocabulary regime: the capped postings index (≤
+    * [[BroadcastPostingsCap]] entries) is broadcast, doc ids densified
+    * to int indexes, and each partition counts prefix-token overlaps in
+    * a reused int array — the 10⁸-row join+shuffle the distributed
+    * count-filter pays on fat postings becomes ~10⁸ in-place int
+    * increments with zero shuffle. Emits exactly the pairs the shuffle
+    * branch would: count ≥ m − mm over A's first m = min(|A|, 2·mm+1)
+    * df-ascending tokens (same lossless pigeonhole filter). */
+  private def inMemoryPairCount(sets: DataFrame, postings: DataFrame,
+      threshold: Double): DataFrame = {
+    val sp = sets.sparkSession
+    import sp.implicits._
+    // densify posting doc-ids at the driver (bounded by the volume cap)
+    val raw = postings.select(col("tok"), col("ids")).collect()
+    val idIndex = new scala.collection.mutable.HashMap[Long, Int]
+    val revIds = new scala.collection.mutable.ArrayBuffer[Long]
+    val pmap = new java.util.HashMap[Long, Array[Int]](raw.length * 2)
+    raw.foreach { r =>
+      val ids = r.getSeq[Long](1)
+      val dense = new Array[Int](ids.length)
+      var j = 0
+      ids.foreach { id =>
+        dense(j) = idIndex.getOrElseUpdate(id,
+          { revIds += id; revIds.length - 1 })
+        j += 1
+      }
+      pmap.put(r.getLong(0), dense)
+    }
+    val nIds = revIds.length
+    val rev = revIds.toArray
+    val bcPost = sp.sparkContext.broadcast(pmap)
+    val bcRev = sp.sparkContext.broadcast(rev)
+    sets.select(col("id"), col("hs")).as[(Long, Seq[Long])]
+      .mapPartitions { iter =>
+        val post = bcPost.value
+        val revIdx = bcRev.value
+        val counts = new Array[Int](nIds)
+        val touched = new Array[Int](nIds)
+        iter.flatMap { case (idA, hs) =>
+          val szA = hs.length
+          val mm = szA - math.ceil(szA * threshold).toInt
+          val m = math.min(szA, 2 * mm + 1)
+          var nTouched = 0
+          var i = 0
+          while (i < m) {
+            val ids = post.get(hs(i))
+            if (ids != null) {
+              var j = 0
+              while (j < ids.length) {
+                val b = ids(j)
+                if (counts(b) == 0) { touched(nTouched) = b; nTouched += 1 }
+                counts(b) += 1
+                j += 1
+              }
+            }
+            i += 1
+          }
+          val need = m - mm
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+          var k = 0
+          while (k < nTouched) {
+            val b = touched(k)
+            if (counts(b) >= need && revIdx(b) != idA)
+              out += ((idA, revIdx(b)))
+            counts(b) = 0
+            k += 1
+          }
+          out
+        }
+      }.toDF("id_a", "id_b")
   }
 
   /** Exact all-pairs containment at `threshold` — the O(n²) correctness
