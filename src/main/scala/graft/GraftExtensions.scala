@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingles, DotProduct, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
+import graft.functions.{CharShingleHashes, CharShingles, DotProduct, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
 
 /** The custom-expression SQL surface, shared by both registration
   * paths: cluster-wide via `--conf spark.sql.extensions=graft.
@@ -44,6 +44,10 @@ object GraftFunctions {
     ("graft_char_shingles", classOf[CharShingles], exprs => {
       two("graft_char_shingles", exprs)
       CharShingles(exprs(0), intArg("graft_char_shingles", exprs, 1))
+    }),
+    ("graft_char_shingle_hashes", classOf[CharShingleHashes], exprs => {
+      two("graft_char_shingle_hashes", exprs)
+      CharShingleHashes(exprs(0), intArg("graft_char_shingle_hashes", exprs, 1))
     }),
     ("graft_rolling_hash", classOf[RollingHash], exprs => {
       require(exprs.length == 1,

@@ -121,6 +121,42 @@ object Corpus {
         .orderBy(col("source"))
     },
 
+    // temperature sampling end-to-end: per-source α-temperature rate
+    // (eff-epochs capped at 1 — upsampled sources keep everything at
+    // the sampling stage) applied as a deterministic md5-prefix
+    // Bernoulli keep. The threshold is a fixed-width lowercase-hex
+    // string compare, so the same docs are kept on any engine, any
+    // cluster size, any run — reproducible corpus mixing. rate >= 1.0
+    // short-circuits the hash compare: floor(1.0 * 65536) formats as
+    // the 5-char "10000", which a 4-char prefix would compare AGAINST
+    // lexicographically, silently keeping only md5s starting with '0'.
+    "pipeline_temperature_sample" -> { (s, dir) =>
+      val alpha = 0.5
+      val budgetTokens = 10000L
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_toks"))
+      val perSource = docs.groupBy(col("source"))
+        .agg(sum(col("n_toks").cast(LongType)).as("n_tokens"))
+        .withColumn("w_raw", pow(col("n_tokens").cast(DoubleType), lit(alpha)))
+      val z = perSource.agg(dsum(col("w_raw")).as("z"))
+      val rates = perSource.crossJoin(broadcast(z))
+        .withColumn("rate",
+          round(least(lit(1.0),
+            col("w_raw") / col("z") * budgetTokens / col("n_tokens")), 6))
+        .withColumn("thr", format_string("%04x",
+          floor(col("rate") * 65536).cast(IntegerType)))
+        .select(col("source"), col("rate"), col("thr"))
+      docs.join(broadcast(rates), "source")
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast(StringType)), 1, 4) < col("thr"))
+        .groupBy(col("source"))
+        .agg(min(col("rate")).as("rate"),
+          count(lit(1)).as("n_kept"),
+          sum(col("n_toks").cast(LongType)).as("kept_tokens"))
+        .orderBy(col("source"))
+    },
+
     // boilerplate removal (CCNet line dedup): drop every 16-token
     // segment that occurs in more than one distinct document, rebuild
     // the surviving text in original segment order. One explode, one
@@ -258,6 +294,27 @@ object Corpus {
         |  round(w_raw / z, 6) AS weight,
         |  round(w_raw / z * 1000000 / n_tokens, 6) AS eff_epochs
         |FROM gw CROSS JOIN z ORDER BY source""".stripMargin,
+    "pipeline_temperature_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS n_toks
+        |  FROM documents),
+        |g AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY source),
+        |gw AS (SELECT *, pow(CAST(n_tokens AS DOUBLE), 0.5) AS w_raw FROM g),
+        |z AS (SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS z
+        |  FROM gw),
+        |r AS (SELECT source,
+        |    round(least(1.0, w_raw / z * 10000 / n_tokens), 6) AS rate
+        |  FROM gw CROSS JOIN z),
+        |rt AS (SELECT source, rate,
+        |    printf('%04x', CAST(floor(rate * 65536) AS INT)) AS thr
+        |  FROM r)
+        |SELECT source, min(rate) AS rate, count(*) AS n_kept,
+        |  CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+        |FROM d JOIN rt USING (source)
+        |WHERE rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr
+        |GROUP BY source ORDER BY source""".stripMargin,
     "pipeline_remove_boilerplate" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -382,8 +382,16 @@ object Dedup {
   private[graft] def containmentPlan(docs: DataFrame, idCol: String,
       shinglesCol: String, threshold: Double,
       materializeCands: Boolean): (DataFrame, DataFrame) = {
-    val raw = docs.select(col(idCol).as("id"),
-      array_distinct(transform(col(shinglesCol), x => xxhash64(x))).as("h0"))
+    // accept pre-hashed shingle sets (array<long>, e.g. from
+    // Text.charShingleHashes) or hash string shingles here
+    val raw = docs.schema(shinglesCol).dataType match {
+      case ArrayType(LongType, _) =>
+        docs.select(col(idCol).as("id"), col(shinglesCol).as("h0"))
+      case _ =>
+        docs.select(col(idCol).as("id"),
+          array_distinct(transform(col(shinglesCol), x => xxhash64(x)))
+            .as("h0"))
+    }
     val toks = raw.select(col("id"), explode(col("h0")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val sets = toks.join(dfreq, "tok")
@@ -654,13 +662,15 @@ object Dedup {
     // audit_containment_recall tracks it per round.
     "dedup_containment_lsh" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+        .select(col("doc_id"),
+          Text.charShingleHashes(col("text"), 5).as("sh"))
       containmentPairs(docs, "doc_id", "sh", 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
     "audit_containment_recall" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), Text.charShingles(col("text"), 5).as("sh"))
+        .select(col("doc_id"),
+          Text.charShingleHashes(col("text"), 5).as("sh"))
       pairRecall(containmentPairs(docs, "doc_id", "sh", 0.8),
         exactContainmentPairs(s, dir, 0.8))
     },

@@ -28,6 +28,13 @@ object Text {
   def charShingles(text: Column, n: Int): Column =
     GraftBridge.column(CharShingles(GraftBridge.expression(text), n))
 
+  /** Sorted distinct xxhash64 values of the character n-grams — the
+    * fused form of `array_distinct(transform(charShingles(text, n),
+    * xxhash64))` for hash-set consumers (containment dedup). */
+  def charShingleHashes(text: Column, n: Int): Column =
+    GraftBridge.column(
+      graft.functions.CharShingleHashes(GraftBridge.expression(text), n))
+
   /** Reference HOF formulations — semantics oracle for the native
     * expressions above (asserted equal in OpsSpec). */
   def wordShinglesHof(text: Column, w: Int): Column = {

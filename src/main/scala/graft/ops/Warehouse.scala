@@ -22,6 +22,24 @@ import Q._
   */
 object Warehouse {
 
+  /** Per-user R/F/M aggregates — shared by the exact (ntile) and
+    * approx-threshold RFM formulations. */
+  private def rfmPerUser(e: DataFrame): DataFrame = {
+    val now = e.agg(max(unix_micros(col("ts"))).as("t_now"))
+    e.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("t_last"),
+        count(lit(1)).as("frequency"),
+        dsum(col("value")).as("monetary"))
+      .crossJoin(broadcast(now))
+      .withColumn("recency_us", col("t_now") - col("t_last"))
+  }
+
+  /** Quintile score from four broadcast thresholds: 1 + #{t_k < v}
+    * (ascending value = better). */
+  private def thresholdScore(v: org.apache.spark.sql.Column,
+      ts: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+    ts.foldLeft(lit(1))((acc, t) => acc + when(v > t, 1).otherwise(0))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SCD type-2 history build: each order becomes a versioned row of
@@ -48,14 +66,7 @@ object Warehouse {
     // approx-quantile thresholds (same output contract, audited like
     // the ANN recall queries) once |users| itself outgrows one task.
     "events_rfm" -> { (s, dir) =>
-      val e = events(s, dir)
-      val now = e.agg(max(unix_micros(col("ts"))).as("t_now"))
-      val perUser = e.groupBy(col("user_id"))
-        .agg(max(unix_micros(col("ts"))).as("t_last"),
-          count(lit(1)).as("frequency"),
-          dsum(col("value")).as("monetary"))
-        .crossJoin(broadcast(now))
-        .withColumn("recency_us", col("t_now") - col("t_last"))
+      val perUser = rfmPerUser(events(s, dir))
       val wr = Window.orderBy(col("recency_us").desc, col("user_id"))
       val wf = Window.orderBy(col("frequency"), col("user_id"))
       val wm = Window.orderBy(col("monetary"), col("user_id"))
@@ -67,6 +78,56 @@ object Warehouse {
         .withColumn("rfm_code",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .orderBy(col("user_id"))
+    },
+
+    // the 100 TB RFM path: quintile thresholds from percentile_approx
+    // over the per-user aggregate (one pre-agg + one broadcast row —
+    // no global window, no single-task sort), scores by threshold
+    // comparison. Approximate at the bucket boundaries only;
+    // audit_rfm_agreement tracks disagreement vs the exact ntile form.
+    "events_rfm_approx" -> { (s, dir) =>
+      val perUser = rfmPerUser(events(s, dir))
+      val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+      val thr = perUser.agg(
+        percentile_approx(col("recency_us"), qs, lit(10000)).as("tr"),
+        percentile_approx(col("frequency"), qs, lit(10000)).as("tf"),
+        percentile_approx(col("monetary"), qs, lit(10000)).as("tm"))
+      perUser.crossJoin(broadcast(thr))
+        .select(col("user_id"), col("recency_us"), col("frequency"),
+          col("monetary"),
+          // recency: smaller = better, so score runs opposite
+          (lit(6) - thresholdScore(col("recency_us"),
+            (0 to 3).map(i => col("tr")(i)))).as("r_score"),
+          thresholdScore(col("frequency"),
+            (0 to 3).map(i => col("tf")(i))).as("f_score"),
+          thresholdScore(col("monetary"),
+            (0 to 3).map(i => col("tm")(i))).as("m_score"))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .orderBy(col("user_id"))
+    },
+
+    // agreement audit between the exact (global-window ntile) and
+    // approx-threshold RFM: fraction of users with identical scores
+    // per dimension + mean absolute score gap — the number that says
+    // whether the scale path is a faithful stand-in.
+    "audit_rfm_agreement" -> { (s, dir) =>
+      val exact = queries("events_rfm")(s, dir)
+        .select(col("user_id"), col("r_score").as("r1"),
+          col("f_score").as("f1"), col("m_score").as("m1"))
+      val approx = queries("events_rfm_approx")(s, dir)
+        .select(col("user_id"), col("r_score").as("r2"),
+          col("f_score").as("f2"), col("m_score").as("m2"))
+      exact.join(approx, "user_id")
+        .agg(count(lit(1)).as("n_users"),
+          round(avg(when(col("r1") === col("r2"), 1.0).otherwise(0.0)), 4)
+            .as("r_agree"),
+          round(avg(when(col("f1") === col("f2"), 1.0).otherwise(0.0)), 4)
+            .as("f_agree"),
+          round(avg(when(col("m1") === col("m2"), 1.0).otherwise(0.0)), 4)
+            .as("m_agree"),
+          round(avg(abs(col("r1") - col("r2")) + abs(col("f1") - col("f2"))
+            + abs(col("m1") - col("m2"))), 4).as("mean_abs_gap"))
     },
 
     // hourly anomaly flags: z-score of each (event_type, hour) count

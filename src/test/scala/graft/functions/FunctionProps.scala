@@ -37,6 +37,25 @@ object FunctionProps extends Properties("functions") {
       sab.zip(sa).forall { case (u, v) => u <= v }
     }
 
+  val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    1 -> Gen.const(' '),
+    1 -> Gen.oneOf('é', '☃', '語'))).map(_.mkString)
+
+  property("char shingle hashes == sorted distinct xxhash64(shingles)") =
+    forAll(textGen, Gen.choose(2, 6)) { (s, n) =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64Function}
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.StringType
+      val fused = CharShingleHashes(Literal(s), n).eval(null)
+        .asInstanceOf[ArrayData].toLongArray()
+      val composed = CharShingles(Literal(s), n).eval(null)
+        .asInstanceOf[ArrayData].toArray[UTF8String](StringType)
+        .map(u => XxHash64Function.hash(u, StringType, 42L))
+        .distinct.sorted
+      s.isEmpty || fused.sameElements(composed)
+    }
+
   val vec: Gen[Array[Double]] =
     Gen.listOfN(8, Gen.choose(-10.0, 10.0)).map(_.toArray)
 

@@ -108,6 +108,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sample: rates in (0,1], kept counts bounded by source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Corpus.queries("pipeline_temperature_sample")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, rate, kept) = (r.getString(0), r.getDouble(1), r.getLong(2))
+      assert(rate > 0 && rate <= 1.0)
+      assert(kept >= 1 && kept <= docs(src))
+      // the md5-prefix keep is Bernoulli(rate): at these sizes allow a
+      // generous band around the expectation
+      assert(kept <= math.max(8.0, 3.0 * rate * docs(src)))
+    }
+  }
+
   test("boilerplate removal keeps only segments unique to one doc") {
     val rows = Corpus.queries("pipeline_remove_boilerplate")(spark, sf)
       .collect()

@@ -58,6 +58,21 @@ class WarehouseSpec extends AnyFunSuite {
     assert(n >= 5)
   }
 
+  test("rfm approx-threshold path agrees with exact ntile quintiles") {
+    val approx = Warehouse.queries("events_rfm_approx")(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      Seq(4, 5, 6).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 5))
+    }
+    val audit = Warehouse.queries("audit_rfm_agreement")(spark, sf).collect()
+    assert(audit.length == 1)
+    val a = audit.head
+    assert(a.getLong(0) > 0)
+    Seq(1, 2, 3).foreach { i =>
+      assert(a.getDouble(i) >= 0.8, s"dimension $i agreement ${a.getDouble(i)}")
+    }
+  }
+
   test("anomaly z-scores: per type, mean(z) ≈ 0 and flags match |z|>2") {
     val rows = Warehouse.queries("events_anomaly_zscore")(spark, sf)
       .collect()
