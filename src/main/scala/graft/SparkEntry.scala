@@ -24,6 +24,8 @@ object SparkEntry {
       graft.ops.Relational.queries ++
       graft.ops.Relational2.queries ++
       graft.ops.Dedup.queries ++
+      graft.ops.Incremental.queries ++
+      graft.ops.Graph.queries ++
       graft.ops.Corpus.queries ++
       graft.ops.TextStats.queries ++
       graft.ops.Similarity.queries ++
@@ -43,6 +45,8 @@ object SparkEntry {
       graft.ops.Relational.oracleSql ++
       graft.ops.Relational2.oracleSql ++
       graft.ops.Dedup.oracleSql ++
+      graft.ops.Incremental.oracleSql ++
+      graft.ops.Graph.oracleSql ++
       graft.ops.Corpus.oracleSql ++
       graft.ops.TextStats.oracleSql ++
       graft.ops.Similarity.oracleSql ++

@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+
+/** Incremental (batch-vs-index) deduplication — the production mode at
+  * 100 TB. A pipeline does not re-dedup the whole corpus per crawl; it
+  * dedups TODAY'S batch against a persisted index of the accepted
+  * corpus and appends the survivors' index entries:
+  *
+  *  - exact: the index is one row per distinct content fingerprint —
+  *    bytes proportional to |corpus|, never re-reads corpus text. The
+  *    batch anti-joins it on the fingerprint (one narrow equi-join;
+  *    only fingerprints shuffle, never documents).
+  *  - near-dup: the index is the MinHash LSH band table
+  *    (band, band_hash, id) — [[Dedup.Bands]] rows per doc. The batch
+  *    computes its own signatures (embarrassingly parallel, batch-sized
+  *    not corpus-sized) and equi-joins the index on (band, band_hash);
+  *    candidates are exact-verified by joining shingle sets back by id
+  *    from BOTH sides. Corpus text is touched only for the verify join
+  *    on candidate ids — at τ-near-dup rates that is a vanishing
+  *    fraction of the corpus.
+  *
+  * Here the driver ships one `documents` table, so the queries split it
+  * deterministically by md5(doc_id) — ~81% "base" (the persisted
+  * corpus) vs ~19% "batch" (the new crawl) — and derive the index on
+  * the fly; in production the index is a parquet table maintained
+  * across runs. The split is hash-based so it reproduces identically in
+  * the DuckDB oracle.
+  */
+object Incremental {
+
+  /** md5-prefix split: first hex char < 'd' → base (13/16 ≈ 81%). */
+  private def isBase(id: Column): Column =
+    substring(md5(id.cast(StringType)), 1, 1) < "d"
+
+  /** Content fingerprint matching `dedup_exact_fingerprint`: md5 of the
+    * sorted distinct whitespace tokens (robust to token order and
+    * duplication — a bag-of-words identity). */
+  private def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(Text.tokens(text)))))
+
+  /** One index row per distinct base-corpus fingerprint. */
+  def fingerprintIndex(base: DataFrame, textCol: String): DataFrame =
+    base.select(fingerprint(col(textCol)).as("fp")).distinct()
+
+  /** Exact incremental dedup: batch rows whose fingerprint is not in
+    * the index, then keep-first within the batch itself (a batch can
+    * contain its own duplicates). Returns the surviving batch rows. */
+  def dedupAgainstIndex(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = batch.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    val novel = fp.join(index, Seq("fp"), "left_anti")
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    novel.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(col(idCol), col("fp"))
+  }
+
+  /** LSH band index over the base corpus: (band, bkey, id), the
+    * persisted near-dup index a production pipeline maintains. */
+  def bandIndex(sets: DataFrame): DataFrame =
+    Dedup.minhashSignatures(sets)
+      .select(col("id"), posexplode(Dedup.bandKeys(col("sig"))))
+      .select(col("pos").as("band"), col("col").as("bkey"), col("id"))
+
+  /** Near-dup incremental dedup: batch docs with a τ-Jaccard partner in
+    * the base corpus, found via the band index and exact-verified.
+    * Returns (id_batch, id_base, jaccard). Recall follows the LSH
+    * s-curve (audited by `audit_incr_minhash_recall`); precision is 1.0
+    * by construction. */
+  def nearDupAgainstIndex(batchSets: DataFrame, baseSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val index = bandIndex(baseSets)
+    val probes = bandIndex(batchSets)
+      .withColumnRenamed("id", "id_batch")
+    val cands = probes.join(index, Seq("band", "bkey"))
+      .select(col("id_batch"), col("id").as("id_base"))
+      .distinct()
+    val a = batchSets.select(col("id").as("id_batch"), col("sh").as("sh_a"))
+    val b = baseSets.select(col("id").as("id_base"), col("sh").as("sh_b"))
+    cands.join(a, "id_batch").join(b, "id_base")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_batch"), col("id_base"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  private def shingleSets(s: SparkSession, dir: String,
+      base: Boolean): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(if (base) isBase(col("doc_id")) else !isBase(col("doc_id")))
+    docs.select(col("doc_id").as("id"),
+      array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
+  }
+
+  /** Exact batch×base Jaccard pairs — the small-scale oracle anchor for
+    * [[nearDupAgainstIndex]] (same contract, all-pairs join). */
+  private def exactIncrPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    val a = shingleSets(s, dir, base = false)
+      .repartition(s.sparkContext.defaultParallelism, col("id"))
+      .select(col("id").as("id_batch"), col("sh").as("sh_a"))
+    val b = shingleSets(s, dir, base = true)
+      .select(col("id").as("id_base"), col("sh").as("sh_b"))
+    a.join(b,
+        size(col("sh_b")).cast(DoubleType) >= size(col("sh_a")) * threshold &&
+        size(col("sh_a")).cast(DoubleType) >= size(col("sh_b")) * threshold)
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_batch"), col("id_base"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_incr_exact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val index = fingerprintIndex(docs.filter(isBase(col("doc_id"))), "text")
+      dedupAgainstIndex(docs.filter(!isBase(col("doc_id"))), index,
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // all-pairs anchor (batch×base only — already far smaller than the
+    // full O(n²): ~19% × 81% of the square)
+    "dedup_incr_jaccard_exact" -> { (s, dir) =>
+      exactIncrPairs(s, dir, 0.5).orderBy(col("id_batch"), col("id_base"))
+    },
+
+    // the scale path: band-index equi-join + exact verify (rows-only;
+    // recall audited below, precision 1.0 by construction)
+    "dedup_incr_minhash" -> { (s, dir) =>
+      nearDupAgainstIndex(shingleSets(s, dir, base = false),
+        shingleSets(s, dir, base = true), 0.5)
+        .orderBy(col("id_batch"), col("id_base"))
+    },
+
+    "audit_incr_minhash_recall" -> { (s, dir) =>
+      val approx = nearDupAgainstIndex(shingleSets(s, dir, base = false),
+        shingleSets(s, dir, base = true), 0.5)
+        .select(col("id_batch").as("id_a"), col("id_base").as("id_b"))
+      val exact = exactIncrPairs(s, dir, 0.5)
+        .select(col("id_batch").as("id_a"), col("id_base").as("id_b"))
+      val matched = approx.join(exact, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(matched)
+        .select(col("n_exact"), col("n_matched"),
+          when(col("n_exact") === 0, lit(1.0)).otherwise(
+            round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
+            .as("recall"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_incr_exact" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_base
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM d WHERE is_base)
+        |SELECT doc_id, fp FROM d
+        |WHERE NOT is_base AND fp NOT IN (SELECT fp FROM idx)
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_incr_jaccard_exact" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' AS is_base
+        |  FROM documents)
+        |SELECT a.doc_id AS id_batch, b.doc_id AS id_base,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM g a JOIN g b ON NOT a.is_base AND b.is_base
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY id_batch, id_base""".stripMargin
+  )
+}

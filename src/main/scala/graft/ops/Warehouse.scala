@@ -130,6 +130,38 @@ object Warehouse {
             + abs(col("m1") - col("m2"))), 4).as("mean_abs_gap"))
     },
 
+    // table profiling: per-column row/null/distinct counts and min/max
+    // in one declarative pass (the Expand-based multi-count-distinct is
+    // one shuffle; at 100 TB swap the exact distincts for
+    // approx_count_distinct and the pass becomes map-side-partial —
+    // same output contract, HLL accuracy). min/max are surfaced as
+    // strings so one schema covers every column type; numeric columns
+    // profile in their natural order before the cast.
+    "q_data_profile" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      def prof(name: String, c: org.apache.spark.sql.Column,
+          lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+        struct(lit(name).as("column_name"),
+          count(lit(1)).as("n_rows"),
+          sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(c).as("n_distinct"),
+          lo.cast(StringType).as("min_s"), hi.cast(StringType).as("max_s"))
+      o.agg(
+        prof("o_orderkey", col("o_orderkey"),
+          min(col("o_orderkey")), max(col("o_orderkey"))).as("p1"),
+        prof("o_custkey", col("o_custkey"),
+          min(col("o_custkey")), max(col("o_custkey"))).as("p2"),
+        prof("o_orderstatus", col("o_orderstatus"),
+          min(col("o_orderstatus")), max(col("o_orderstatus"))).as("p3"),
+        prof("o_orderdate", col("o_orderdate").cast(DateType),
+          min(col("o_orderdate").cast(DateType)),
+          max(col("o_orderdate").cast(DateType))).as("p4"))
+        .select(explode(array(col("p1"), col("p2"), col("p3"), col("p4")))
+          .as("p"))
+        .select(col("p.*"))
+        .orderBy(col("column_name"))
+    },
+
     // hourly anomaly flags: z-score of each (event_type, hour) count
     // against that type's own hourly distribution, |z| > 2 flagged.
     // The stream reduces to one row per (type, hour) before the stats
@@ -161,6 +193,35 @@ object Warehouse {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_data_profile" ->
+      """WITH p AS (
+        |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', count(*),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_custkey),
+        |    CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*),
+        |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', count(*),
+        |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT CAST(o_orderdate AS DATE)),
+        |    CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |    CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |  FROM orders)
+        |SELECT * FROM p ORDER BY column_name""".stripMargin,
     "q_scd2_history" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  o_orderdate AS valid_from,
