@@ -27,6 +27,7 @@ object Profile {
     what match {
       case "containment" => profileContainment(spark, sfDir)
       case "containment2" => profileContainment2(spark, sfDir)
+      case "containment3" => profileContainment3(spark, sfDir)
       case q => // bench-identical: untimed warm-up, median of 3, cache
         // cleared between runs
         def run(): Unit = SparkEntry.queries(q)(spark, sfDir).count()
@@ -46,6 +47,40 @@ object Profile {
     val r = f
     println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+
+  /** Stage timing of the REGISTERED containment path (fused
+    * CharShingleHashes input). */
+  private def profileContainment3(s: SparkSession, dir: String): Unit = {
+    import graft.ops.{Dedup, Text}
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Text.charShingleHashes(col("text"), 5).as("sh"))
+    time("fused shingle-hash scan")(docs.count())
+    val raw = docs.select(col("doc_id").as("id"), col("sh").as("h0"))
+    val toks = raw.select(col("id"), explode(col("h0")).as("tok"))
+    time("toks explode")(toks.count())
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    time("dfreq")(dfreq.count())
+    val sets = toks.join(dfreq, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("id"),
+        transform(col("st"), x => x.getField("tok")).as("hs"))
+      .persist()
+    time("sets build+persist")(sets.count())
+    val postings = sets
+      .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
+      .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
+      .filter(size(col("ids")) <= Dedup.MaxBucket)
+    time("posting volume probe")(
+      println("  vol=" + postings.agg(sum(size(col("ids")))).head.get(0)))
+    time("postings collect")(
+      println("  rows=" + postings.select(col("tok"), col("ids")).count()))
+    sets.unpersist()
+    val t0 = System.nanoTime()
+    val full = Dedup.containmentPairs(docs, "doc_id", "sh", 0.8)
+    println("  full-count=" + full.count())
+    println(f"[profile] full containmentPairs ${(System.nanoTime()-t0)/1e9}%8.3f s")
   }
 
   private def profileContainment2(s: SparkSession, dir: String): Unit = {

@@ -364,17 +364,18 @@ object Dedup {
     * `materializeCands = false` to see the whole candidate pipeline in
     * one lazy plan).
     *
-    * Two candidate-pruning layers on the df-ascending token order:
-    *  1. AllPairs ordering — every doc's tokens sorted by ASCENDING
-    *     global document frequency, so prefixes hold the RAREST tokens
-    *     (near-singleton postings on Zipf-vocabulary corpora).
-    *  2. Pigeonhole COUNT filter — with miss budget
-    *     mm = |A| − ceil(τ·|A|), a true pair must share at least
-    *     m − mm tokens of A's first m = min(|A|, 2·mm+1): an existence
-    *     filter (≥ 1 shared prefix token) left 17M of 25M possible
-    *     pairs as candidates on the templated synthetic corpus (2k
-    *     distinct shingles — every "rare" token still has a fat
-    *     posting); requiring the count collapses that to ~1.6k.
+    * The core pruning layer is the pigeonhole COUNT filter: with miss
+    * budget mm = |A| − ceil(τ·|A|), a true pair must share at least
+    * m − mm of ANY m = min(|A|, 2·mm+1) tokens of A (at most mm of A's
+    * tokens are outside B) — an existence filter (≥ 1 shared prefix
+    * token) left 17M of 25M possible pairs as candidates on the
+    * templated synthetic corpus; requiring the count collapses that to
+    * ~1.6k. Because the filter holds for any fixed per-doc prefix, the
+    * in-memory branch counts straight off the scan's hash-set order;
+    * only the distributed branch pays for the AllPairs df-ASCENDING
+    * re-sort (rarest tokens first → near-singleton prefix postings on
+    * Zipf vocabularies), because there the prefix ⋈ postings join
+    * volume is what the ordering controls.
     *
     * `materializeCands` localCheckpoints the post-filter candidate list
     * (provably tiny) so the verify join plans against its actual size.
@@ -384,7 +385,7 @@ object Dedup {
       materializeCands: Boolean): (DataFrame, DataFrame) = {
     // accept pre-hashed shingle sets (array<long>, e.g. from
     // Text.charShingleHashes) or hash string shingles here
-    val raw = docs.schema(shinglesCol).dataType match {
+    val raw0 = docs.schema(shinglesCol).dataType match {
       case ArrayType(LongType, _) =>
         docs.select(col(idCol).as("id"), col(shinglesCol).as("h0"))
       case _ =>
@@ -392,29 +393,30 @@ object Dedup {
           array_distinct(transform(col(shinglesCol), x => xxhash64(x)))
             .as("h0"))
     }
-    val toks = raw.select(col("id"), explode(col("h0")).as("tok"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sets = toks.join(dfreq, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
-      .select(col("id"), transform(col("st"), s => s.getField("tok")).as("hs"))
+    // The pigeonhole count filter is correct for ANY choice of m "first"
+    // tokens per doc (at most mm of A's tokens — any mm — can be outside
+    // B when containment ≥ τ), so the hash-set order the scan already
+    // provides is a valid prefix basis. The df-ascending re-sort (one
+    // join + two extra shuffles + a per-doc sort) only pays for itself
+    // in the DISTRIBUTED branch, where prefix-token posting sizes set
+    // the join volume — so it is built there and only there; the
+    // in-memory branch counts against the full capped postings map and
+    // is insensitive to prefix rarity.
+    val sets = raw0.select(col("id"), col("h0").as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // miss budget and extended-prefix length per doc (integer-exact:
-    // |A∩B| ≥ τ|A| ⟺ |A∩B| ≥ ceil(τ|A|) since the intersect is integral)
-    val sz = size(col("hs"))
-    val missMax = (sz - ceil(sz * threshold)).cast(IntegerType)
-    val prefLen = least(sz, missMax * 2 + 1).cast(IntegerType)
-    val pref = sets.select(col("id").as("id_a"), missMax.as("mm"),
-      prefLen.as("m"),
-      explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
     // postings capped at MaxBucket: a dropped (stopword-like) token in a
     // doc's prefix counts as a miss it didn't really have — the same
     // audited recall trade as the Jaccard LSH harness (recall measured
     // 1.0 at both shipped SFs; audit_containment_recall tracks it)
-    val postings = sets
+    val postings0 = sets
       .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
       .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
       .filter(size(col("ids")) <= MaxBucket)
+    // consumed twice in the eager path (volume probe + either branch) —
+    // cache so the explode+groupBy shuffle runs once
+    val postings = if (materializeCands)
+      postings0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else postings0
     // Adaptive pair counting — both branches apply the identical
     // lossless pigeonhole filter, so candidates (and recall) are the
     // same either way; only the execution strategy differs. The volume
@@ -425,7 +427,25 @@ object Dedup {
     val counted =
       if (postingVolume <= BroadcastPostingsCap)
         inMemoryPairCount(sets, postings, threshold)
-      else
+      else {
+        // df-ascending prefix rebuild: rare tokens first keeps the
+        // pref ⋈ postings volume near-linear on Zipf vocabularies
+        val toks = sets.select(col("id"), explode(col("hs")).as("tok"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val sorted = toks.join(dfreq, "tok")
+          .groupBy("id")
+          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+            .as("st"))
+          .select(col("id"),
+            transform(col("st"), s => s.getField("tok")).as("hs"))
+        // miss budget and extended-prefix length per doc (integer-exact:
+        // |A∩B| ≥ τ|A| ⟺ |A∩B| ≥ ceil(τ|A|), the intersect is integral)
+        val sz = size(col("hs"))
+        val missMax = (sz - ceil(sz * threshold)).cast(IntegerType)
+        val prefLen = least(sz, missMax * 2 + 1).cast(IntegerType)
+        val pref = sorted.select(col("id").as("id_a"), missMax.as("mm"),
+          prefLen.as("m"),
+          explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
         pref.join(postings, "tok")
           .select(col("id_a"), col("mm"), col("m"),
             explode(col("ids")).as("id_b"))
@@ -434,7 +454,14 @@ object Dedup {
           .agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= col("m") - col("mm"))
           .select(col("id_a"), col("id_b"))
+      }
     val cands = if (materializeCands) counted.localCheckpoint() else counted
+    if (materializeCands) {
+      // candidates are materialized and the verify join below reads
+      // only `sets` (separately cached) + `cands` — release the
+      // postings cache before returning
+      postings.unpersist(blocking = false)
+    }
     val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
     val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
     val out = cands.join(a, "id_a").join(b, "id_b")
