@@ -92,6 +92,40 @@ object Incremental {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** One microbatch of streaming incremental dedup: dedup `batch`
+    * against the parquet fingerprint index at `indexDir` (and within
+    * itself), append the survivors (id, fp, batch_id) to `outDir` and
+    * their fingerprints to the index. The streaming entry point below
+    * wires this into `foreachBatch`; it is also directly replayable for
+    * deterministic batch verification. Restart semantics follow the
+    * sink: parquet append is at-least-once on retry (survivors of a
+    * replayed batch re-dedup against the index they already updated, so
+    * re-appended rows are exact duplicates — a downstream exact dedup
+    * or a transactional sink upgrade makes it exactly-once). */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String, batchId: Long): Unit = {
+    val sp = batch.sparkSession
+    val index =
+      if (new java.io.File(indexDir).exists) sp.read.parquet(indexDir)
+      else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("fp", StringType))))
+    val survivors = dedupAgainstIndex(batch, index, idCol, textCol)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint() // cut the read-then-append cycle on indexDir
+    survivors.write.mode("append").parquet(outDir)
+    survivors.select(col("fp")).write.mode("append").parquet(indexDir)
+  }
+
+  /** Streaming incremental dedup: every microbatch dedups against the
+    * accumulated index and appends to it — the streaming form of the
+    * batch index pattern above. */
+  def dedupStream(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, outDir: String) =
+    stream.writeStream.foreachBatch {
+      (b: DataFrame, id: Long) =>
+        processBatch(b, idCol, textCol, indexDir, outDir, id)
+    }
+
   private def shingleSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -144,6 +178,29 @@ object Incremental {
         .orderBy(col("id_batch"), col("id_base"))
     },
 
+    // deterministic 2-batch replay of the streaming foreachBatch
+    // handler: documents split by doc_id parity arrive as two
+    // microbatches; each dedups against the index state the previous
+    // one left behind. The oracle reproduces the same two-step fold in
+    // SQL, so this row proves the streaming handler's cross-batch
+    // semantics, not just a batch query.
+    "stream_incr_dedup" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr_stream").toString
+      val (idxDir, outDir) = (s"$tmp/index", s"$tmp/out")
+      val docs = t(s, dir, "documents")
+      processBatch(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        idxDir, outDir, 1L)
+      processBatch(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        idxDir, outDir, 2L)
+      val out = s.read.parquet(outDir)
+        .select(col("doc_id"), col("fp"), col("batch_id"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      graft.Util.rmrf(new java.io.File(tmp))
+      out
+    },
+
     "audit_incr_minhash_recall" -> { (s, dir) =>
       val approx = nearDupAgainstIndex(shingleSets(s, dir, base = false),
         shingleSets(s, dir, base = true), 0.5)
@@ -172,6 +229,21 @@ object Incremental {
         |SELECT doc_id, fp FROM d
         |WHERE NOT is_base AND fp NOT IN (SELECT fp FROM idx)
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "stream_incr_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp,
+        |    doc_id % 2 = 0 AS b1
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, fp, CAST(1 AS BIGINT) AS batch_id
+        |  FROM d WHERE b1
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+        |s2 AS (SELECT doc_id, fp, CAST(2 AS BIGINT) AS batch_id
+        |  FROM d WHERE NOT b1 AND fp NOT IN (SELECT fp FROM s1)
+        |  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+        |SELECT doc_id, fp, batch_id FROM (SELECT * FROM s1
+        |  UNION ALL SELECT * FROM s2)
         |ORDER BY doc_id""".stripMargin,
     "dedup_incr_jaccard_exact" ->
       """WITH g AS (

@@ -11,6 +11,8 @@ import org.scalatest.funsuite.AnyFunSuite
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class Doc(doc_id: Long, text: String)
+
 /** Structured Streaming parity: the SAME hourlyAgg transform that the
   * batch oracle checks is run here as a real streaming query (memory
   * sink), plus a stateful mapGroupsWithState op. */
@@ -185,6 +187,25 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val n = spark.read.parquet(s"$dir/out").count()
       assert(n == sample.size)
+    } finally {
+      q.stop()
+      graft.Util.rmrf(new java.io.File(dir))
+    }
+  }
+
+  test("streaming incremental dedup carries the index across microbatches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val input = MemoryStream[Doc](spark)
+    val q = graft.ops.Incremental.dedupStream(input.toDF(), "doc_id", "text",
+      s"$dir/idx", s"$dir/out").start()
+    try {
+      input.addData(Doc(1, "a b"), Doc(2, "b a")) // 2 = token-set dup of 1
+      q.processAllAvailable()
+      input.addData(Doc(3, "a b"), Doc(4, "c d")) // 3 = dup vs batch-1 index
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select($"doc_id", $"batch_id").as[(Long, Long)].collect().sorted
+      assert(out.toSeq == Seq((1L, 0L), (4L, 1L))) // MemoryStream batch ids
     } finally {
       q.stop()
       graft.Util.rmrf(new java.io.File(dir))
