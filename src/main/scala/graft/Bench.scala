@@ -22,7 +22,10 @@ object Bench {
     "text_quality", "text_term_freq", "text_fingerprint",
     "text_contamination", "pipeline_pack_sequences_sharded",
     "text_bigram_lm", "q_zorder_key",
-    "mm_decode_meta", "stream_hourly_window", "stream_sessionize")
+    "mm_decode_meta", "stream_hourly_window", "stream_sessionize",
+    // round-5 additions: batch-vs-index dedup (the production
+    // incremental mode) and iterative-graph representative
+    "dedup_incr_minhash", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

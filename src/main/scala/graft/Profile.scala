@@ -28,6 +28,7 @@ object Profile {
       case "containment" => profileContainment(spark, sfDir)
       case "containment2" => profileContainment2(spark, sfDir)
       case "containment3" => profileContainment3(spark, sfDir)
+      case "pagerank" => profilePageRank(spark, sfDir)
       case q => // bench-identical: untimed warm-up, median of 3, cache
         // cleared between runs
         def run(): Unit = SparkEntry.queries(q)(spark, sfDir).count()
@@ -47,6 +48,40 @@ object Profile {
     val r = f
     println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+
+  private def profilePageRank(s: SparkSession, dir: String): Unit = {
+    import graft.ops.Graph
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat(lit("S"), col("l_suppkey")).as("a"),
+        concat(lit("P"), col("l_partkey")).as("b"))
+      .distinct()
+    val edges = li.select(col("a").as("src"), col("b").as("dst"))
+      .union(li.select(col("b").as("src"), col("a").as("dst")))
+    import org.apache.spark.sql.types._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    time("li distinct")(li.count())
+    time("edges count")(edges.count())
+    val e0 = edges.persist(lvl)
+    time("e0 persist+count")(e0.count())
+    val deg = e0.groupBy("src").agg(count(lit(1)).as("deg")).persist(lvl)
+    val n = time("deg count")(deg.count())
+    val ed = e0.join(deg, "src").select(col("src"), col("dst"), col("deg"))
+      .coalesce(8)
+      .persist(lvl)
+    time("ed persist+count")(ed.count())
+    var ranks = deg.select(col("src").as("node"),
+      round(lit(1.0 / n), 12).as("rank"))
+    for (i <- 1 to 10) {
+      val next = ed.join(broadcast(ranks), ed("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15 / n) + lit(0.85) *
+          sum((col("rank") / col("deg")).cast(DecimalType(18, 12)))
+            .cast(DoubleType)).as("rr"))
+        .select(col("dst").as("node"), round(col("rr"), 12).as("rank"))
+      ranks = time(s"iter $i (checkpoint)")(next.localCheckpoint())
+    }
+    time("final count")(ranks.count())
   }
 
   /** Stage timing of the REGISTERED containment path (fused
