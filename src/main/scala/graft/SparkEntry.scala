@@ -33,6 +33,7 @@ object SparkEntry {
       graft.ops.AsOf.queries ++
       graft.ops.Analytics.queries ++
       graft.ops.Scale.queries ++
+      graft.ops.Linkage.queries ++
       graft.ops.Warehouse.queries ++
       graft.ops.Typed.queries ++
       graft.sources.Sinks.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.ops.AsOf.oracleSql ++
       graft.ops.Analytics.oracleSql ++
       graft.ops.Scale.oracleSql ++
+      graft.ops.Linkage.oracleSql ++
       graft.ops.Warehouse.oracleSql ++
       graft.ops.Typed.oracleSql ++
       graft.sources.Sinks.oracleSql ++

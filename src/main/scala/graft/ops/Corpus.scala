@@ -228,6 +228,35 @@ object Corpus {
         .select(col("source"), col("doc_id"),
           col("rank_in_source"), round(col("distinct_ratio"), 6).as("score"))
         .orderBy(col("source"), col("rank_in_source"))
+    },
+
+    // cross-source content-overlap matrix: Jaccard of the sources'
+    // token-set-fingerprint sets — the number that says how much two
+    // corpus slices duplicate each other before deciding to merge or
+    // dedup them. One fingerprint scan, one equi-join on fingerprint
+    // (never all-pairs over docs); the per-source tallies and the
+    // source×source grid are |sources|-bounded, so the final join is
+    // broadcast. Zero-overlap pairs are kept — absence of overlap is
+    // the useful answer.
+    "corpus_overlap_sources" -> { (s, dir) =>
+      val fp = t(s, dir, "documents")
+        .select(col("source"), Text.fingerprint(col("text")).as("fp"))
+        .distinct()
+      val perSrc = fp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+      val inter = fp.select(col("source").as("source_a"), col("fp"))
+        .join(fp.select(col("source").as("source_b"), col("fp")), Seq("fp"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_common"))
+      perSrc.select(col("source").as("source_a"), col("n_fp").as("n_a"))
+        .join(broadcast(
+          perSrc.select(col("source").as("source_b"), col("n_fp").as("n_b"))),
+          col("source_a") < col("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("n_common"))
+        .withColumn("jaccard", round(col("n_common").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+        .orderBy(col("source_a"), col("source_b"))
     }
   )
 
@@ -362,6 +391,25 @@ object Corpus {
         |  round(distinct_ratio, 6) AS score
         |FROM sc
         |QUALIFY rank_in_source <= 10
-        |ORDER BY source, rank_in_source""".stripMargin
+        |ORDER BY source, rank_in_source""".stripMargin,
+    "corpus_overlap_sources" ->
+      """WITH fp AS (
+        |  SELECT DISTINCT source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |ps AS (SELECT source, count(*) AS n_fp FROM fp GROUP BY 1),
+        |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pa.source AS source_a, pb.source AS source_b,
+        |  pa.n_fp AS n_a, pb.n_fp AS n_b,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  round(CAST(COALESCE(n_common, 0) AS DOUBLE)
+        |    / (pa.n_fp + pb.n_fp - COALESCE(n_common, 0)), 6) AS jaccard
+        |FROM ps pa JOIN ps pb ON pa.source < pb.source
+        |LEFT JOIN iv ON iv.source_a = pa.source AND iv.source_b = pb.source
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Q._
+
+/** Record linkage / entity resolution: blocked fuzzy matching by edit
+  * distance, plus entity clustering over the match graph. Absent from
+  * the reference (its 642-line ingest script has no joins at all —
+  * SURVEY §2c) but core to data cleaning at corpus scale: the same
+  * supplier/product/author arrives spelled three ways and must become
+  * one entity before any aggregate over it means anything.
+  *
+  * Scale shape: classic blocking. Candidate pairs come from an
+  * equi-join on a user-chosen blocking key (here: brand), never from a
+  * cross join, so the plan is one shuffle on the key; within-block
+  * pairing is quadratic BY DESIGN (record-linkage blocks are
+  * dimension-bounded — brands, zip codes, name initials), and a
+  * lossless length pigeonhole (levenshtein(a,b) >= |len(a)-len(b)|)
+  * prunes most in-block pairs before the edit-distance evaluation.
+  * Blocking-key recall is the user's modelling choice: matches that
+  * disagree on the key are out of scope, exactly as in the published
+  * record-linkage literature (Fellegi–Sunter blocking).
+  */
+object Linkage {
+
+  /** Candidate pairs within each block whose edit distance is ≤ maxDist.
+    * `id` must be unique; pairs are emitted once (id_a < id_b). The
+    * length filter is lossless for Levenshtein, so the result equals
+    * the unpruned within-block quadratic scan. */
+  def fuzzyPairs(rows: DataFrame, id: String, name: String,
+      block: String, maxDist: Int): DataFrame = {
+    val a = rows.select(col(id).as("id_a"), col(name).as("name_a"),
+      col(block).as("__blk"))
+    val b = rows.select(col(id).as("id_b"), col(name).as("name_b"),
+      col(block).as("__blk"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
+        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brand-blocked fuzzy part-name matches at edit distance ≤ 2:
+    // one shuffle on the blocking key, exact levenshtein verify
+    "link_fuzzy_pairs" -> { (s, dir) =>
+      fuzzyPairs(t(s, dir, "part"), "p_partkey", "p_name", "p_brand", 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // entity resolution end-to-end: fuzzy match graph → connected
+    // components (shared O(log n) pointer-jumping machinery from
+    // Dedup) → each part labeled with its entity id; the canonical
+    // record is the minimum id, as in dedup_components
+    "link_fuzzy_clusters" -> { (s, dir) =>
+      val pairs = fuzzyPairs(t(s, dir, "part"),
+        "p_partkey", "p_name", "p_brand", 2)
+      Dedup.components(pairs, "id_a", "id_b")
+        .select(col("id").as("p_partkey"), col("comp").as("entity"),
+          (col("comp") === col("id")).as("canonical"))
+        .orderBy(col("p_partkey"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "link_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    // reachability closure over the fuzzy match graph (recursive CTE),
+    // entity = min reachable id — mirrors the dedup_components oracle
+    "link_fuzzy_clusters" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS p_partkey, min(dst) AS entity,
+        |  min(dst) = src AS canonical
+        |FROM reach GROUP BY src ORDER BY p_partkey""".stripMargin
+  )
+}

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
 import Q._
 
@@ -84,6 +84,28 @@ object Scale {
         col("o_orderkey") === col("l_orderkey"))
   }
 
+  /** Grid-blocked interval (band) join: the scale path for non-equi
+    * range joins. Each interval row is exploded onto the fixed-width
+    * grid cells it overlaps; each probe row computes its single cell;
+    * an ordinary shuffled equi-join on the cell matches them, and the
+    * exact interval predicate re-verifies candidates. Because a probe
+    * lives in exactly one cell and an interval carries each covered
+    * cell once, no pair can match twice — no dedup step is needed.
+    * Replaces the broadcast-nested-loop plan (`q_range_band_join`) that
+    * at 100 TB would stream the whole probe table past every interval;
+    * here both sides shuffle once on the cell key and intervals grow
+    * only by their width/cellWidth overlap factor. */
+  def blockedBandJoin(probe: DataFrame, x: String, intervals: DataFrame,
+      lo: String, hi: String, cellWidth: Double): DataFrame = {
+    val cells = intervals.withColumn("__cell",
+      explode(sequence(floor(col(lo) / cellWidth).cast("long"),
+        floor(col(hi) / cellWidth).cast("long"))))
+    probe.withColumn("__cell", floor(col(x) / cellWidth).cast("long"))
+      .join(cells, "__cell")
+      .filter(col(x) >= col(lo) && col(x) < col(hi))
+      .drop("__cell")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // salted join must produce exactly the plain join's answer
     "q_salted_join" -> { (s, dir) =>
@@ -144,6 +166,22 @@ object Scale {
           min(col("yb")).as("y_min"), max(col("yb")).as("y_max"))
         .orderBy(col("file_id"))
     },
+    // the band join of q_range_band_join on its equi-join scale path:
+    // grid cells of width 500 deliberately do NOT align with the
+    // 400-wide bands, so intervals straddle cells and the explode +
+    // re-verify machinery is actually exercised. Same oracle as the
+    // nested-loop form — blocking must be semantically invisible.
+    "q_range_band_join_blocked" -> { (s, dir) =>
+      val bands = t(s, dir, "nation")
+        .select(col("n_nationkey").as("band"),
+          (col("n_nationkey") * 400 - 1000).cast(DoubleType).as("lo"),
+          ((col("n_nationkey") + 1) * 400 - 1000).cast(DoubleType).as("hi"))
+      blockedBandJoin(t(s, dir, "customer"), "c_acctbal",
+          bands, "lo", "hi", cellWidth = 500.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("band_bal"))
+        .orderBy(col("band"))
+    },
     // custom codegen expression exposed through the SQL surface
     "q_sql_graft_dot" -> { (s, dir) =>
       registerSqlFunctions(s)
@@ -188,6 +226,13 @@ object Scale {
          |  min(yb) AS y_min, max(yb) AS y_max
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q_range_band_join_blocked" ->
+      """SELECT n_nationkey AS band, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS band_bal
+        |FROM nation JOIN customer
+        |  ON c_acctbal >= n_nationkey*400 - 1000
+        | AND c_acctbal < (n_nationkey+1)*400 - 1000
+        |GROUP BY 1 ORDER BY band""".stripMargin,
     "q_sql_graft_dot" ->
       """SELECT vec_id,
         |  round(sqrt(list_reduce(

@@ -348,6 +348,30 @@ object Similarity {
           array_max(col("qv")).as("q_max"))
         .orderBy(col("vec_id"))
     },
+    // random projection (Achlioptas sign matrix): 64-d → 16-d sketch
+    // of every embedding, the Johnson–Lindenstrauss dimensionality
+    // shrink before indexing/clustering. The projection matrix is not
+    // materialized anywhere — entry (i, j) is the sign of a hash of
+    // (i, j), recomputed identically on any executor, any engine, any
+    // run; the inner products accumulate in DECIMAL(18,6) so the
+    // output doubles are independent of evaluation order (same
+    // contract as Q.dsum). Per-row codegen HOFs, zero shuffle, zero
+    // broadcast — at 100 TB this is a pure map over the corpus.
+    "sim_random_projection" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          """transform(sequence(0, 15), j ->
+            |  cast(aggregate(
+            |    transform(embedding, (x, i) ->
+            |      cast(cast(x as double) as decimal(18,6)) *
+            |        (case when substr(md5(concat(i, ':', j)), 1, 1) < '8'
+            |              then 1 else -1 end)),
+            |    cast(0 as decimal(28,6)),
+            |    (acc, t) -> cast(acc + t as decimal(28,6))) as double))"""
+            .stripMargin)))
+        .toDF("vec_id", "dim_j", "val")
+        .orderBy(col("vec_id"), col("dim_j"))
+    },
     // per-label centroids (class-mean vectors — the prototype step of
     // embedding evaluation / nearest-class-mean classification). One
     // posexplode + one partial/final agg on (label, dim): n×64 narrow
@@ -481,6 +505,17 @@ object Similarity {
         |  CAST(list_reduce(qv, (a, b) -> a + b) AS BIGINT) AS q_sum,
         |  list_min(qv) AS q_min, list_max(qv) AS q_max
         |FROM q ORDER BY vec_id""".stripMargin,
+    // same hash-derived sign matrix, same DECIMAL accumulation; the
+    // DuckDB lambda index i is 1-based where Spark's is 0-based
+    "sim_random_projection" ->
+      """SELECT vec_id, j AS dim_j,
+        |  CAST(list_sum(list_transform(embedding,
+        |    (x, i) -> CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) *
+        |      (CASE WHEN substr(md5((i-1) || ':' || j), 1, 1) < '8'
+        |            THEN 1 ELSE -1 END))) AS DOUBLE) AS val
+        |FROM embeddings
+        |CROSS JOIN (SELECT unnest(range(16)) AS j) dims
+        |ORDER BY vec_id, dim_j""".stripMargin,
     "sim_label_centroids" ->
       """WITH e AS (SELECT label,
         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,

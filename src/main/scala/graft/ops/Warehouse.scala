@@ -162,6 +162,52 @@ object Warehouse {
         .orderBy(col("column_name"))
     },
 
+    // first-order Markov transition matrix of the event stream: for
+    // each user's ts-ordered event sequence, count (state → next)
+    // transitions and the row-normalized probability. One shuffle on
+    // user_id with a bounded per-user window, then a hash agg over at
+    // most |event_type|² rows — the classic journey-analysis primitive.
+    // event_id breaks ts ties so both engines order identically.
+    "events_transition_matrix" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("row_total"))
+      trans.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("row_total"), 6).as("p"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+
+    // winsorization (outlier clipping) at the exact p01/p99 of quantity
+    // per return flag: thresholds from one tiny percentile agg
+    // (broadcast back), clamp, re-aggregate. Integral input keeps the
+    // percentile interpolation arithmetic exact on both engines (same
+    // contract as q_percentiles).
+    "q_winsorize" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val thr = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile(l_quantity, 0.01)").as("lo"),
+        expr("percentile(l_quantity, 0.99)").as("hi"))
+      li.join(broadcast(thr), "l_returnflag")
+        .withColumn("wq",
+          least(greatest(col("l_quantity").cast(DoubleType), col("lo")),
+            col("hi")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("lo"), 1L).otherwise(0L))
+            .as("n_clipped_lo"),
+          sum(when(col("l_quantity") > col("hi"), 1L).otherwise(0L))
+            .as("n_clipped_hi"),
+          davg(col("wq")).as("mean_winsorized"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // hourly anomaly flags: z-score of each (event_type, hour) count
     // against that type's own hourly distribution, |z| > 2 flagged.
     // The stream reduces to one row per (type, hour) before the stats
@@ -249,6 +295,33 @@ object Warehouse {
         |  FROM r)
         |SELECT *, r_score * 100 + f_score * 10 + m_score AS rfm_code
         |FROM sc ORDER BY user_id""".stripMargin,
+    "events_transition_matrix" ->
+      """WITH tr AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM tr
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(n) AS row_total FROM c GROUP BY 1)
+        |SELECT event_type, next_type, n,
+        |  round(CAST(n AS DOUBLE) / row_total, 6) AS p
+        |FROM c JOIN tot USING (event_type)
+        |ORDER BY event_type, next_type""".stripMargin,
+    "q_winsorize" ->
+      """WITH thr AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, 0.01) AS lo,
+        |    quantile_cont(l_quantity, 0.99) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_quantity < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN l_quantity > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  CAST(sum(CAST(least(greatest(CAST(l_quantity AS DOUBLE), lo), hi)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
+        |FROM lineitem JOIN thr USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
         |    count(*) AS n

@@ -418,4 +418,28 @@ class OpsSpec extends AnyFunSuite {
     assert(m1.sameElements(m2)) // partitioning must not change results
     assert(m1.forall(_.getInt(3) >= 320)) // width lower bound
   }
+
+  test("blockedBandJoin equals the nested-loop band join, straddling cells") {
+    val probe = (0 to 200).map(i => (i.toLong, i * 7.3 - 100.0))
+      .toDF("pid", "x")
+    // deliberately irregular intervals, several wider than one cell
+    val iv = Seq((1L, -50.0, 120.0), (2L, 100.0, 101.0), (3L, 300.0, 900.0),
+      (4L, 899.0, 1000.0), (5L, -200.0, -199.0)).toDF("band", "lo", "hi")
+    val blocked = Scale.blockedBandJoin(probe, "x", iv, "lo", "hi", 250.0)
+      .select($"pid", $"band").orderBy($"pid", $"band").collect()
+    val naive = probe.join(iv, $"x" >= $"lo" && $"x" < $"hi")
+      .select($"pid", $"band").orderBy($"pid", $"band").collect()
+    assert(blocked.nonEmpty && blocked.sameElements(naive))
+  }
+
+  test("fuzzyPairs: length prune is lossless, pairs emitted once") {
+    val rows = Seq((1L, "alpha", "g"), (2L, "alpho", "g"), (3L, "alphaxx", "g"),
+      (4L, "beta", "g"), (5L, "alpha", "h")).toDF("id", "name", "blk")
+    val got = Linkage.fuzzyPairs(rows, "id", "name", "blk", 2)
+      .select($"id_a", $"id_b", $"dist").orderBy($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (1,2) dist 1; (1,3) dist 2; (2,3) dist 3 → out; beta → out;
+    // id 5 matches nothing (different block); no (b,a) duplicates
+    assert(got.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2)))
+  }
 }
