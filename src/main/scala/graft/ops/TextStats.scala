@@ -345,6 +345,23 @@ object TextStats {
         .orderBy(col("lang"), col("source"))
     },
 
+    // exact-k per-stratum sampling: every source downsampled to
+    // exactly min(k, |source|) docs, chosen by md5 rank — uniform-ish,
+    // reproducible on any engine/cluster/run (the Bernoulli
+    // pipeline_hash_sample cannot promise a count; this cannot promise
+    // a rate). One shuffle on source + a bounded window (rows ranked
+    // past k are discarded by the filter, never sorted globally).
+    "pipeline_sample_k_per_source" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+
     // end-to-end corpus cleaning: quality gate → exact near-dup removal
     // (fingerprint keep-first) → per-(lang, source) stats. The composed
     // pipeline a training-data run would execute, as one declarative
@@ -561,6 +578,13 @@ object TextStats {
         |FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '20'
         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
+    "pipeline_sample_k_per_source" ->
+      """SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |FROM documents
+        |QUALIFY rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "pipeline_pack_sequences_sharded" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens

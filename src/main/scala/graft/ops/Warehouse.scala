@@ -208,6 +208,25 @@ object Warehouse {
         .orderBy(col("l_returnflag"))
     },
 
+    // key-skew diagnostic: the heaviest join/grouping keys with their
+    // share of all rows and their multiple of the median key weight —
+    // the report that decides whether a key needs salting or an AQE
+    // skew split BEFORE the job that would have stalled on it. One
+    // hash agg to per-key counts, then scalar stats (broadcast) + a
+    // top-10 over the post-agg table.
+    "q_skew_report" -> { (s, dir) =>
+      val perKey = events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val stats = perKey.agg(sum(col("n")).as("total"),
+        expr("percentile(n, 0.5)").as("med"))
+      perKey.crossJoin(broadcast(stats))
+        .select(col("user_id"), col("n"),
+          round(col("n").cast(DoubleType) / col("total"), 6).as("share"),
+          round(col("n") / col("med"), 4).as("x_median"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+    },
+
     // hourly anomaly flags: z-score of each (event_type, hour) count
     // against that type's own hourly distribution, |z| > 2 flagged.
     // The stream reduces to one row per (type, hour) before the stats
@@ -322,6 +341,14 @@ object Warehouse {
         |      AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsorized
         |FROM lineitem JOIN thr USING (l_returnflag)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_skew_report" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |st AS (SELECT sum(n) AS total, quantile_cont(n, 0.5) AS med FROM pk)
+        |SELECT user_id, n,
+        |  round(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  round(n / med, 4) AS x_median
+        |FROM pk CROSS JOIN st
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
         |    count(*) AS n
