@@ -543,6 +543,20 @@ object Relational2 {
         .orderBy(col("o_orderkey"))
     },
 
+    // relative-rank windows: percent_rank / cume_dist (the quantile
+    // normalization of a feature column). The ordering includes the
+    // unique key, so there are no rank ties and both engines compute
+    // identical (k-1)/(n-1) and k/n doubles.
+    "q_window_percent_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // merge/upsert semantics via full-outer coalesce (the Delta-style
     // MERGE shape on plain tables): updates win over base, inserts
     // survive, untouched rows carry through — one shuffle on the key
@@ -953,6 +967,13 @@ object Relational2 {
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(ntile(10) OVER (PARTITION BY o_orderstatus
         |    ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_window_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(percent_rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey), 6) AS cd
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (

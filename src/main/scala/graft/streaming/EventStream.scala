@@ -55,6 +55,23 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Distinct users per tumbling hour — the windowed COUNT DISTINCT.
+    * Expressed as dedup-then-count so the IDENTICAL transform runs
+    * under Structured Streaming, where an aggregate cannot hold a
+    * per-window distinct set: dropDuplicates on (user, hour) is the
+    * first stateful stage, the windowed count the second (chained
+    * stateful operators, append mode). In batch the same plan is a
+    * map-side-partial dedup + count, never a giant collect_set. After
+    * the dedup each surviving row's ts still falls in its hour, so
+    * which duplicate survives can never change the count. */
+  def hourlyUniques(ev: DataFrame): DataFrame =
+    ev.select(col("ts"), col("user_id"))
+      .withColumn("hour_start", date_trunc("hour", col("ts")))
+      .dropDuplicates("user_id", "hour_start")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("window.start").as("hour_start"), col("n_users"))
+
   /** Sliding 1-hour window, 15-minute slide (epoch-aligned, Spark's
     * default): each event lands in 4 overlapping windows. Identical in
     * batch and under `withWatermark → groupBy(window(...))`. */
@@ -157,6 +174,10 @@ object EventStream {
       hourlyAgg(events(s, dir))
         .orderBy(col("hour_start"), col("event_type"))
     },
+    "stream_hourly_uniques" -> { (s, dir) =>
+      hourlyUniques(events(s, dir))
+        .orderBy(col("hour_start"))
+    },
     "stream_sessionize" -> { (s, dir) =>
       sessionize(events(s, dir))
         .orderBy(col("user_id"), col("session_id"))
@@ -248,6 +269,10 @@ object EventStream {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_hourly_uniques" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_gap_fill" ->
       """WITH h AS (
         |  SELECT date_trunc('hour', ts) AS hour_start, event_type,

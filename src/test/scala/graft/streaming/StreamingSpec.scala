@@ -104,6 +104,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hourlyUniques: chained dedup→agg streaming == batch (append mode)") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.hourlyUniques(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("uniq_out").start()
+    // user 1 twice in hour 0 (dedup → 1), users 1+2 in hour 1
+    val data = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "click", 1.0),
+      Ev(3, ts(65), 1, "buy", 1.0), Ev(4, ts(70), 2, "click", 1.0))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData(Ev(5, ts(200), 9, "click", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val streamed = spark.table("uniq_out")
+        .filter($"hour_start" < ts(120)) // finalized windows only
+        .orderBy($"hour_start").as[(Timestamp, Long)].collect().toSeq
+      val batch = EventStream.hourlyUniques(data.toDF())
+        .orderBy($"hour_start").as[(Timestamp, Long)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_._2) == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("slidingAgg: streaming with watermark == batch on same data") {
     val input = MemoryStream[Ev](spark)
     input.addData(sample: _*)
