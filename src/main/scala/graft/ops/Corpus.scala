@@ -230,6 +230,35 @@ object Corpus {
         .orderBy(col("source"), col("rank_in_source"))
     },
 
+    // contrastive training triplets: (anchor, positive, negative) where
+    // positives are near-dup pairs and the negative is a hash-derived
+    // pseudo-random doc — the standard contrastive-prep shape (random
+    // negatives; the vanishing chance one is a true near-dup is
+    // tolerated by the loss). The negative formula needs dense doc ids
+    // (the shipped tables are 0..n-1); two fallback steps dodge
+    // collisions with the anchor/positive. Positives here come from the
+    // exact-Jaccard anchor so the oracle can reproduce them; at scale
+    // swap in the MinHash LSH pair generator — the triplet assembly
+    // (one broadcast scalar + per-row arithmetic) is unchanged.
+    "pipeline_contrastive_triplets" -> { (s, dir) =>
+      val pairs = Dedup.exactJaccardPairs(s, dir, 0.5)
+      val nd = broadcast(t(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs")))
+      pairs.crossJoin(nd)
+        .withColumn("neg0", (col("id_a") * 31 + 7) % col("n_docs"))
+        .withColumn("neg1", (col("neg0") + 1) % col("n_docs"))
+        .withColumn("id_neg",
+          when(col("neg0") =!= col("id_a") && col("neg0") =!= col("id_b"),
+            col("neg0"))
+            .otherwise(when(
+              col("neg1") =!= col("id_a") && col("neg1") =!= col("id_b"),
+              col("neg1"))
+              .otherwise((col("neg0") + 2) % col("n_docs"))))
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+          col("id_neg").as("negative"), col("jaccard").as("pos_sim"))
+        .orderBy(col("anchor"), col("positive"))
+    },
+
     // cross-source content-overlap matrix: Jaccard of the sources'
     // token-set-fingerprint sets — the number that says how much two
     // corpus slices duplicate each other before deciding to merge or
@@ -392,6 +421,30 @@ object Corpus {
         |FROM sc
         |QUALIFY rank_in_source <= 10
         |ORDER BY source, rank_in_source""".stripMargin,
+    "pipeline_contrastive_triplets" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |t AS (SELECT id_a, id_b, jaccard,
+        |    (id_a * 31 + 7) % n_docs AS neg0,
+        |    (id_a * 31 + 8) % n_docs AS neg1,
+        |    (id_a * 31 + 9) % n_docs AS neg2
+        |  FROM p CROSS JOIN nd)
+        |SELECT id_a AS anchor, id_b AS positive,
+        |  CASE WHEN neg0 <> id_a AND neg0 <> id_b THEN neg0
+        |       WHEN neg1 <> id_a AND neg1 <> id_b THEN neg1
+        |       ELSE neg2 END AS negative,
+        |  jaccard AS pos_sim
+        |FROM t ORDER BY anchor, positive""".stripMargin,
     "corpus_overlap_sources" ->
       """WITH fp AS (
         |  SELECT DISTINCT source,

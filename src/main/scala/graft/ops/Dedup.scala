@@ -570,7 +570,7 @@ object Dedup {
 
   /** Exact all-pairs char-5-gram Jaccard pairs at `threshold` (shared
     * by dedup_jaccard_exact and dedup_components). */
-  private def exactJaccardPairs(s: SparkSession, dir: String,
+  private[ops] def exactJaccardPairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     val g = t(s, dir, "documents")
       .select(col("doc_id"), array_distinct(Text.charShingles(col("text"), 5)).as("sh"))

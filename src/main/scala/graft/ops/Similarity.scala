@@ -134,6 +134,13 @@ object Similarity {
     * probed clusters keeps returned scores identical to brute force. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       clusters: Int = IvfClusters, nprobe: Int = IvfProbes): DataFrame = {
+    val (assigned, centDf) = ivfFit(corpus, clusters)
+    ivfSearch(assigned, centDf, probes, k, nprobe)
+  }
+
+  /** The build stage: seeded k-means → (assignments, centroid table). */
+  private def ivfFit(corpus: DataFrame,
+      clusters: Int): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -164,9 +171,41 @@ object Similarity {
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray)
     }.toSeq
-    val centDf = spark.createDataFrame(centroids)
-      .toDF("cluster", "centroid")
-    // nprobe nearest centroids per probe (centroid table is tiny)
+    (assigned, spark.createDataFrame(centroids).toDF("cluster", "centroid"))
+  }
+
+  /** Build the IVF index ONCE and persist it — the build-once /
+    * probe-many lifecycle of production vector search (the in-session
+    * [[ivfTopK]] refits per query; this amortizes the fit across every
+    * future probe batch). Assignments are written PARTITIONED BY
+    * cluster, so a probe that visits nprobe of `clusters` partitions
+    * reads nprobe/clusters of the index bytes — partition pruning is
+    * the on-disk analogue of the inverted file. */
+  def ivfIndexBuild(corpus: DataFrame, path: String,
+      clusters: Int = IvfClusters): Unit = {
+    val (assigned, centDf) = ivfFit(corpus, clusters)
+    assigned.write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+    centDf.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index. Identical output contract to
+    * [[ivfTopK]] (same seed + params → identical rows, asserted in
+    * OpsSpec); the probed-cluster filter lands on the partition column,
+    * so the scan touches only the nprobe matching directories. */
+  def ivfIndexProbe(s: SparkSession, path: String, probes: DataFrame,
+      k: Int, nprobe: Int = IvfProbes): DataFrame = {
+    val assigned = s.read.parquet(s"$path/assignments")
+    val centDf = s.read.parquet(s"$path/centroids")
+    ivfSearch(assigned, centDf, probes, k, nprobe)
+  }
+
+  /** The probe stage shared by the in-session [[ivfTopK]] and the
+    * persisted-index [[ivfIndexProbe]]: nprobe nearest centroids per
+    * probe (centroid table broadcast), candidates from ONLY those
+    * clusters, exact cosine re-rank. */
+  private def ivfSearch(assigned: DataFrame, centDf: DataFrame,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probeClusters = probes.crossJoin(broadcast(centDf))
       .withColumn("cd", Vectors.l2sq(col("qv"), Vectors.toDouble(col("centroid"))))
       .withColumn("cr", row_number().over(
@@ -262,6 +301,16 @@ object Similarity {
     "sim_topk_ivf" -> { (s, dir) =>
       val c = corpus(s, dir)
       ivfTopK(c, probes(c), 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // the persisted-index lifecycle: build (fit + partitioned write)
+    // then probe from disk — same params as sim_topk_ivf, so the
+    // output is identical (OpsSpec-asserted); rows-only like it
+    "sim_ivf_index_probe" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val path = s"/tmp/graft_ivf/${dir.replaceAll("\\W", "_")}"
+      ivfIndexBuild(c, path)
+      ivfIndexProbe(s, path, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
     },
     // kNN label evaluation (the embeddings table carries a label):

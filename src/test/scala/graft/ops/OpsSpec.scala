@@ -419,6 +419,22 @@ class OpsSpec extends AnyFunSuite {
     assert(m1.forall(_.getInt(3) >= 320)) // width lower bound
   }
 
+  test("persisted IVF index probe equals the in-session ivfTopK") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id",
+        graft.functions.Vectors.toDouble($"embedding").as("v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val path = "/tmp/graft_ivf_spec"
+    Similarity.ivfIndexBuild(e, path)
+    val direct = Similarity.ivfTopK(e, probes, 5)
+      .orderBy($"query_id", $"rank").collect()
+    val fromIndex = Similarity.ivfIndexProbe(spark, path, probes, 5)
+      .orderBy($"query_id", $"rank").collect()
+    assert(direct.nonEmpty && fromIndex.sameElements(direct))
+  }
+
   test("blockedBandJoin equals the nested-loop band join, straddling cells") {
     val probe = (0 to 200).map(i => (i.toLong, i * 7.3 - 100.0))
       .toDF("pid", "x")
