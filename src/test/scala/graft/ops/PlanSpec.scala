@@ -96,6 +96,46 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("blocked band join plans as an equi-join — no nested loop anywhere") {
+    val plan = formatted(q("q_range_band_join_blocked"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked band join fell back to a nested loop:\n$plan")
+  }
+
+  test("fuzzy pairs join is an equi-join on the blocking key") {
+    val plan = formatted(q("link_fuzzy_pairs"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"fuzzy join fell back to a nested loop:\n$plan")
+  }
+
+  test("triangle counting plans with equi-joins only") {
+    val plan = formatted(q("graph_triangles"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle count fell back to a nested loop:\n$plan")
+  }
+
+  test("persisted IVF probe prunes index partitions on the cluster column") {
+    // build the index once, then inspect the probe-side scan: the
+    // cluster filter must land in PartitionFilters, not a post-scan
+    // Filter — that pruning is the on-disk inverted file
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+    val path = "/tmp/graft_ivf_planspec"
+    Similarity.ivfIndexBuild(e, path)
+    val probe = spark.read.parquet(s"$path/assignments")
+      .filter(col("cluster") === 3)
+    val plan = formatted(probe)
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cluster")),
+      s"cluster filter not pushed to partition pruning:\n$plan")
+  }
+
   test("TopKPerKey: partial+final execs around one shuffle; equals window") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet")
