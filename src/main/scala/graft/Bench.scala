@@ -24,8 +24,12 @@ object Bench {
     "text_bigram_lm", "q_zorder_key",
     "mm_decode_meta", "stream_hourly_window", "stream_sessionize",
     // round-5 additions: batch-vs-index dedup (the production
-    // incremental mode) and iterative-graph representative
-    "dedup_incr_minhash", "graph_pagerank")
+    // incremental mode), iterative-graph representative, the blocked
+    // fuzzy join (quadratic-in-block record linkage), the band join's
+    // equi-join scale path, and streaming windowed count-distinct
+    "dedup_incr_minhash", "graph_pagerank",
+    "link_fuzzy_pairs", "q_range_band_join_blocked",
+    "stream_hourly_uniques")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

