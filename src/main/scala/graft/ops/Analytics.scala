@@ -115,6 +115,24 @@ object Analytics {
           col("approx_median_price"), length(col("cms")).as("cms_bytes"))
         .orderBy(col("l_returnflag"))
     },
+    // mergeable-sketch rollup (DataSketches HLL): per-(type, hour)
+    // user sketches built ONCE, then unioned to per-type distinct
+    // estimates WITHOUT re-scanning raw events — the pattern that
+    // turns a 100 TB distinct-count rollup into a merge of kilobyte
+    // sketches (build daily sketch tables, answer any cube cell from
+    // them). Rows-only (estimates aren't SQL-reproducible); OpsSpec
+    // bounds the error vs the exact count.
+    "q_hll_rollup" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_users"))
+        .orderBy(col("event_type"))
+    },
     // deterministic dictionary materialization (reference O10): codes by
     // first-encounter order = file order; the customer file is ordered
     // by c_custkey, so first encounter ≙ min custkey per segment

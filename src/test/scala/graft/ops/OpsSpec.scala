@@ -419,6 +419,21 @@ class OpsSpec extends AnyFunSuite {
     assert(m1.forall(_.getInt(3) >= 320)) // width lower bound
   }
 
+  test("HLL sketch rollup estimates within 5% of exact distinct counts") {
+    val ev = Q.events(spark, "/root/testdata/sf0.001")
+    val approx = graft.ops.Analytics.queries("q_hll_rollup")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(2).toDouble).toMap
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= 0.05 * n,
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
   test("persisted IVF index probe equals the in-session ivfTopK") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
