@@ -97,9 +97,14 @@ object Scale {
     * only by their width/cellWidth overlap factor. */
   def blockedBandJoin(probe: DataFrame, x: String, intervals: DataFrame,
       lo: String, hi: String, cellWidth: Double): DataFrame = {
+    // last cell = the one containing values strictly below the open
+    // upper bound: ceil(hi/w)−1, not floor(hi/w), which would emit a
+    // guaranteed-dead candidate cell whenever hi sits exactly on a
+    // cell boundary (greatest() guards degenerate zero-width input)
     val cells = intervals.withColumn("__cell",
       explode(sequence(floor(col(lo) / cellWidth).cast("long"),
-        floor(col(hi) / cellWidth).cast("long"))))
+        greatest(floor(col(lo) / cellWidth),
+          ceil(col(hi) / cellWidth) - 1).cast("long"))))
     probe.withColumn("__cell", floor(col(x) / cellWidth).cast("long"))
       .join(cells, "__cell")
       .filter(col(x) >= col(lo) && col(x) < col(hi))

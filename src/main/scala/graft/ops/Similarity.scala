@@ -191,8 +191,12 @@ object Similarity {
 
   /** Probe a persisted IVF index. Identical output contract to
     * [[ivfTopK]] (same seed + params → identical rows, asserted in
-    * OpsSpec); the probed-cluster filter lands on the partition column,
-    * so the scan touches only the nprobe matching directories. */
+    * OpsSpec). The cluster restriction reaches the scan through the
+    * probe-clusters join, so actual file skipping is runtime behavior
+    * (broadcast join / dynamic partition pruning); the cluster-
+    * partitioned layout locked in PlanSpec is what makes that pruning
+    * available — a probe batch restricted to a literal cluster set
+    * reads only the matching directories. */
   def ivfIndexProbe(s: SparkSession, path: String, probes: DataFrame,
       k: Int, nprobe: Int = IvfProbes): DataFrame = {
     val assigned = s.read.parquet(s"$path/assignments")

@@ -58,19 +58,31 @@ object EventStream {
   /** Distinct users per tumbling hour — the windowed COUNT DISTINCT.
     * Expressed as dedup-then-count so the IDENTICAL transform runs
     * under Structured Streaming, where an aggregate cannot hold a
-    * per-window distinct set: dropDuplicates on (user, hour) is the
-    * first stateful stage, the windowed count the second (chained
-    * stateful operators, append mode). In batch the same plan is a
-    * map-side-partial dedup + count, never a giant collect_set. After
-    * the dedup each surviving row's ts still falls in its hour, so
-    * which duplicate survives can never change the count. */
-  def hourlyUniques(ev: DataFrame): DataFrame =
-    ev.select(col("ts"), col("user_id"))
+    * per-window distinct set: dedup on (user, hour) is the first
+    * stateful stage, the windowed count the second (chained stateful
+    * operators, append mode). The dedup is
+    * `dropDuplicatesWithinWatermark` — plain `dropDuplicates` keys on
+    * (user_id, hour_start), neither of which is the watermarked
+    * attribute, so its state store would never evict and grow without
+    * bound; the WithinWatermark form expires keys as the watermark
+    * passes, and any duplicate arriving later than the delay is
+    * already excluded from the finalized window by the downstream
+    * aggregate. Batch rejects the WithinWatermark form outright (no
+    * watermark, no state to evict), so the one mode-dependent line
+    * branches on `isStreaming`; every surviving row's ts falls in its
+    * hour either way, so which duplicate survives never changes the
+    * count and the oracle-checked batch result is identical. */
+  def hourlyUniques(ev: DataFrame): DataFrame = {
+    val hourly = ev.select(col("ts"), col("user_id"))
       .withColumn("hour_start", date_trunc("hour", col("ts")))
-      .dropDuplicates("user_id", "hour_start")
+    val deduped = if (hourly.isStreaming)
+      hourly.dropDuplicatesWithinWatermark("user_id", "hour_start")
+    else hourly.dropDuplicates("user_id", "hour_start")
+    deduped
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("window.start").as("hour_start"), col("n_users"))
+  }
 
   /** Sliding 1-hour window, 15-minute slide (epoch-aligned, Spark's
     * default): each event lands in 4 overlapping windows. Identical in

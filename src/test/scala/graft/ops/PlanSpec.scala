@@ -117,16 +117,22 @@ class PlanSpec extends AnyFunSuite {
       s"triangle count fell back to a nested loop:\n$plan")
   }
 
-  test("persisted IVF probe prunes index partitions on the cluster column") {
-    // build the index once, then inspect the probe-side scan: the
-    // cluster filter must land in PartitionFilters, not a post-scan
-    // Filter — that pruning is the on-disk inverted file
+  test("IVF index lands partitioned by cluster; literal reads prune") {
+    // what this locks: the on-disk LAYOUT — one directory per cluster,
+    // and a cluster-literal read resolves to PartitionFilters (no full
+    // scan). The probe path restricts clusters through a join, where
+    // skipping is runtime behavior (broadcast/DPP), not a static plan
+    // property — the layout is the precondition that makes it possible.
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"),
         graft.functions.Vectors.toDouble(col("embedding")).as("v"))
     val path = "/tmp/graft_ivf_planspec"
     Similarity.ivfIndexBuild(e, path)
+    val dirs = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("cluster=")) >= 2,
+      s"assignments not partitioned by cluster: ${dirs.mkString(",")}")
     val probe = spark.read.parquet(s"$path/assignments")
       .filter(col("cluster") === 3)
     val plan = formatted(probe)
