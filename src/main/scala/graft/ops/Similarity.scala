@@ -431,13 +431,24 @@ object Similarity {
     // rows through a 64·|labels|-key aggregate — fully distributed, no
     // vector ever collected. Emitted flat (label, dim_idx, mean) so the
     // oracle compares element-wise.
+    // the mean is rounded in INTEGER micro-units — round(sum/n, 6) on
+    // doubles flips between engines when the mean in micro-units hits
+    // an exact .5 tie (sum·10⁶ is an integer, so ties are common, and
+    // each engine's round() breaks them on a different representation;
+    // one such tie surfaced at sf0.1). (2m+n) div (2n) is half-up in
+    // pure integer arithmetic, bit-identical everywhere.
     "sim_label_centroids" -> { (s, dir) =>
       t(s, dir, "embeddings")
         .select(col("label"),
           posexplode(Vectors.toDouble(col("embedding"))))
         .groupBy(col("label"), col("pos"))
-        .agg(round(davg(col("col")), 6).as("mean_val"),
+        .agg(sum((col("col").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType)).as("sm"),
           count(lit(1)).as("n_vecs"))
+        .withColumn("mean_val", expr(
+          """CAST(CASE WHEN sm >= 0 THEN (2*sm + n_vecs) DIV (2*n_vecs)
+            |     ELSE -((2*(-sm) + n_vecs) DIV (2*n_vecs)) END AS DOUBLE)
+            | / 1000000""".stripMargin))
         .select(col("label"), col("pos").cast(LongType).as("dim_idx"),
           col("mean_val"), col("n_vecs"))
         .orderBy(col("label"), col("dim_idx"))
@@ -573,12 +584,17 @@ object Similarity {
       """WITH e AS (SELECT label,
         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
         |    generate_subscripts(embedding, 1) AS idx
-        |  FROM embeddings)
-        |SELECT label, CAST(idx - 1 AS BIGINT) AS dim_idx,
-        |  round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
-        |    AS mean_val,
-        |  count(*) AS n_vecs
-        |FROM e GROUP BY 1, 2 ORDER BY label, dim_idx""".stripMargin,
+        |  FROM embeddings),
+        |a AS (SELECT label, CAST(idx - 1 AS BIGINT) AS dim_idx,
+        |    sum(CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS sm,
+        |    count(*) AS n_vecs
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, dim_idx,
+        |  CAST(CASE WHEN sm >= 0 THEN (2*sm + n_vecs) // (2*n_vecs)
+        |       ELSE -((2*(-sm) + n_vecs) // (2*n_vecs)) END AS DOUBLE)
+        |    / 1000000 AS mean_val,
+        |  n_vecs
+        |FROM a ORDER BY label, dim_idx""".stripMargin,
     "sim_ncm_label_acc" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
