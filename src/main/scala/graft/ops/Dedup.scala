@@ -792,7 +792,7 @@ object Dedup {
     * correctness anchor the banded [[embeddingNearDupPairs]] path
     * approximates (small-scale-only by design, like
     * [[exactJaccardPairs]]). */
-  private def exactCosinePairs(s: SparkSession, dir: String,
+  private[ops] def exactCosinePairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import graft.functions.Vectors
     // norms computed once per vector (not per pair); the pair loop is
