@@ -80,6 +80,39 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // CCNet-style perplexity-band selection: per language, keep the
+    // docs in the MIDDLE half of the unigram-LM score distribution —
+    // the head is boilerplate the LM has memorized, the tail is noise
+    // the LM has never seen. The band is defined by integer RANK
+    // arithmetic (4·rn > n ∧ 4·rn ≤ 3n), not by interpolated
+    // percentile thresholds: double interpolation differs between
+    // engines in the last ulp and a doc can sit exactly on the
+    // threshold, while rank comparisons cannot disagree. One token
+    // scan + broadcast vocab join + a bounded per-lang window.
+    "pipeline_perplexity_band" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(Text.tokens(col("text"))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      val total = toks.agg(count(lit(1)).as("n_total"))
+      val scored = toks.join(broadcast(freq), "tok")
+        .crossJoin(broadcast(total))
+        .withColumn("lp", -log(col("tf").cast(DoubleType) / col("n_total")))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(davg(col("lp")), 6).as("mean_neg_logprob"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_neg_logprob"), col("doc_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(
+          Window.partitionBy(col("lang"))))
+        .filter(col("rn") * 4 > col("n_lang") &&
+          col("rn") * 4 <= col("n_lang") * 3)
+        .select(col("lang"), col("doc_id"), col("mean_neg_logprob"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
     // segment-level dedup signal: per-doc fraction of 16-token segments
     // that occur more than once corpus-wide (boilerplate / template
     // detection). One explode + one count agg + one equi-join back.
@@ -323,6 +356,27 @@ object Corpus {
         |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp), 6)
         |    AS mean_neg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipeline_perplexity_band" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n_total FROM toks),
+        |sc AS (SELECT doc_id, lang,
+        |    round(CAST(sum(CAST(-ln(CAST(tf AS DOUBLE) / n_total)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |      AS mean_neg_logprob
+        |  FROM toks JOIN freq USING (tok) CROSS JOIN n
+        |  GROUP BY doc_id, lang),
+        |rk AS (SELECT lang, doc_id, mean_neg_logprob,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY mean_neg_logprob, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM sc)
+        |SELECT lang, doc_id, mean_neg_logprob FROM rk
+        |WHERE rn * 4 > n_lang AND rn * 4 <= n_lang * 3
+        |ORDER BY lang, doc_id""".stripMargin,
     "dedup_segments" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
