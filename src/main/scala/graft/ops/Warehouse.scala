@@ -176,11 +176,14 @@ object Warehouse {
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
-      val totals = trans.groupBy(col("event_type"))
-        .agg(sum(col("n")).as("row_total"))
-      trans.join(broadcast(totals), "event_type")
+      // row-normalize with a window over the |types|²-row aggregate —
+      // a totals join would recompute the whole event scan + per-user
+      // window a second time (no exchange reuse across the self-join)
+      val wt = Window.partitionBy(col("event_type"))
+      trans
         .select(col("event_type"), col("next_type"), col("n"),
-          round(col("n").cast(DoubleType) / col("row_total"), 6).as("p"))
+          round(col("n").cast(DoubleType) / sum(col("n")).over(wt), 6)
+            .as("p"))
         .orderBy(col("event_type"), col("next_type"))
     },
 
@@ -321,12 +324,11 @@ object Warehouse {
         |      ORDER BY ts, event_id) AS next_type
         |  FROM events),
         |c AS (SELECT event_type, next_type, count(*) AS n FROM tr
-        |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
-        |tot AS (SELECT event_type, sum(n) AS row_total FROM c GROUP BY 1)
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, next_type, n,
-        |  round(CAST(n AS DOUBLE) / row_total, 6) AS p
-        |FROM c JOIN tot USING (event_type)
-        |ORDER BY event_type, next_type""".stripMargin,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY event_type), 6) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
     "q_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.01) AS lo,
