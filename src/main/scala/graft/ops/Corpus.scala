@@ -301,13 +301,27 @@ object Corpus {
     // broadcast. Zero-overlap pairs are kept — absence of overlap is
     // the useful answer.
     "corpus_overlap_sources" -> { (s, dir) =>
-      val fp = t(s, dir, "documents")
+      // ONE corpus scan: group fingerprints to their (sorted,
+      // |sources|-bounded) source set, cache that tiny frame, and
+      // derive per-source tallies + co-occurrence pairs from it — the
+      // naive self-join formulation re-ran the scan + fingerprint
+      // aggregate four times (once per use; no exchange reuse across
+      // the derivations)
+      val fps = t(s, dir, "documents")
         .select(col("source"), Text.fingerprint(col("text")).as("fp"))
         .distinct()
-      val perSrc = fp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
-      val inter = fp.select(col("source").as("source_a"), col("fp"))
-        .join(fp.select(col("source").as("source_b"), col("fp")), Seq("fp"))
-        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("fp"))
+        .agg(array_sort(collect_set(col("source"))).as("ss"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perSrc = fps.select(explode(col("ss")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+      val inter = fps
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |    y -> struct(x AS source_a, y AS source_b))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.source_a"), col("p.source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_common"))
       perSrc.select(col("source").as("source_a"), col("n_fp").as("n_a"))
