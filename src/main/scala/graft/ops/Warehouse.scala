@@ -218,8 +218,11 @@ object Warehouse {
     // hash agg to per-key counts, then scalar stats (broadcast) + a
     // top-10 over the post-agg table.
     "q_skew_report" -> { (s, dir) =>
+      // cached: both the scalar stats row and the top-10 read it, and
+      // recomputing it means a second full event scan
       val perKey = events(s, dir)
         .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = perKey.agg(sum(col("n")).as("total"),
         expr("percentile(n, 0.5)").as("med"))
       perKey.crossJoin(broadcast(stats))
