@@ -78,6 +78,28 @@ object IngestQueries {
         .df.orderBy("id")
     },
 
+    // datetime inference (extension past the reference's dead
+    // TIME_FORMATS — index.js:113-129): SQL-style, ISO-8601 T, and
+    // fractional columns each lock exactly one timestamp format;
+    // `mixed` sees two different surviving formats across rows (vote
+    // count < nn for every candidate) and stays a string — the same
+    // exactly-one-surviving contract the date vote uses.
+    "ingest_datetimes" -> { (s, _) =>
+      val data = Seq(
+        Row(1, "2024-01-02 13:45:00", "2024-01-02T13:45:00",
+          "2024-01-02 13:45:00.123", "2024-01-02 13:45:00"),
+        Row(2, "2024-2-3 4:5:6", "2024-2-3T4:5:6",
+          "2024-02-03 04:05:06.456", "2024-01-03T13:45:00"),
+        Row(3, "2025-12-31 23:59:59", "2025-12-31T23:59:59",
+          "2025-12-31 23:59:59.999", "2024-01-04 13:45:00"))
+      val df = s.createDataFrame(data.asJava,
+        StructType(Seq(StructField("id", IntegerType, false),
+          StructField("sql_dt", StringType), StructField("iso_dt", StringType),
+          StructField("frac_dt", StringType), StructField("mixed", StringType))))
+      Collimate.fromRows(df, Collimate.Options(parseDates = true))
+        .df.orderBy("id")
+    },
+
     "ingest_roundtrip_nation" -> { (s, dir) =>
       roundtrip(s, dir, "nation", "n_nationkey")
     },
@@ -175,6 +197,15 @@ object IngestQueries {
         | (2, DATE '2011-01-03', DATE '2012-02-28', DATE '2012-12-31'),
         | (3, DATE '2012-12-31', DATE '2013-03-03', DATE '2013-01-02')
         |) t(id, iso, "global", us) ORDER BY id""".stripMargin,
+    "ingest_datetimes" ->
+      """SELECT * FROM (VALUES
+        | (1, TIMESTAMP '2024-01-02 13:45:00', TIMESTAMP '2024-01-02 13:45:00',
+        |  TIMESTAMP '2024-01-02 13:45:00.123', '2024-01-02 13:45:00'),
+        | (2, TIMESTAMP '2024-02-03 04:05:06', TIMESTAMP '2024-02-03 04:05:06',
+        |  TIMESTAMP '2024-02-03 04:05:06.456', '2024-01-03T13:45:00'),
+        | (3, TIMESTAMP '2025-12-31 23:59:59', TIMESTAMP '2025-12-31 23:59:59',
+        |  TIMESTAMP '2025-12-31 23:59:59.999', '2024-01-04 13:45:00')
+        |) t(id, sql_dt, iso_dt, frac_dt, mixed) ORDER BY id""".stripMargin,
     "ingest_roundtrip_nation" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "ingest_roundtrip_region_tsv" ->

@@ -90,7 +90,10 @@ object TypeInference {
         count_distinct(c).as(s"dct_$i")
       ) ++ (if (parseDates) Dates.Formats.zipWithIndex.map { case (f, k) =>
         sum(Dates.parses(c, f)).as(s"fmt${k}_$i")
-      } else Nil)
+      } else Nil) ++
+        (if (parseDates) Dates.TimestampFormats.zipWithIndex.map {
+          case (f, k) => sum(Dates.tparses(c, f)).as(s"tfmt${k}_$i")
+        } else Nil)
     }
     val r = canon.agg(aggs.head, aggs.tail: _*).collect()(0)
     val thresh = Categorical.threshold(n, scan)
@@ -106,6 +109,16 @@ object TypeInference {
             .exists(_.asInstanceOf[Long] == nn)
         }.map(_._1)
       else Nil
+      // datetime lattice step (extension — the date and timestamp
+      // candidate families are disjoint on any single value: a 8–10
+      // char date can never parse a 14+ char datetime pattern and vice
+      // versa, so the two votes cannot both survive)
+      val tsSurviving = if (parseDates && nn > 0)
+        Dates.TimestampFormats.zipWithIndex.filter { case (_, k) =>
+          Option(r.getAs[Any](s"tfmt${k}_$i"))
+            .exists(_.asInstanceOf[Long] == nn)
+        }.map(_._1)
+      else Nil
       val (dt, fmt): (DataType, Option[String]) =
         if (nn == 0) (IntegerType, None) // all-null seeds int32, index.js:183-185
         else if (lng == nn && intOk == nn) (IntegerType, None)
@@ -113,6 +126,8 @@ object TypeInference {
         else if (dbl == nn) (DoubleType, None)
         // exactly-one-surviving-format rule, index.js:373-378
         else if (surviving.size == 1) (DateType, Some(surviving.head))
+        // int → long → double → date → TIMESTAMP → str
+        else if (tsSurviving.size == 1) (TimestampType, Some(tsSurviving.head))
         else (StringType, None)
       FieldMeta(c, Sanitize(c), dt, fmt,
         Categorical.isCategorical(dct, thresh), dct)
@@ -137,8 +152,9 @@ object TypeInference {
         case IntegerType => expr(s"try_cast(${f.sanitized} AS INT)")
         case LongType    => expr(s"try_cast(${f.sanitized} AS BIGINT)")
         case DoubleType  => expr(s"try_cast(${f.sanitized} AS DOUBLE)")
-        case DateType    => Dates.normalize(col(f.sanitized), f.dateFormat.get)
-        case _           => col(f.sanitized)
+        case DateType      => Dates.normalize(col(f.sanitized), f.dateFormat.get)
+        case TimestampType => Dates.normalizeTs(col(f.sanitized), f.dateFormat.get)
+        case _             => col(f.sanitized)
       }
       c.as(f.sanitized)
     }: _*)

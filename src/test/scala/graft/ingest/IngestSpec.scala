@@ -72,6 +72,48 @@ class IngestSpec extends AnyFunSuite {
     assert(typesOf(fixture("dates_iso.csv"))("d") == StringType)
   }
 
+  test("datetime detection: timestamp step on the lattice (extension)") {
+    import scala.jdk.CollectionConverters._
+    def infer(vals: Seq[String]): DataType = {
+      val df = spark.createDataFrame(
+        vals.map(org.apache.spark.sql.Row(_)).asJava,
+        StructType(Seq(StructField("c", StringType))))
+      TypeInference.infer(df, parseDates = true).fields.head.dataType
+    }
+    // each variant locks exactly one surviving timestamp format
+    assert(infer(Seq("2024-01-02 13:45:00", "2024-2-3 4:5:6")) ==
+      TimestampType)
+    assert(infer(Seq("2024-01-02T13:45:00", "2024-2-3T4:5:6")) ==
+      TimestampType)
+    assert(infer(Seq("2024-01-02 13:45:00.123")) == TimestampType)
+    assert(infer(Seq("2024/01/02 13:45:00")) == TimestampType)
+    // mixed separators: two formats each survive a strict subset →
+    // zero formats survive every row → string (same rule as dates)
+    assert(infer(Seq("2024-01-02 13:45:00", "2024-01-03T13:45:00")) ==
+      StringType)
+    // datetime does NOT shadow the date vote: pure dates stay DateType,
+    // and a date/datetime mix survives neither family
+    assert(infer(Seq("2024-01-02", "2024-01-03")) == DateType)
+    assert(infer(Seq("2024-01-02", "2024-01-02 13:45:00")) == StringType)
+    // out-of-range fields fail the strict parse → string
+    assert(infer(Seq("2024-13-02 13:45:00")) == StringType)
+    assert(infer(Seq("2024-01-02 25:45:00")) == StringType)
+    // numeric levels still win before the datetime step
+    assert(infer(Seq("123", "456")) == IntegerType)
+  }
+
+  test("datetime cast normalizes with the locked format") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq("2024-01-02T13:45:00", "2024-2-3T4:5:6")
+        .map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField("ts", StringType))))
+    val r = Collimate.fromRows(df, Collimate.Options(parseDates = true))
+    assert(r.df.schema.head.dataType == TimestampType)
+    assert(r.df.collect().map(_.get(0).toString).sorted.toSeq ==
+      Seq("2024-01-02 13:45:00.0", "2024-02-03 04:05:06.0"))
+  }
+
   test("sanitize replicates the reference chain (O12)") {
     assert(Sanitize(" First-Name ") == "first_name")
     assert(Sanitize("A&B") == "aandb")
