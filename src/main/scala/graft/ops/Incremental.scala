@@ -126,6 +126,86 @@ object Incremental {
         processBatch(b, idCol, textCol, indexDir, outDir, id)
     }
 
+  /** LshBuckets band index over base-corpus EMBEDDINGS: (tb, bk, id) —
+    * the persisted semantic-dedup analogue of [[bandIndex]]. In
+    * production this parquet table is maintained across runs (append
+    * survivors' bands nightly); here it is derived from the md5 split.
+    * One row per (table, vector): bytes proportional to tables·|corpus|,
+    * never the vectors themselves. */
+  def embeddingBandIndex(vecs: DataFrame, tables: Int, bits: Int,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    vecs.select(col("id"), posexplode(GraftBridge.column(
+        graft.functions.LshBuckets(
+          GraftBridge.expression(col("v")), tables, bits, dim))))
+      .select(col("pos").as("tb"), col("col").as("bk"), col("id"))
+  }
+
+  /** Semantic incremental dedup: batch vectors with a cosine ≥ τ
+    * partner in the base corpus, found via the persisted band index and
+    * exact-cosine-verified. Batch-side buckets multiprobe the `bits`
+    * Hamming-1 neighbors (probe-side rows only — the index is never
+    * expanded), so per-table hit p^b + b·p^(b−1)(1−p) keeps recall ≈ 1
+    * with a quarter of the tables a resident-only probe needs. Only ids
+    * travel through the band join; vectors join back by id for the
+    * verify, so precision is 1.0 by construction and recall is the only
+    * approximation (audited per round by audit_incr_embedding_recall).
+    * Returns (id_batch, id_base, cosine). */
+  def nearDupEmbeddingAgainstIndex(batch: DataFrame, base: DataFrame,
+      threshold: Double, tables: Int = 24, bits: Int = 5,
+      dim: Int = 64): DataFrame = {
+    val index = embeddingBandIndex(base, tables, bits, dim)
+    val masks = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
+    val probes = embeddingBandIndex(batch, tables, bits, dim)
+      .withColumnRenamed("id", "id_batch")
+      .select(col("id_batch"), col("tb"),
+        explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
+    val cands = probes.join(index, Seq("tb", "bk"))
+      .select(col("id_batch"), col("id").as("id_base"))
+      .distinct()
+    import graft.functions.Vectors
+    val a = batch.select(col("id").as("id_batch"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = base.select(col("id").as("id_base"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    cands.join(a, "id_batch").join(b, "id_base")
+      .withColumn("cos",
+        Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_batch"), col("id_base"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding frames for the md5 batch/base split (same 81/19 split as
+    * the document queries, keyed on vec_id). */
+  private def vecSets(s: SparkSession, dir: String,
+      base: Boolean): DataFrame = {
+    import graft.functions.Vectors
+    t(s, dir, "embeddings")
+      .filter(if (base) isBase(col("vec_id")) else !isBase(col("vec_id")))
+      .select(col("vec_id").cast(LongType).as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+  }
+
+  /** Exact batch×base cosine pairs — the small-scale oracle anchor for
+    * [[nearDupEmbeddingAgainstIndex]] (all-pairs join, batch×base only). */
+  private def exactIncrEmbPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    val a = vecSets(s, dir, base = false)
+      .repartition(s.sparkContext.defaultParallelism, col("id"))
+      .select(col("id").as("id_batch"), col("v").as("va"), col("nrm").as("na"))
+    val b = vecSets(s, dir, base = true)
+      .select(col("id").as("id_base"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .withColumn("cos",
+        Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_batch"), col("id_base"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   private def shingleSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -201,6 +281,41 @@ object Incremental {
       out
     },
 
+    // all-pairs anchor for semantic incremental dedup (batch×base
+    // only); τ = 0.45 matches the corpus-wide exact anchor family
+    "dedup_incr_embedding_exact" -> { (s, dir) =>
+      exactIncrEmbPairs(s, dir, 0.45)
+        .orderBy(col("id_batch"), col("id_base"))
+    },
+
+    // the scale path: persisted band index + multiprobe batch probes +
+    // exact-cosine verify (rows-only; recall audited below, precision
+    // 1.0 by construction). At τ = 0.45 the 24×5 multiprobe config
+    // leaves a per-pair miss ≈ 0.574²⁴ ≈ 2·10⁻⁶; at a production
+    // τ = 0.9 the cheaper 8-table × 10-bit config of
+    // dedup_embedding_ann_tight is the right sizing.
+    "dedup_incr_embedding" -> { (s, dir) =>
+      nearDupEmbeddingAgainstIndex(vecSets(s, dir, base = false),
+        vecSets(s, dir, base = true), 0.45)
+        .orderBy(col("id_batch"), col("id_base"))
+    },
+
+    "audit_incr_embedding_recall" -> { (s, dir) =>
+      val approx = nearDupEmbeddingAgainstIndex(
+        vecSets(s, dir, base = false), vecSets(s, dir, base = true), 0.45)
+        .select(col("id_batch").as("id_a"), col("id_base").as("id_b"))
+      val exact = exactIncrEmbPairs(s, dir, 0.45)
+        .select(col("id_batch").as("id_a"), col("id_base").as("id_b"))
+      val matched = approx.join(exact, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(matched)
+        .select(col("n_exact"), col("n_matched"),
+          when(col("n_exact") === 0, lit(1.0)).otherwise(
+            round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
+            .as("recall"))
+    },
+
     "audit_incr_minhash_recall" -> { (s, dir) =>
       val approx = nearDupAgainstIndex(shingleSets(s, dir, base = false),
         shingleSets(s, dir, base = true), 0.5)
@@ -245,6 +360,26 @@ object Incremental {
         |SELECT doc_id, fp, batch_id FROM (SELECT * FROM s1
         |  UNION ALL SELECT * FROM s2)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_incr_embedding_exact" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'd' AS is_base
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_batch, b.vec_id AS id_base,
+        |  round(list_reduce(list_transform(range(1, len(a.v)+1),
+        |      i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+        |        i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+        |        i -> b.v[i]*b.v[i]), (x,y) -> x+y))), 6) AS cosine
+        |FROM e a JOIN e b ON NOT a.is_base AND b.is_base
+        |WHERE list_reduce(list_transform(range(1, len(a.v)+1),
+        |      i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+        |        i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+        |        i -> b.v[i]*b.v[i]), (x,y) -> x+y))) >= 0.45
+        |ORDER BY id_batch, id_base""".stripMargin,
     "dedup_incr_jaccard_exact" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(
