@@ -312,10 +312,18 @@ object Similarity {
     // output is identical (OpsSpec-asserted); rows-only like it
     "sim_ivf_index_probe" -> { (s, dir) =>
       val c = corpus(s, dir)
-      val path = s"/tmp/graft_ivf/${dir.replaceAll("\\W", "_")}"
+      // per-run unique dir: a fixed path raced concurrent runs against
+      // the same data dir (one run's overwrite deleting parquet files
+      // mid-scan of the other) and never cleaned up; the temp dir is
+      // deleted once the (50-row) probe result is materialized
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf").toString
       ivfIndexBuild(c, path)
-      ivfIndexProbe(s, path, probes(c), 5)
+      val out = ivfIndexProbe(s, path, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+      graft.Util.rmrf(new java.io.File(path))
+      out
     },
     // kNN label evaluation (the embeddings table carries a label):
     // 5-NN by cosine for every vector, majority vote (ties → smaller

@@ -225,12 +225,17 @@ object Warehouse {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = perKey.agg(sum(col("n")).as("total"),
         expr("percentile(n, 0.5)").as("med"))
-      perKey.crossJoin(broadcast(stats))
+      val out = perKey.crossJoin(broadcast(stats))
         .select(col("user_id"), col("n"),
           round(col("n").cast(DoubleType) / col("total"), 6).as("share"),
           round(col("n") / col("med"), 4).as("x_median"))
         .orderBy(col("n").desc, col("user_id"))
         .limit(10)
+        // 10-row result: materialize so the per-key cache is released
+        // here instead of leaking one pinned frame per invocation
+        .localCheckpoint()
+      perKey.unpersist(blocking = false)
+      out
     },
 
     // hourly anomaly flags: z-score of each (event_type, hour) count
