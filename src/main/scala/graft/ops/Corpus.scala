@@ -27,7 +27,47 @@ object Corpus {
       sequence(lit(0), ceil(size(toks) / lit(n.toDouble)).cast(IntegerType) - 1),
       i => concat_ws(" ", slice(toks, i * n + 1, lit(n))))
 
+  /** Integer feature weight of one n-gram for the linear quality
+    * classifier: bucket = first 4 md5 hex chars (16 bits), scrambled by
+    * a Knuth multiplicative constant into [-1000, 1000]. Every step is
+    * integer arithmetic on functions both engines share (md5 /
+    * substring / instr), so the classifier score is bit-exact
+    * cross-engine — no float sums, no exp, no rounding flips. */
+  private def gramWeightSql(g: String): String =
+    s"""(((instr('0123456789abcdef', substring(md5($g), 1, 1)) - 1) * 4096 +
+       |  (instr('0123456789abcdef', substring(md5($g), 2, 1)) - 1) * 256 +
+       |  (instr('0123456789abcdef', substring(md5($g), 3, 1)) - 1) * 16 +
+       |  (instr('0123456789abcdef', substring(md5($g), 4, 1)) - 1))
+       |  * 2654435761 % 2001 - 1000)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // fastText-style linear quality classifier INFERENCE: hashed
+    // bag-of-features (word unigrams + '_'-joined bigrams) → 16-bit
+    // bucket → deterministic integer weight in [-1000, 1000]; the doc
+    // score is the per-row fold of those weights and `keep` is its
+    // sign. Complements the LM-based scores (unigram/bigram logprob):
+    // same shape as scoring with trained fastText weights — swap the
+    // hash-derived weight for a broadcast weight-table lookup and
+    // nothing else changes. Per-row codegen fold, zero shuffle, and —
+    // because every step is integer — fully oracle-checked.
+    "text_quality_classifier" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) > 0)
+        .withColumn("grams", expr(
+          """concat(toks,
+            |  transform(slice(toks, 1, size(toks) - 1),
+            |    (t, i) -> concat(t, '_', element_at(toks, i + 2))))"""
+            .stripMargin))
+        .select(col("doc_id"),
+          size(col("grams")).as("n_feats"),
+          expr(s"""aggregate(grams, CAST(0 AS BIGINT),
+                  |  (acc, g) -> acc + ${gramWeightSql("g")})"""
+            .stripMargin).as("score_milli"))
+        .withColumn("keep", col("score_milli") >= 0)
+        .orderBy(col("doc_id"))
+    },
 
     // PII redaction: mask all but the last 2 digits of the account
     // number, pseudonymize the name (keyed md5 token), count digit runs
@@ -324,7 +364,8 @@ object Corpus {
         .select(col("p.source_a"), col("p.source_b"))
         .groupBy(col("source_a"), col("source_b"))
         .agg(count(lit(1)).as("n_common"))
-      perSrc.select(col("source").as("source_a"), col("n_fp").as("n_a"))
+      val out = perSrc
+        .select(col("source").as("source_a"), col("n_fp").as("n_a"))
         .join(broadcast(
           perSrc.select(col("source").as("source_b"), col("n_fp").as("n_b"))),
           col("source_a") < col("source_b"))
@@ -333,10 +374,36 @@ object Corpus {
         .withColumn("jaccard", round(col("n_common").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_common")), 6))
         .orderBy(col("source_a"), col("source_b"))
+        // the grid is |sources|²-bounded (tiny): materialize it so the
+        // cached fingerprint frame can be released HERE instead of
+        // leaking one pinned entry per invocation into the session
+        .localCheckpoint()
+      fps.unpersist(blocking = false)
+      out
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_quality_classifier" -> {
+      val w =
+        """(((instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 4096 +
+          |  (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 256 +
+          |  (instr('0123456789abcdef', substring(md5(g), 3, 1)) - 1) * 16 +
+          |  (instr('0123456789abcdef', substring(md5(g), 4, 1)) - 1))
+          |  * 2654435761 % 2001 - 1000)""".stripMargin
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |gr AS (SELECT doc_id,
+         |    list_concat(toks, list_transform(range(1, len(toks)),
+         |      i -> toks[i] || '_' || toks[i + 1])) AS grams
+         |  FROM d WHERE len(toks) > 0),
+         |u AS (SELECT doc_id, unnest(grams) AS g FROM gr)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_feats,
+         |  CAST(sum($w) AS BIGINT) AS score_milli,
+         |  sum($w) >= 0 AS keep
+         |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "text_pii_redact" ->
       """WITH a AS (SELECT c_custkey, c_name,
         |    CAST(c_custkey AS VARCHAR) AS acct FROM customer)
