@@ -27,6 +27,7 @@ object SparkEntry {
       graft.ops.Incremental.queries ++
       graft.ops.Graph.queries ++
       graft.ops.Corpus.queries ++
+      graft.ops.Bpe.queries ++
       graft.ops.TextStats.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
       graft.ops.Incremental.oracleSql ++
       graft.ops.Graph.oracleSql ++
       graft.ops.Corpus.oracleSql ++
+      graft.ops.Bpe.oracleSql ++
       graft.ops.TextStats.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++

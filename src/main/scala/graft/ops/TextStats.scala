@@ -54,13 +54,21 @@ object TextStats {
     * token falls, so a bin's docs all start inside one `tokenBudget`
     * span — the invariant OpsSpec locks. */
   def packSequences(docs: DataFrame, textCol: String, orderCol: String,
+      tokenBudget: Long, shards: Int): DataFrame =
+    packSequencesBy(docs, size(Text.tokens(col(textCol))), orderCol,
+      tokenBudget, shards)
+
+  /** [[packSequences]] with a caller-supplied token-count expression —
+    * the budget column is the tokenizer's business (whitespace words,
+    * BPE subwords, …), the packing shape is not. */
+  def packSequencesBy(docs: DataFrame, nTokens: Column, orderCol: String,
       tokenBudget: Long, shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("shard")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .withColumn("shard", pmod(col(orderCol), lit(shards)))
-      .withColumn("n_tokens", size(Text.tokens(col(textCol))))
+      .withColumn("n_tokens", nTokens)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("bin_start", col("cum") - col("n_tokens"))
       .withColumn("bin", floor(col("bin_start") / tokenBudget))

@@ -434,6 +434,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE learn + encode match the hand-computed classic example") {
+    // Sennrich's low/lower/newest/widest corpus. Hand-derived with the
+    // documented tie-breaks (pair-frequency desc, pair lexicographic):
+    // e+s(9) es+t(9) l+o(7) lo+w(7) e+w(6) ew+est(6) n+ewest(6)
+    // d+est(3) i+dest(3) w+idest(3) e+r(2) low+er(2), then no pair
+    // occurs twice → learn stops at 12 even with headroom for 20.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(docs, "text", numMerges = 20)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o", "lo" -> "w",
+      "e" -> "w", "ew" -> "est", "n" -> "ewest", "d" -> "est",
+      "i" -> "dest", "w" -> "idest", "e" -> "r", "low" -> "er"))
+    // apply: known words collapse to learned units, "lowest" composes
+    // low+est from shared merges, unseen words fall back to characters
+    val enc = Seq((1L, "lowest newest widest lower low unseen"))
+      .toDF("id", "t")
+      .select(Bpe.encode(col("t"), merges).as("s"))
+      .head.getSeq[String](0)
+    assert(enc == Seq("low", "est", "newest", "widest", "lower", "low",
+      "u", "n", "s", "e", "e", "n"))
+  }
+
+  test("labelPropagation: deep (≥8-iteration) propagation converges " +
+      "with bounded plan depth") {
+    // a 12-node path graph seeded only at node 0: the label travels one
+    // hop per round, so labeling the far end NEEDS ≥11 rounds — this
+    // exercises the in-loop localCheckpoint cadence (every 4th round)
+    // on a plan that would otherwise nest 11 join+window layers
+    val nodes = (0L to 11L)
+      .map(i => (i, if (i == 0L) "A" else null))
+      .toDF("node", "seed_label")
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Graph.labelPropagation(nodes, pairs, "a", "b", 12)
+      .orderBy($"node").collect()
+    assert(out.length == 12)
+    assert(out.forall(_.getString(1) == "A"))
+    assert(out.count(_.getBoolean(2)) == 1)
+  }
+
   test("persisted IVF index probe equals the in-session ivfTopK") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -472,5 +512,33 @@ class OpsSpec extends AnyFunSuite {
     // (1,2) dist 1; (1,3) dist 2; (2,3) dist 3 → out; beta → out;
     // id 5 matches nothing (different block); no (b,a) duplicates
     assert(got.toSeq == Seq((1L, 2L, 1), (1L, 3L, 2)))
+  }
+
+  test("bm25TopK ranks rarer matching terms above common ones") {
+    // "cat" appears in 1 of 4 docs, "dog" in 3 of 4: the cat-bearing doc
+    // must outrank dog-only docs for query {cat, dog}; doc 9 (neither)
+    // must not be retrieved; the query doc itself (id 1) is excluded
+    val docs = Seq(
+      (1L, "cat x dog y z"), (2L, "cat a b c d"),
+      (3L, "dog a b c d"), (4L, "dog e f g h"),
+      (9L, "p q r s t")).toDF("doc_id", "text")
+    val queries = Seq((1L, "cat"), (1L, "dog")).toDF("query_id", "term")
+    val got = Search.bm25TopK(docs, queries, 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.head == (1, 2L))           // the rare-term doc wins
+    assert(got.map(_._2).toSet == Set(2L, 3L, 4L)) // 1 excluded, 9 absent
+  }
+
+  test("rrfFuse: both-list docs beat single-list docs; exact arithmetic") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfFuse(lex, vec, 10)
+      .orderBy($"rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // doc 10: 1/61 + 1/62; docs 12/11: 1/61, 1/62 (tie-break by doc_id
+    // would apply only on equal scores — here 12's 1/61 > 11's 1/62)
+    assert(got.map(_._2).toSeq == Seq(10L, 12L, 11L))
+    assert(got.head._3 == math.round((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6)
   }
 }
