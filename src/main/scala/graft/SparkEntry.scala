@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ops.Corpus.queries ++
       graft.ops.Bpe.queries ++
       graft.ops.TextStats.queries ++
+      graft.ops.Search.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       graft.ops.AsOf.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.ops.Corpus.oracleSql ++
       graft.ops.Bpe.oracleSql ++
       graft.ops.TextStats.oracleSql ++
+      graft.ops.Search.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++
       graft.ops.AsOf.oracleSql ++

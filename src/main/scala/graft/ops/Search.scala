@@ -1,0 +1,290 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import Q._
+import graft.functions.Vectors
+
+/** Retrieval over the corpus: BM25 lexical ranking and hybrid
+  * lexical+vector fusion (reciprocal-rank fusion) — the "find me
+  * examples like this" primitive a curation pipeline runs all day
+  * (mining hard negatives, sourcing topic-targeted training data,
+  * auditing what near-duplicates a query surfaces).
+  *
+  * The reference has no search surface at all (SURVEY §2c — the 642-line
+  * reference is an ingest converter); both operators here are
+  * engine-extension surface, and both are fully SQL-expressible, so each
+  * is oracle-checked end to end.
+  *
+  * Scale shape (100 TB):
+  *  - The corpus-side statistics — per-(doc, term) tf, per-term df,
+  *    per-doc length, corpus averages — are ONE scan + partial/final
+  *    hash aggregations, the same derived-index pattern as
+  *    `text_term_freq`; in production they persist as a posting table
+  *    partitioned by term, maintained incrementally.
+  *  - The query workload is FIXED-size (a bounded probe set, like
+  *    `sim_topk_bruteforce`'s): query terms broadcast to the posting
+  *    scan, so candidate generation is a broadcast equi-join on term —
+  *    only docs sharing ≥1 query term are touched, never all-pairs.
+  *  - Per-query ranking is a window over the candidate set, whose size
+  *    is bounded by the query terms' posting lists, not the corpus.
+  *  - The vector leg of the hybrid reuses the similarity module:
+  *    exact brute-force (broadcast probes, corpus never shuffled) for
+  *    the oracle-checked query; `Similarity.lshTopK` multiprobe ANN is
+  *    the registered drop-in at scale (`search_hybrid_rrf_ann`).
+  *
+  * Float determinism, cross-engine: per-term BM25 scores are summed with
+  * the DECIMAL(18,6) pattern (Q.dsum) so the doc score is independent of
+  * partitioning and addition order; ranking tie-breaks on doc_id; the
+  * RRF score is a fixed-order sum of two IEEE divisions of small
+  * integers — bit-identical in Spark and DuckDB.
+  */
+object Search {
+
+  /** Okapi BM25 constants (Robertson & Zaragoza 2009 defaults). */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Reciprocal-rank-fusion constant (Cormack, Clarke & Buettcher 2009:
+    * k = 60 "was chosen ... and has not been altered since"). */
+  val RrfK = 60
+
+  /** Per-list depth fused by RRF before the final top-k cut. */
+  val FuseDepth = 20
+
+  /** The deterministic fixed query workload: docs with id ≡ 13 (mod 97)
+    * below 2000 — the cap keeps the workload CONSTANT as the corpus
+    * scales (a fixed probe set against a growing corpus, like
+    * `sim_topk_bruteforce`), so oracle cost stays linear in corpus size.
+    * Each query is the doc's tokens at positions 1, 4, 7 (de-duplicated)
+    * — three mid-document terms, not a degenerate single-term probe. */
+  def queryTerms(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("doc_id") % 97 === 13 && col("doc_id") < 2000)
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 7)
+      .select(col("doc_id").as("query_id"),
+        explode(array(element_at(col("toks"), 1), element_at(col("toks"), 4),
+          element_at(col("toks"), 7))).as("term"))
+      .distinct()
+
+  /** BM25 top-k per query. `queries` = (query_id, term), broadcast-sized.
+    * Self-matches (the doc the query terms came from) are excluded —
+    * retrieving the probe itself is not a result. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val len = toks.select(col("doc_id"), size(col("toks")).as("len"))
+    // one-row corpus stats; avgdl division happens in DOUBLE on both
+    // engines (sum/count are exact integers, so the quotient is one
+    // deterministic IEEE division)
+    val stats = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+    // df restricted to query terms BEFORE the join: the restricted df
+    // table is |query vocabulary|-sized, so both stats joins broadcast
+    val qdf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(queries.select(col("term")).distinct()), "term")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") + lit(K1) * (lit(1 - B) +
+      lit(B) * col("len") / (col("sum_len").cast(DoubleType) / col("n_docs")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(queries), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(qdf), "term")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("tscore", idf * col("tf") * (K1 + 1) / norm)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(dsum(col("tscore")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score").as("bm25"))
+  }
+
+  /** RRF fusion of a lexical and a vector ranking: score(d) =
+    * Σ_lists 1/(RrfK + rank_list(d)) over the lists that retrieved d,
+    * re-ranked, top `k`. Both inputs are (query_id, doc_id, rank). */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").as("rl"))
+    val v = vec.select(col("query_id"), col("doc_id"), col("rank").as("rv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    l.join(v, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("rl")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("rv")), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        round(col("rrf"), 6).as("rrf_score"),
+        col("rl").as("rank_lex"), col("rv").as("rank_vec"))
+  }
+
+  /** Embedding probes for the same fixed query workload (documents and
+    * embeddings share the id space). */
+  private def vecProbes(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") % 97 === 13 && col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"),
+        Vectors.toDouble(col("embedding")).as("qv"))
+
+  private def vecCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 lexical top-10 for the fixed query workload (oracle-checked:
+    // the whole scoring chain is hash-agg + broadcast-join arithmetic)
+    "search_bm25_topk" -> { (s, dir) =>
+      bm25TopK(t(s, dir, "documents"), queryTerms(t(s, dir, "documents")), 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // hybrid retrieval: BM25 top-20 ∪ exact-cosine top-20, RRF-fused,
+    // top-10 (oracle-checked end to end — RRF arithmetic is exact-order
+    // IEEE on small-integer ranks)
+    "search_hybrid_rrf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lex = bm25TopK(docs, queryTerms(docs), FuseDepth)
+      val vec = Similarity
+        .bruteForceTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      rrfFuse(lex, vec, 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // the 100 TB form: identical fusion, vector leg from the multiprobe
+    // LSH ANN instead of brute force (recall < 1 by design → rows-only;
+    // audit_hybrid_ann_agreement measures list agreement per round)
+    "search_hybrid_rrf_ann" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lex = bm25TopK(docs, queryTerms(docs), FuseDepth)
+      val vec = Similarity
+        .lshTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      rrfFuse(lex, vec, 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // fraction of (query, doc) results the ANN-leg hybrid shares with
+    // the exact-leg hybrid at the final top-10 cut — rows-only by
+    // design, this row IS the measurement
+    "audit_hybrid_ann_agreement" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val lex = bm25TopK(docs, queryTerms(docs), FuseDepth)
+      def fused(vecLeg: DataFrame): DataFrame =
+        rrfFuse(lex, vecLeg
+          .select(col("query_id"), col("neighbor_id").as("doc_id"),
+            col("rank")), 10)
+          .select(col("query_id"), col("doc_id"))
+      val exact = fused(Similarity
+        .bruteForceTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth))
+      val ann = fused(Similarity
+        .lshTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth))
+      val matched = ann.join(exact, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(matched)
+        .select(col("n_exact"), col("n_matched"),
+          when(col("n_exact") === 0, lit(1.0)).otherwise(
+            round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
+            .as("agreement"))
+    }
+  )
+
+  /** Shared oracle fragments. */
+  private val toksCte =
+    """toks AS (SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents)""".stripMargin
+
+  // the query workload, term-deduplicated
+  private val qCte =
+    """qd AS (SELECT DISTINCT query_id, term FROM (
+      |    SELECT doc_id AS query_id,
+      |      unnest([toks[1], toks[4], toks[7]]) AS term
+      |    FROM toks WHERE doc_id % 97 = 13 AND doc_id < 2000
+      |      AND len(toks) >= 7))""".stripMargin
+
+  // BM25-scored candidates at depth `k`: same constant folding as the
+  // Spark side (k1 = 1.2, b = 0.75 → norm = tf + 1.2*(0.25 + 0.75*dl/avgdl)),
+  // per-term scores summed as DECIMAL(18,6) to kill order dependence
+  private def bm25Cte(k: Int): String =
+    s"""tfc AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+       |  GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, len(toks) AS len FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM dl),
+       |dfq AS (SELECT term, count(*) AS df FROM tfc
+       |  WHERE term IN (SELECT term FROM qd) GROUP BY term),
+       |sc AS (SELECT qd.query_id, tfc.doc_id,
+       |    CAST(sum(CAST(
+       |      ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+       |        * tfc.tf * ${K1 + 1}
+       |        / (tfc.tf + $K1 * ((1.0 - $B) + $B * dl.len
+       |            / (CAST(stats.sum_len AS DOUBLE) / stats.n_docs)))
+       |      AS DECIMAL(18,6))) AS DOUBLE) AS score
+       |  FROM tfc JOIN qd USING (term) JOIN dfq USING (term)
+       |    JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN stats
+       |  WHERE tfc.doc_id <> qd.query_id
+       |  GROUP BY qd.query_id, tfc.doc_id),
+       |lex AS (SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rl
+       |  FROM sc QUALIFY rl <= $k)""".stripMargin
+
+  // exact-cosine top-k for the same query ids (vector leg)
+  private def vecCte(k: Int): String =
+    s"""e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id % 97 = 13 AND vec_id < 2000),
+       |cs AS (SELECT query_id, vec_id AS doc_id,
+       |    list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+       |    / (sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), (x,y) -> x+y))
+       |     * sqrt(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y))) AS cos
+       |  FROM q JOIN e ON vec_id <> query_id),
+       |vec AS (SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, doc_id) AS rv
+       |  FROM cs QUALIFY rv <= $k)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "search_bm25_topk" ->
+      s"""WITH $toksCte,
+         |$qCte,
+         |${bm25Cte(10)}
+         |SELECT query_id, rl AS rank, doc_id, score AS bm25
+         |FROM lex ORDER BY query_id, rank""".stripMargin,
+    "search_hybrid_rrf" ->
+      s"""WITH $toksCte,
+         |$qCte,
+         |${bm25Cte(FuseDepth)},
+         |${vecCte(FuseDepth)},
+         |fused AS (
+         |  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |    coalesce(lex.doc_id, vec.doc_id) AS doc_id, rl, rv,
+         |    coalesce(1.0 / ($RrfK + rl), 0.0) +
+         |      coalesce(1.0 / ($RrfK + rv), 0.0) AS rrf
+         |  FROM lex FULL OUTER JOIN vec
+         |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         |SELECT query_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rank,
+         |  doc_id, round(rrf, 6) AS rrf_score,
+         |  rl AS rank_lex, rv AS rank_vec
+         |FROM fused
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+  )
+}
