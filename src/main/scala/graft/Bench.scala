@@ -29,7 +29,16 @@ object Bench {
     // equi-join scale path, and streaming windowed count-distinct
     "dedup_incr_minhash", "graph_pagerank",
     "link_fuzzy_pairs", "q_range_band_join_blocked",
-    "stream_hourly_uniques")
+    "stream_hourly_uniques",
+    // round-6 additions: batch-vs-index semantic dedup (completing the
+    // exact/MinHash/embedding incremental trio), the ANN-pair label
+    // propagation (the scale form of the iterative-graph family), the
+    // hashed linear quality classifier, and BPE subword stats (driver
+    // learn on a bounded histogram + codegen apply)
+    "dedup_incr_embedding", "graph_label_prop_ann",
+    "text_quality_classifier", "text_bpe_tokens",
+    // hybrid retrieval, ANN vector leg (the 100 TB form)
+    "search_hybrid_rrf_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -54,28 +63,55 @@ object Bench {
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def run(name: String): Unit = SparkEntry.queries(name)(spark, sfDir).count()
     def clear(): Unit = spark.catalog.clearCache()
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    // post-query storage telemetry: cached bytes still pinned after
+    // clearCache() reveal a leaked persist; total/free executor storage
+    // memory contextualizes an anomalous timing (external memory
+    // pressure during the run shows up as shrunken free space). Round-5
+    // lesson: the official record once carried a 12× one-off excursion
+    // and nothing in the output could tell it from a plan regression.
+    def storageMb: (Double, Double) = {
+      val st = spark.sparkContext.getExecutorMemoryStatus.values
+      val maxMb = st.map(_._1).sum / 1e6
+      val freeMb = st.map(_._2).sum / 1e6
+      (math.round((maxMb - freeMb) * 10) / 10.0, math.round(freeMb * 10) / 10.0)
+    }
+    // optional comma-separated subset (local iteration / extra scale
+    // points — the driver sets only SPARK_GRAFT_SF_DIR)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+      .map { name =>
       val ok = try { run(name); true } // warm-up, untimed
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      val med = if (!ok) -1.0 else {
-        val times = (1 to timedRuns).map { _ =>
+      val times = if (!ok) Seq(-1.0) else {
+        (1 to timedRuns).map { _ =>
           clear()
           val t0 = System.nanoTime()
           run(name)
-          (System.nanoTime() - t0) / 1e9
+          math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
         }.sorted
-        times(times.size / 2)
       }
       clear()
+      val (usedMb, freeMb) = storageMb
+      System.err.println(s"[bench] $name times=${times.mkString(",")} " +
+        s"storage_used_mb=$usedMb storage_free_mb=$freeMb")
       // a failed query reports -1 so it can never pass as a fast success
-      name -> med
+      (name, times, usedMb)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + ts(ts.size / 2) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median"}""")
+    // per-query raw spread [min, median, max] — three numbers that cost
+    // nothing and let an anomalous official record self-diagnose
+    val spreads = results.map { case (k, ts, _) =>
+      "\"" + k + "\":[" + ts.head + "," + ts(ts.size / 2) + "," + ts.last + "]"
+    }.mkString("{", ",", "}")
+    val leaked = results.map { case (k, _, m) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, ts, _) => ts(ts.size / 2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","spread":$spreads,"storage_used_mb_after":$leaked}""")
     spark.stop()
   }
 }
