@@ -153,8 +153,18 @@ object Incremental {
     * Returns (id_batch, id_base, cosine). */
   def nearDupEmbeddingAgainstIndex(batch: DataFrame, base: DataFrame,
       threshold: Double, tables: Int = 24, bits: Int = 5,
-      dim: Int = 64): DataFrame = {
-    val index = embeddingBandIndex(base, tables, bits, dim)
+      dim: Int = 64): DataFrame =
+    probeEmbeddingIndex(batch, embeddingBandIndex(base, tables, bits, dim),
+      base, threshold, tables, bits, dim)
+
+  /** The probe half of [[nearDupEmbeddingAgainstIndex]] against an
+    * ALREADY-MATERIALIZED band index (e.g. read back from parquet —
+    * the streaming handler below maintains one): multiprobe batch-side
+    * bucket expansion, (table, bucket) equi-join, exact-cosine verify
+    * against `base` vectors joined by candidate id. */
+  def probeEmbeddingIndex(batch: DataFrame, index: DataFrame,
+      base: DataFrame, threshold: Double, tables: Int, bits: Int,
+      dim: Int): DataFrame = {
     val masks = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
     val probes = embeddingBandIndex(batch, tables, bits, dim)
       .withColumnRenamed("id", "id_batch")
@@ -175,6 +185,56 @@ object Incremental {
       .select(col("id_batch"), col("id_base"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** One microbatch of streaming SEMANTIC incremental dedup — the
+    * embedding analogue of [[processBatch]]. The persisted state is two
+    * parquet tables: `indexDir` holds the (tb, bk, id) band rows (what
+    * the probe equi-joins — tables·|corpus| skinny rows) and `vecDir`
+    * the survivors' (id, v, nrm) vectors (touched only by the verify
+    * join on candidate ids). A batch vector is a duplicate if it has a
+    * cosine ≥ τ partner among prior survivors (band probe + exact
+    * verify) or a SMALLER-ID τ-partner within its own batch's novel
+    * set; survivors append (id, batch_id) to `outDir` plus their band
+    * rows and vectors to the state tables. Same at-least-once restart
+    * semantics as [[processBatch]] (re-appended survivors re-dedup to
+    * exact duplicates). */
+  def processEmbeddingBatch(batch: DataFrame, indexDir: String,
+      vecDir: String, outDir: String, batchId: Long, threshold: Double,
+      tables: Int = 24, bits: Int = 5, dim: Int = 64): Unit = {
+    val sp = batch.sparkSession
+    val novel = if (new java.io.File(indexDir).exists) {
+      val dup = probeEmbeddingIndex(batch, sp.read.parquet(indexDir),
+          sp.read.parquet(vecDir), threshold, tables, bits, dim)
+        .select(col("id_batch").as("id")).distinct()
+      batch.join(dup, Seq("id"), "left_anti")
+    } else batch
+    // within-batch near-dups: probe the novel set against its own bands
+    // and drop every id with a smaller-id τ-partner (deterministic
+    // keep-first; the agreement audit folds the identical rule)
+    val losers = probeEmbeddingIndex(novel,
+        embeddingBandIndex(novel, tables, bits, dim), novel,
+        threshold, tables, bits, dim)
+      .filter(col("id_batch") > col("id_base"))
+      .select(col("id_batch").as("id")).distinct()
+    val survivors = novel.join(losers, Seq("id"), "left_anti")
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint() // cut the read-then-append cycle on the state dirs
+    survivors.select(col("id"), col("batch_id"))
+      .write.mode("append").parquet(outDir)
+    embeddingBandIndex(survivors, tables, bits, dim)
+      .write.mode("append").parquet(indexDir)
+    survivors.select(col("id"), col("v"), col("nrm"))
+      .write.mode("append").parquet(vecDir)
+  }
+
+  /** Streaming semantic dedup: every microbatch of (id, v, nrm) vectors
+    * dedups against the accumulated band index and appends to it. */
+  def embeddingDedupStream(stream: DataFrame, indexDir: String,
+      vecDir: String, outDir: String, threshold: Double) =
+    stream.writeStream.foreachBatch {
+      (b: DataFrame, id: Long) =>
+        processEmbeddingBatch(b, indexDir, vecDir, outDir, id, threshold)
+    }
 
   /** Embedding frames for the md5 batch/base split (same 81/19 split as
     * the document queries, keyed on vec_id). */
