@@ -38,7 +38,11 @@ object Bench {
     "dedup_incr_embedding", "graph_label_prop_ann",
     "text_quality_classifier", "text_bpe_tokens",
     // hybrid retrieval, ANN vector leg (the 100 TB form)
-    "search_hybrid_rrf_ann")
+    "search_hybrid_rrf_ann",
+    // round-7 additions: product-quantization ANN (codes-only scan +
+    // ADC shortlist + exact re-rank) and the streaming semantic-dedup
+    // two-batch replay (band index + vector state across microbatches)
+    "sim_topk_pq", "stream_incr_embedding")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

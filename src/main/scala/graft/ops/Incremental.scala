@@ -230,11 +230,42 @@ object Incremental {
   /** Streaming semantic dedup: every microbatch of (id, v, nrm) vectors
     * dedups against the accumulated band index and appends to it. */
   def embeddingDedupStream(stream: DataFrame, indexDir: String,
-      vecDir: String, outDir: String, threshold: Double) =
+      vecDir: String, outDir: String, threshold: Double,
+      tables: Int = 24, bits: Int = 5, dim: Int = 64) =
     stream.writeStream.foreachBatch {
       (b: DataFrame, id: Long) =>
-        processEmbeddingBatch(b, indexDir, vecDir, outDir, id, threshold)
+        processEmbeddingBatch(b, indexDir, vecDir, outDir, id, threshold,
+          tables, bits, dim)
     }
+
+  /** The exact (all-pairs) twin of the two-batch semantic-dedup fold —
+    * the correctness anchor [[stream_incr_embedding]]'s agreement audit
+    * compares against. Same keep rule as [[processEmbeddingBatch]]:
+    * batch-2 rows are duplicates against batch-1 SURVIVORS (not all of
+    * batch 1 — a vector whose only τ-partner was itself dropped must
+    * survive), within-batch losers have a smaller-id τ-partner in the
+    * batch's novel set. O(n²) cosine joins — small-SF audit use only. */
+  def exactEmbeddingFold(b1: DataFrame, b2: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.Vectors
+    def pairs(l: DataFrame, r: DataFrame): DataFrame =
+      l.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        .crossJoin(r.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")))
+        .filter(Vectors.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+    def survivorsWithin(batch: DataFrame): DataFrame = {
+      val losers = pairs(batch, batch).filter(col("id_a") > col("id_b"))
+        .select(col("id_a").as("id")).distinct()
+      batch.join(losers, Seq("id"), "left_anti")
+    }
+    val s1 = survivorsWithin(b1).localCheckpoint()
+    val dup2 = pairs(b2, s1).select(col("id_a").as("id")).distinct()
+    val s2 = survivorsWithin(b2.join(dup2, Seq("id"), "left_anti"))
+    s1.select(col("id"), lit(1L).as("batch_id"))
+      .unionAll(s2.select(col("id"), lit(2L).as("batch_id")))
+  }
 
   /** Embedding frames for the md5 batch/base split (same 81/19 split as
     * the document queries, keyed on vec_id). */
@@ -358,6 +389,61 @@ object Incremental {
       nearDupEmbeddingAgainstIndex(vecSets(s, dir, base = false),
         vecSets(s, dir, base = true), 0.45)
         .orderBy(col("id_batch"), col("id_base"))
+    },
+
+    // deterministic 2-batch replay of the SEMANTIC streaming handler
+    // (the embedding analogue of stream_incr_dedup): vectors split by
+    // vec_id parity arrive as two microbatches; batch 2 dedups against
+    // the band index + vector state batch 1 left behind. Rows-only by
+    // design — the probe is LSH (recall < 1 in principle); the audit
+    // below folds the identical rule exactly and measures agreement.
+    "stream_incr_embedding" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr_emb_stream").toString
+      val (idxDir, vecDir, outDir) = (s"$tmp/index", s"$tmp/vec", s"$tmp/out")
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      processEmbeddingBatch(vecs.filter(col("id") % 2 === 0),
+        idxDir, vecDir, outDir, 1L, 0.45)
+      processEmbeddingBatch(vecs.filter(col("id") % 2 === 1),
+        idxDir, vecDir, outDir, 2L, 0.45)
+      val out = s.read.parquet(outDir)
+        .select(col("id"), col("batch_id"))
+        .orderBy(col("id"))
+        .localCheckpoint()
+      graft.Util.rmrf(new java.io.File(tmp))
+      out
+    },
+
+    // agreement of the streamed fold vs the exact all-pairs fold: both
+    // counts plus |symmetric difference| = 0 when the LSH probe missed
+    // nothing. The streamed side re-runs the same two-batch replay.
+    "audit_stream_incr_embedding" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_incr_emb_audit").toString
+      val (idxDir, vecDir, outDir) = (s"$tmp/index", s"$tmp/vec", s"$tmp/out")
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").cast(LongType).as("id"),
+          graft.functions.Vectors.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      val (b1, b2) = (vecs.filter(col("id") % 2 === 0),
+        vecs.filter(col("id") % 2 === 1))
+      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, 0.45)
+      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, 0.45)
+      val streamed = s.read.parquet(outDir)
+        .select(col("id"), col("batch_id")).localCheckpoint()
+      graft.Util.rmrf(new java.io.File(tmp))
+      val exact = exactEmbeddingFold(b1, b2, 0.45)
+      val diff = streamed.select(col("id"), col("batch_id"))
+        .unionAll(exact)
+        .groupBy(col("id"), col("batch_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") =!= 2)
+        .agg(count(lit(1)).as("n_disagree"))
+      streamed.agg(count(lit(1)).as("n_stream"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(diff)
     },
 
     "audit_incr_embedding_recall" -> { (s, dir) =>

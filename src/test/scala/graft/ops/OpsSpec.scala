@@ -33,6 +33,62 @@ class OpsSpec extends AnyFunSuite {
     assert(r(2).getDouble(1) == 50.0 && r(2).getDouble(3) == 25.0)
   }
 
+  test("PQ: handcrafted codebook encodes/prices exactly; top-k scores are exact cosines") {
+    // 2 subspaces × 2 centroids over dim 4 — argmin and ADC are exact
+    val cb = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)), // subspace 0
+      Array(Array(0.0, 5.0), Array(5.0, 0.0)))   // subspace 1
+    val df = Seq(
+      (1L, Array(0.1, -0.1, 0.2, 4.8)), // → codes (0, 0)
+      (2L, Array(9.0, 11.0, 4.9, 0.0))  // → codes (1, 1)
+    ).toDF("vec_id", "v")
+    val enc = df.select($"vec_id",
+        Similarity.pqEncode($"v", cb).as("codes"))
+      .orderBy($"vec_id").collect()
+    assert(enc(0).getSeq[Int](1) == Seq(0, 0))
+    assert(enc(1).getSeq[Int](1) == Seq(1, 1))
+    val q = Seq((7L, Array(0.0, 0.0, 5.0, 0.0))).toDF("query_id", "qv")
+    val dt = q.select(Similarity.pqDistTable($"qv", cb).as("dt"))
+      .head.getSeq[scala.collection.Seq[Double]](0)
+    assert(dt(0) == Seq(0.0, 200.0) && dt(1) == Seq(50.0, 0.0))
+    // end-to-end on a trained codebook: every returned cosine equals
+    // the brute-force cosine for that (query, neighbor) pair
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map(i =>
+        (i, Array.fill(4)(rnd.nextDouble() * (if (i % 2 == 0) 1 else -1))))
+      .toDF("vec_id", "v")
+    val probes = corpus.filter($"vec_id" <= 2)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val pq = Similarity.pqTopK(corpus, probes, 3, m = 2, kk = 2,
+      kCand = 10, dim = 4)
+    val bf = Similarity.bruteForceTopK(corpus, probes, 3)
+    val joined = pq.select($"query_id", $"neighbor_id", $"cosine")
+      .join(bf.select($"query_id", $"neighbor_id",
+        $"cosine".as("bf_cos")), Seq("query_id", "neighbor_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getDouble(2) == r.getDouble(3)))
+  }
+
+  test("IVF-PQ with no pruning degenerates to exact brute force") {
+    // nprobe = clusters and an unbounded shortlist remove both
+    // approximations; residual encoding must then change nothing
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 30L).map(i =>
+        (i, Array.fill(4)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "v")
+    val probes = corpus.filter($"vec_id" <= 2)
+      .select($"vec_id".as("query_id"), $"v".as("qv"))
+    val ivfpq = Similarity.ivfPqTopK(corpus, probes, 3, clusters = 2,
+        nprobe = 2, m = 2, kk = 4, kCand = 100, dim = 4)
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+      .orderBy($"query_id", $"rank").collect()
+    val bf = Similarity.bruteForceTopK(corpus, probes, 3)
+      .select($"query_id", $"neighbor_id", $"rank", $"cosine")
+      .orderBy($"query_id", $"rank").collect()
+    assert(ivfpq.toSeq == bf.toSeq)
+  }
+
   test("minhash near-dup finds a planted duplicate with exact jaccard") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"

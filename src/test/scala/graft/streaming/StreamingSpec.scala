@@ -13,6 +13,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class Doc(doc_id: Long, text: String)
 
+case class Vec(id: Long, v: Seq[Double], nrm: Double)
+
 /** Structured Streaming parity: the SAME hourlyAgg transform that the
   * batch oracle checks is run here as a real streaming query (memory
   * sink), plus a stateful mapGroupsWithState op. */
@@ -231,6 +233,34 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.read.parquet(s"$dir/out")
         .select($"doc_id", $"batch_id").as[(Long, Long)].collect().sorted
       assert(out.toSeq == Seq((1L, 0L), (4L, 1L))) // MemoryStream batch ids
+    } finally {
+      q.stop()
+      graft.Util.rmrf(new java.io.File(dir))
+    }
+  }
+
+  test("streaming semantic dedup carries band index + vectors across microbatches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr_emb").toString
+    val input = MemoryStream[Vec](spark)
+    val q = graft.ops.Incremental.embeddingDedupStream(input.toDF(),
+      s"$dir/idx", s"$dir/vec", s"$dir/out", 0.9,
+      tables = 8, bits = 4, dim = 4).start()
+    try {
+      // batch 0: 2 duplicates 1 (same vector); 3 orthogonal → keep 1, 3
+      input.addData(Vec(1, Seq(1, 0, 0, 0), 1.0),
+        Vec(2, Seq(1, 0, 0, 0), 1.0), Vec(3, Seq(0, 1, 0, 0), 1.0))
+      q.processAllAvailable()
+      // batch 1: 4 duplicates survivor 1 via the persisted index;
+      // 6 duplicates 5 within the batch → keep 5 only
+      input.addData(Vec(4, Seq(1, 0, 0, 0), 1.0),
+        Vec(5, Seq(0, 0, 1, 0), 1.0), Vec(6, Seq(0, 0, 1, 0), 1.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+        .select($"id", $"batch_id").as[(Long, Long)].collect().sorted
+      assert(out.toSeq == Seq((1L, 0L), (3L, 0L), (5L, 1L)))
+      // the state tables hold exactly the survivors' rows
+      assert(spark.read.parquet(s"$dir/vec").count() == 3)
+      assert(spark.read.parquet(s"$dir/idx").count() == 3 * 8)
     } finally {
       q.stop()
       graft.Util.rmrf(new java.io.File(dir))
