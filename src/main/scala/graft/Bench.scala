@@ -42,7 +42,10 @@ object Bench {
     // round-7 additions: product-quantization ANN (codes-only scan +
     // ADC shortlist + exact re-rank) and the streaming semantic-dedup
     // two-batch replay (band index + vector state across microbatches)
-    "sim_topk_pq", "stream_incr_embedding")
+    "sim_topk_pq", "stream_incr_embedding",
+    // exact substring-span dedup (ExactSubstr primitive: corpus-wide
+    // repeated-window detection + per-doc span merge)
+    "dedup_substring_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

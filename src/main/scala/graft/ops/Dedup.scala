@@ -594,6 +594,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact substring-span dedup report (the ExactSubstr primitive of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every `n`-token window that occurs ≥2 times anywhere in
+    * the corpus is a duplicated window; per document, overlapping /
+    * adjacent duplicated windows merge into maximal spans
+    * (gaps-islands over window start positions), and the report is
+    * (doc, span count, duplicated-token total, longest span) — the
+    * numbers a pipeline uses to decide span-level CUTTING rather than
+    * whole-doc dropping.
+    *
+    * Scale shape: window hashes are built per row in codegen
+    * (`transform` over start positions + `md5` — no token array is
+    * duplicated through the explode, only the hash array), then ONE
+    * shuffle groups (hash) to find repeats, one equi-join marks
+    * positions, and the span merge is a per-document bounded window.
+    * Everything is linear in corpus token count. At 100 TB, swap the
+    * md5-of-joined-string for [[graft.functions.RollingHash]] per
+    * window start — 8-byte keys through the shuffle instead of 32-hex
+    * strings, same plan shape (the oracle keeps md5 because DuckDB
+    * reproduces it). */
+  def substringSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 10): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("tk"))
+    val wins = toks.select(col("doc_id"),
+        posexplode(when(size(col("tk")) >= n,
+            transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+              i => md5(concat_ws(" ", slice(col("tk"), i, lit(n))))))
+          .otherwise(array().cast(ArrayType(StringType)))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    // one shuffle on the hash: count-over-window instead of a
+    // groupBy + join-back, which would scan and shuffle `wins` twice
+    val marked = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("c") > 1).select(col("doc_id"), col("pos"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = marked
+      // new island when this window neither overlaps nor touches the
+      // previous one (start gap > n); first row's NULL lag → island
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(wd) <= n, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("g", sum(col("brk")).over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+    spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        max(col("e") - col("s") + 1).as("longest_span"))
+  }
+
   /** Pair-set recall audit: how many exact pairs the LSH path also
     * found. Both inputs are (id_a, id_b, …) frames. */
   private def pairRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
@@ -612,6 +663,12 @@ object Dedup {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact substring-span dedup: corpus-repeated 10-token windows
+    // merged into maximal per-doc spans (span-cut dedup, not doc-drop)
+    "dedup_substring_spans" -> { (s, dir) =>
+      substringSpans(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
     // approximation audits (rows-only by design): the MaxBucket recall
     // trade-off and LSH-vs-exact pair recall, surfaced as query results
     // so the driver tracks them per round, not just in specs
@@ -815,6 +872,27 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i.i AS pos, md5(array_to_string(tk[i.i:i.i+9], ' ')) AS h
+        |  FROM toks CROSS JOIN LATERAL
+        |    (SELECT unnest(range(1, greatest(len(tk)-9,0)+1)) AS i) i),
+        |dups AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |marked AS (SELECT w.doc_id, w.pos FROM wins w JOIN dups USING (h)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 10
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM marked),
+        |grp AS (SELECT doc_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g FROM isl),
+        |spans AS (SELECT doc_id, g, min(pos) AS s, max(pos) + 9 AS e
+        |          FROM grp GROUP BY doc_id, g)
+        |SELECT doc_id, count(*) AS n_dup_spans,
+        |       CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |       CAST(max(e - s + 1) AS BIGINT) AS longest_span
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_exact_by_key" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1

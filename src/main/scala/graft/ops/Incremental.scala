@@ -202,12 +202,17 @@ object Incremental {
       vecDir: String, outDir: String, batchId: Long, threshold: Double,
       tables: Int = 24, bits: Int = 5, dim: Int = 64): Unit = {
     val sp = batch.sparkSession
-    val novel = if (new java.io.File(indexDir).exists) {
+    // checkpoint: the novel frame feeds the self-probe THREE times
+    // (its band index, the probe side, and the verify base) plus the
+    // survivor anti-join — without materialization the cross-batch
+    // parquet probe above re-executes once per consumer (measured 4×
+    // the per-probe cost at sf0.1)
+    val novel = (if (new java.io.File(indexDir).exists) {
       val dup = probeEmbeddingIndex(batch, sp.read.parquet(indexDir),
           sp.read.parquet(vecDir), threshold, tables, bits, dim)
         .select(col("id_batch").as("id")).distinct()
       batch.join(dup, Seq("id"), "left_anti")
-    } else batch
+    } else batch).localCheckpoint()
     // within-batch near-dups: probe the novel set against its own bands
     // and drop every id with a smaller-id τ-partner (deterministic
     // keep-first; the agreement audit folds the identical rule)
@@ -326,6 +331,50 @@ object Incremental {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // embedding drift monitor: population stats of the incoming batch
+    // against the base corpus — counts, mean vector norm per side, and
+    // the cosine between the two per-dimension centroids. The number a
+    // pipeline alarms on BEFORE pouring a re-embedded or
+    // distribution-shifted batch into an index tuned for the old
+    // geometry. One scan: per-side scalars are a 2-group agg, the
+    // centroids are a posexplode + (side, dim)-keyed DECIMAL sum
+    // (order-independent → oracle-exact), and everything after is
+    // 64-row arithmetic. At 100 TB the per-dim partial sums are
+    // map-side-combined, so the shuffle is #partitions × 128 rows.
+    "incr_embedding_drift" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val e = t(s, dir, "embeddings")
+        .select(isBase(col("vec_id")).as("is_base"),
+          Vectors.toDouble(col("embedding")).as("v"))
+      val side = e
+        .withColumn("nrm", Vectors.norm(col("v")))
+        .groupBy(col("is_base"))
+        .agg(count(lit(1)).as("n"), davg(col("nrm")).as("mn"))
+      val cent = e.select(col("is_base"), posexplode(col("v")))
+        .groupBy(col("is_base"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) /
+          count(lit(1))).as("c"))
+      val cos = cent.filter(col("is_base"))
+        .select(col("pos"), col("c").as("cb"))
+        .join(cent.filter(!col("is_base"))
+          .select(col("pos"), col("c").as("cn")), "pos")
+        .agg(
+          sum((col("cb") * col("cn")).cast(DecimalType(38, 18)))
+            .cast(DoubleType).as("dot"),
+          sum((col("cb") * col("cb")).cast(DecimalType(38, 18)))
+            .cast(DoubleType).as("nb2"),
+          sum((col("cn") * col("cn")).cast(DecimalType(38, 18)))
+            .cast(DoubleType).as("nn2"))
+        .select(round(col("dot") / (sqrt(col("nb2")) * sqrt(col("nn2"))), 6)
+          .as("centroid_cosine"))
+      side.filter(col("is_base"))
+        .select(col("n").as("n_base"), round(col("mn"), 6).as("mean_norm_base"))
+        .crossJoin(side.filter(!col("is_base"))
+          .select(col("n").as("n_batch"),
+            round(col("mn"), 6).as("mean_norm_batch")))
+        .crossJoin(cos) // three 1-row frames
+    },
 
     "dedup_incr_exact" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -480,6 +529,35 @@ object Incremental {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "incr_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'd' AS is_base,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |side AS (
+        |  SELECT is_base, count(*) AS n,
+        |    CAST(sum(CAST(sqrt(list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> v[i]*v[i]), (x,y) -> x+y)) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS mn
+        |  FROM e GROUP BY is_base),
+        |cent AS (
+        |  SELECT is_base, i.i - 1 AS pos,
+        |    CAST(sum(CAST(v[i.i] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS c
+        |  FROM e CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY is_base, i.i),
+        |cosine AS (
+        |  SELECT round(
+        |    CAST(sum(CAST(b.c * n.c AS DECIMAL(38,18))) AS DOUBLE) /
+        |    (sqrt(CAST(sum(CAST(b.c * b.c AS DECIMAL(38,18))) AS DOUBLE)) *
+        |     sqrt(CAST(sum(CAST(n.c * n.c AS DECIMAL(38,18))) AS DOUBLE))), 6)
+        |    AS centroid_cosine
+        |  FROM (SELECT pos, c FROM cent WHERE is_base) b
+        |  JOIN (SELECT pos, c FROM cent WHERE NOT is_base) n USING (pos))
+        |SELECT b.n AS n_base, round(b.mn, 6) AS mean_norm_base,
+        |  nb.n AS n_batch, round(nb.mn, 6) AS mean_norm_batch,
+        |  c.centroid_cosine
+        |FROM (SELECT * FROM side WHERE is_base) b,
+        |  (SELECT * FROM side WHERE NOT is_base) nb, cosine c""".stripMargin,
     "dedup_incr_exact" ->
       """WITH d AS (SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(

@@ -239,34 +239,71 @@ object Similarity {
   val PqK = 16           // centroids per subspace codebook (codes 0..15)
   val PqCandidates = 100 // ADC shortlist size before the exact re-rank
 
-  /** Product-quantization codebooks: one seeded k-means of [[PqK]]
-    * centroids per sub-vector slice. The fit follows [[ivfFit]]'s
-    * sample-cap discipline — past [[IvfFitSampleCap]] rows the m fits
-    * train on a bounded seeded sample, so training cost stops scaling
-    * with the corpus. The whole codebook is m·k·(dim/m) = dim·k doubles
-    * (64·16 = 8 KB here) — it travels to executors as a LITERAL inside
-    * the encode/probe expressions, no join, no broadcast machinery. */
+  /** Codebook training sample bound: 20k × 64 doubles ≈ 10 MB on the
+    * driver, and Lloyd over it is sub-second. k=16 centroids per 4-dim
+    * subspace saturate well below this. */
+  val PqTrainSampleCap = 20000L
+
+  /** Product-quantization codebooks: seeded k-means of [[PqK]]
+    * centroids per sub-vector slice, trained DRIVER-LOCAL on a seeded
+    * sample of ≤ [[PqTrainSampleCap]] rows. Codebook training is a
+    * bounded-size model fit — the distributed cost is ONE sample scan
+    * regardless of corpus size; fitting m tiny k-means problems as m
+    * sequential Spark-ML jobs paid m× job-scheduling latency for no
+    * parallelism (measured 40+ s of a 46 s query at sf0.1). The
+    * collected sample is sorted before init so the codebook does not
+    * depend on partition/collect order. The whole codebook is
+    * m·k·(dim/m) = dim·k doubles (8 KB here) — it travels to executors
+    * as a LITERAL inside the encode/probe expressions, no join, no
+    * broadcast machinery. */
   def pqTrain(corpus: DataFrame, m: Int = PqM, k: Int = PqK,
       dim: Int = 64): Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val d = dim / m
     val n = corpus.count()
-    val sampled = (if (n > IvfFitSampleCap)
-        corpus.sample(withReplacement = false,
-          IvfFitSampleCap.toDouble / n, seed = 42L)
-      else corpus)
-      .select(col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val books = Array.tabulate(m) { j =>
-      val train = sampled
-        .select(array_to_vector(slice(col("v"), j * d + 1, d)).as("features"))
-      new KMeans().setK(k).setSeed(42L + j).setInitMode("random")
-        .setMaxIter(4).fit(train)
-        .clusterCenters.map(_.toArray)
+    val sample: Array[Array[Double]] =
+      (if (n > PqTrainSampleCap)
+         corpus.sample(withReplacement = false,
+           PqTrainSampleCap.toDouble / n, seed = 42L)
+       else corpus)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
+    // partition-order-independent: lexicographic sort of the sample
+    val lex = new Ordering[Array[Double]] {
+      def compare(a: Array[Double], b: Array[Double]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val c = java.lang.Double.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
     }
-    sampled.unpersist(blocking = false)
-    books
+    java.util.Arrays.sort(sample, lex)
+    Array.tabulate(m) { j =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * d, j * d + d))
+      val rnd = new scala.util.Random(42L + j)
+      val cent = Array.tabulate(k)(_ => pts(rnd.nextInt(pts.length)).clone)
+      for (_ <- 1 to 4) {
+        val sums = Array.fill(k, d)(0.0)
+        val cnts = Array.fill(k)(0L)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < k) {
+            var s = 0.0; var t = 0
+            while (t < d) { val f = p(t) - cent(c)(t); s += f * f; t += 1 }
+            if (s < bd) { bd = s; best = c }
+            c += 1
+          }
+          cnts(best) += 1
+          var t = 0
+          while (t < d) { sums(best)(t) += p(t); t += 1 }
+        }
+        for (c <- 0 until k if cnts(c) > 0; t <- 0 until d)
+          cent(c)(t) = sums(c)(t) / cnts(c)
+      }
+      cent
+    }
   }
 
   private def cbLiteral(cb: Array[Array[Array[Double]]]): Column =

@@ -40,7 +40,60 @@ object Warehouse {
       ts: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
     ts.foldLeft(lit(1))((acc, t) => acc + when(v > t, 1).otherwise(0))
 
+  /** Snapshot diff (the CDC delta between two versions of a keyed
+    * table): full outer join on the key, classify each key as
+    * added / removed / changed by a caller-supplied change predicate,
+    * and emit ONLY the delta — the thing a pipeline materializes to
+    * avoid reprocessing an unchanged 100 TB snapshot. One shuffle per
+    * side on the key (sort-merge full outer); with both snapshots
+    * bucketed by the key the exchange disappears entirely
+    * (`Sinks`-style bucketing, same co-location story as
+    * `q_bucketed_join`). The change predicate compares typed columns
+    * (IS DISTINCT FROM semantics via `<=>`), not row hashes — hashing
+    * float renderings is engine-dependent, typed compares are not. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      compare: Seq[String]): DataFrame = {
+    val o = oldDf.select(col(key) +: compare.map(c =>
+      col(c).as(s"old_$c")): _*)
+    val n = newDf.select(col(key) +: compare.map(c =>
+      col(c).as(s"new_$c")): _*)
+    val changed = compare.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    // presence flags, not null-checks on data columns: a legitimately
+    // NULL compare column must not read as an absent row
+    val j = o.withColumn("__in_old", lit(true))
+      .join(n.withColumn("__in_new", lit(true)), Seq(key), "full_outer")
+    j.withColumn("status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("status").isNotNull)
+      .drop("__in_old", "__in_new")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // snapshot diff: two deterministic "versions" of orders (old drops
+    // keys ≡0 mod 23 — later inserts; new drops keys ≡0 mod 31 —
+    // deletes; prices on keys ≡0 mod 7 re-priced in new) → the delta
+    // a change-data-capture step would publish. Only the delta is
+    // returned; unchanged keys (the overwhelming mass at scale) never
+    // leave the join.
+    "q_snapshot_diff" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val old = orders.filter(col("o_orderkey") % 23 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val nw = orders.filter(col("o_orderkey") % 31 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          // +1.50 not *0.9: one IEEE add is bit-identical across
+          // engines, a multiply-then-round can straddle a tie
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      snapshotDiff(old, nw, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
 
     // SCD type-2 history build: each order becomes a versioned row of
     // the customer's "current order" dimension with [valid_from,
@@ -269,6 +322,28 @@ object Warehouse {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 23 <> 0),
+        |nw AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 31 <> 0)
+        |SELECT * FROM (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    o.o_orderstatus AS old_o_orderstatus,
+        |    o.o_totalprice AS old_o_totalprice,
+        |    n.o_orderstatus AS new_o_orderstatus,
+        |    n.o_totalprice AS new_o_totalprice,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+        |         THEN 'changed' END AS status
+        |  FROM old o FULL JOIN nw n ON o.o_orderkey = n.o_orderkey)
+        |WHERE status IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     "q_data_profile" ->
       """WITH p AS (
         |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,

@@ -89,6 +89,43 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfpq.toSeq == bf.toSeq)
   }
 
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    val old = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+      (5L, null.asInstanceOf[String], 50.0)).toDF("k", "s", "p")
+    val nw = Seq((1L, "A", 10.0), (2L, "B", 25.0), (4L, "D", 40.0),
+      (5L, null.asInstanceOf[String], 50.0)).toDF("k", "s", "p")
+    val r = Warehouse.snapshotDiff(old, nw, "k", Seq("s", "p"))
+      .orderBy($"k").collect()
+    // 1 unchanged and 5 (null-equal via <=>) dropped; 2 changed,
+    // 3 removed, 4 added
+    assert(r.map(x => (x.getLong(0), x.getString(5))).toSeq ==
+      Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("substring spans: repeated runs merge into maximal spans; short docs drop out") {
+    // doc 1 and 2 share tokens 1..15 (a 15-token run → windows at
+    // positions 1..6 for n=10, one merged span of 15 tokens); doc 2
+    // ALSO repeats the run at its tail, far enough (gap > n) to be a
+    // second island; doc 3 is unique; doc 4 is shorter than n
+    val run = (1 to 15).map(i => s"t$i").mkString(" ")
+    val mid = (50 to 75).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, run + " " + (100 to 120).map(i => s"a$i").mkString(" ")),
+      (2L, run + " " + mid + " " + run),
+      (3L, (200 to 240).map(i => s"b$i").mkString(" ")),
+      (4L, "x y z")
+    ).toDF("doc_id", "text")
+    val r = Dedup.substringSpans(docs).orderBy($"doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // doc 1: one 15-token span
+    assert(r(0).getLong(1) == 1L && r(0).getLong(2) == 15L &&
+      r(0).getInt(3) == 15)
+    // doc 2: the run appears at head and tail → two islands, 30 dup
+    // tokens, each span 15 tokens long
+    assert(r(1).getLong(1) == 2L && r(1).getLong(2) == 30L &&
+      r(1).getInt(3) == 15)
+  }
+
   test("minhash near-dup finds a planted duplicate with exact jaccard") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " x y"

@@ -1,93 +1,53 @@
 #!/usr/bin/env python3
-"""Robustness sweep → driver-visible JSON artifact.
+"""Robustness-sweep artifact: per-query verdict at a given SF, as JSON.
 
-Usage: python3 tools/sweep.py <sfDir> <verifyOutDir> <out.json>
+Usage: python3 tools/sweep.py <sfDir> <verifyOutDir> <dest.json>
 
-Replays every oracle SQL in DuckDB against the Verify dump at
-<verifyOutDir> (produced by `runMain graft.Verify <sfDir> <dir>`) and
-writes one JSON object per query:
-  {"status": "pass" | "fail" | "rows_only" | "missing",
-   "rows": <spark row count or null>, "detail": <first diff, fails only>}
-Registered queries with no oracle entry are recorded as rows_only with
-their row count (0 rows is only an error if the query errored — the
-Verify main already deletes the output dir on failure, which shows up
-here as status=missing).
+Runs the same compare as tools/check_oracle.py (DuckDB replay of every
+oracle SQL vs the parquet graft.Verify wrote), then records queries
+that have output but no oracle entry as "rows_only" with their row
+counts. The JSON is the driver-visible form of the sweep that used to
+live only in SURVEY prose.
 """
-import glob
 import json
 import os
+import subprocess
 import sys
 
 import duckdb
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
-
-def normalize(rel):
-    df = rel.df()
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
-
-
-def main(sf_dir, out_dir, out_json):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+def main(sf_dir, out_dir, dest):
+    p = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "check_oracle.py"),
+         sf_dir, out_dir],
+        capture_output=True, text=True)
+    queries = {}
+    for line in p.stdout.splitlines():
+        if line.startswith("PASS "):
+            queries[line.split()[1]] = {"verdict": "pass"}
+        elif line.startswith("FAIL "):
+            name = line.split()[1].rstrip(":")
+            queries[name] = {"verdict": "fail",
+                             "detail": line.split(":", 1)[1].strip()[:200]}
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = sorted({os.path.basename(d)
-                    for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d)}
-                   | set(oracle))
-    report = {}
-    n_pass = n_fail = n_rows_only = 0
-    for name in names:
-        qdir = f"{out_dir}/{name}"
-        if not os.path.isdir(qdir):
-            report[name] = {"status": "missing", "rows": None}
-            n_fail += 1
-            continue
-        try:
-            got = normalize(con.sql(f"SELECT * FROM '{qdir}/*.parquet'"))
-        except Exception as e:
-            report[name] = {"status": "fail", "rows": None,
-                            "detail": f"spark output unreadable: {e}"}
-            n_fail += 1
-            continue
-        if name not in oracle:
-            report[name] = {"status": "rows_only", "rows": len(got)}
-            n_rows_only += 1
-            continue
-        try:
-            exp = normalize(con.sql(oracle[name]))
-        except Exception as e:
-            report[name] = {"status": "fail", "rows": len(got),
-                            "detail": f"oracle errored: {e}"}
-            n_fail += 1
-            continue
-        if list(exp.columns) != list(got.columns):
-            report[name] = {"status": "fail", "rows": len(got),
-                            "detail": f"columns exp={list(exp.columns)} got={list(got.columns)}"}
-            n_fail += 1
-        elif len(exp) != len(got):
-            report[name] = {"status": "fail", "rows": len(got),
-                            "detail": f"rows exp={len(exp)} got={len(got)}"}
-            n_fail += 1
-        elif (exp.astype(str) != got.astype(str)).any().any():
-            neq = (exp.astype(str) != got.astype(str)).any(axis=1)
-            i = neq[neq].index[0]
-            report[name] = {"status": "fail", "rows": len(got),
-                            "detail": f"first diff row {i}: exp={exp.loc[i].to_dict()} got={got.loc[i].to_dict()}"}
-            n_fail += 1
-        else:
-            report[name] = {"status": "pass", "rows": len(got)}
-            n_pass += 1
-    summary = {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-               "n_rows_only": n_rows_only, "queries": report}
-    with open(out_json, "w") as f:
-        json.dump(summary, f, indent=1, sort_keys=True)
-    print(f"== {n_pass} pass / {n_rows_only} rows_only / {n_fail} fail → {out_json}")
-    return 1 if n_fail else 0
+    con = duckdb.connect()
+    for d in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, d)
+        if os.path.isdir(path) and d not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{path}/*.parquet'").fetchone()[0]
+                queries[d] = {"verdict": "rows_only", "rows": n}
+            except Exception as e:
+                queries[d] = {"verdict": "err", "detail": str(e)[:200]}
+    counts = {}
+    for v in queries.values():
+        counts[v["verdict"]] = counts.get(v["verdict"], 0) + 1
+    out = {"sf_dir": sf_dir, "n_queries": len(queries),
+           "counts": counts, "queries": queries}
+    json.dump(out, open(dest, "w"), indent=1, sort_keys=True)
+    print(f"wrote {dest}: {counts}")
+    return 1 if counts.get("fail") or counts.get("err") else 0
 
 
 if __name__ == "__main__":
