@@ -283,6 +283,44 @@ object TextStats {
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("shard"), col("bin"))
     },
+    // leakage-safe split: a near-dup of a training doc in the test set
+    // is contamination, so split assignment must move WHOLE near-dup
+    // components, not docs — each doc splits by its component
+    // representative (min id; singletons by their own id), and the
+    // audit columns PROVE the property: n_leaky_safe counts near-dup
+    // pairs straddling splits under this rule (must be 0) vs the naive
+    // per-doc rule's count on the same pairs. Pair source here is the
+    // exact-Jaccard anchor for the oracle; at scale swap the MinHash
+    // band join — the component/assign/audit plan is unchanged.
+    "pipeline_split_leakage_safe" -> { (s, dir) =>
+      def splitOf(c: Column): Column =
+        when(c % 10 < 8, "train").when(c % 10 === 8, "val")
+          .otherwise("test")
+      // checkpoint: feeds components() iterations AND both audit joins
+      val pairs = Dedup.exactJaccardPairs(s, dir, 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+      val assign = t(s, dir, "documents").select(col("doc_id"))
+        .join(comp, col("doc_id") === col("id"), "left")
+        .withColumn("split", splitOf(coalesce(col("comp"), col("doc_id"))))
+        .select(col("doc_id"), col("split"))
+      val counts = assign.agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      pairs
+        .join(assign.select(col("doc_id").as("id_a"),
+          col("split").as("sa")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"),
+          col("split").as("sb")), "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("n_leaky_safe"),
+          sum(when(splitOf(col("id_a")) =!= splitOf(col("id_b")), 1L)
+            .otherwise(0L)).as("n_leaky_naive"))
+        .crossJoin(counts) // two 1-row frames
+    },
+
     // deterministic stratified train/val/test split (hash-free so both
     // engines agree: doc_id mod 10 → 8/1/1) + per-(split, lang) stats —
     // the reproducible-split stage of a training-data pipeline
@@ -605,6 +643,54 @@ object TextStats {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin,
+    "pipeline_split_leakage_safe" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, length(text)-3), i -> substr(text, i, 5))) AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id, min(dst) AS comp
+        |         FROM reach GROUP BY src),
+        |a AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |s AS (
+        |  SELECT doc_id, CASE WHEN rep % 10 < 8 THEN 'train'
+        |    WHEN rep % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |  FROM a),
+        |leaks AS (
+        |  SELECT count(*) AS n_pairs,
+        |    CAST(sum(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_leaky_safe,
+        |    CAST(sum(CASE WHEN
+        |        (CASE WHEN id_a % 10 < 8 THEN 'train'
+        |          WHEN id_a % 10 = 8 THEN 'val' ELSE 'test' END) <>
+        |        (CASE WHEN id_b % 10 < 8 THEN 'train'
+        |          WHEN id_b % 10 = 8 THEN 'val' ELSE 'test' END)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_naive
+        |  FROM p JOIN s sa ON p.id_a = sa.doc_id
+        |         JOIN s sb ON p.id_b = sb.doc_id),
+        |cnt AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_train,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_val,
+        |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_test
+        |  FROM s)
+        |SELECT * FROM leaks, cnt""".stripMargin,
     "pipeline_stratified_split" ->
       """SELECT CASE WHEN doc_id % 10 < 8 THEN 'train'
         |    WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split,
