@@ -6,9 +6,25 @@ import org.apache.spark.sql.types._
 
 /** Shared query helpers. */
 object Q {
-  /** Read one of the driver's parquet tables. */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Read one of the driver's parquet tables.
+    *
+    * The 2026-08-13 testdata regeneration switched every temporal
+    * column to parquet `timestamp[us]` WITHOUT the UTC flag (previously
+    * `ts` was nanos and `o_orderdate`/`l_shipdate` were DATE), which
+    * Spark surfaces as TIMESTAMP_NTZ — a type `unix_micros`, interval
+    * arithmetic, and half the temporal function surface reject.
+    * Normalize here, once, for every consumer: cast NTZ → TIMESTAMP.
+    * Sessions run with spark.sql.session.timeZone=UTC, so the cast
+    * reinterprets the naive wall-clock as the identical UTC instant —
+    * restoring exactly the types the whole query surface (and its
+    * DuckDB oracles, which see naive timestamps either way) was built
+    * against. */
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.collect {
+      case f if f.dataType == TimestampNTZType => f.name
+    }.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast(TimestampType)))
+  }
 
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
     * reads as LongType (spark.sql.legacy.parquet.nanosAsLong — set in

@@ -21,8 +21,14 @@ class WarehouseSpec extends AnyFunSuite {
   test("scd2: per customer, intervals chain and exactly one is current") {
     val rows = Warehouse.queries("q_scd2_history")(spark, sf).collect()
     assert(rows.nonEmpty)
-    def ts(r: org.apache.spark.sql.Row, i: Int): java.time.LocalDateTime =
-      r.getAs[java.time.LocalDateTime](i)
+    // Q.t normalizes the testdata's TIMESTAMP_NTZ columns to TIMESTAMP,
+    // so valid_from/valid_to externalize as java.sql.Timestamp; go
+    // through Instant so the assertions don't care which form arrives.
+    def ts(r: org.apache.spark.sql.Row, i: Int): java.time.Instant =
+      r.get(i) match {
+        case t: java.sql.Timestamp => t.toInstant
+        case l: java.time.LocalDateTime => l.toInstant(java.time.ZoneOffset.UTC)
+      }
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.count(_.getBoolean(5)) == 1)
       // ordered by (valid_from, orderkey): each valid_to equals the
