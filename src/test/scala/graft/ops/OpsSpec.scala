@@ -527,6 +527,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL quantile sketch rollup within 3% rank error of exact quantiles") {
+    val ev = Q.events(spark, "/root/testdata/sf0.001")
+    val approx = graft.ops.Analytics.queries("q_kll_rollup")(
+        spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // KLL guarantees RANK error (~1.7% at k=200, two merge levels), not
+    // value error: assert each reported quantile's exact rank in the
+    // type's value distribution is within 3% of the requested rank.
+    val byType = ev.select($"event_type", $"value").collect()
+      .groupBy(_.getString(0)).map { case (k, rs) =>
+        k -> rs.map(_.getDouble(1)).sorted }
+    assert(approx.keySet == byType.keySet)
+    for ((k, (p50, p95, p99)) <- approx; (q, v) <- Seq(0.50 -> p50, 0.95 -> p95, 0.99 -> p99)) {
+      val vals = byType(k)
+      val rank = vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rank - q) <= 0.03, s"$k q=$q value=$v rank=$rank")
+    }
+  }
+
   test("BPE learn + encode match the hand-computed classic example") {
     // Sennrich's low/lower/newest/widest corpus. Hand-derived with the
     // documented tie-breaks (pair-frequency desc, pair lexicographic):
