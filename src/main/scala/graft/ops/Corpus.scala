@@ -332,6 +332,91 @@ object Corpus {
         .orderBy(col("anchor"), col("positive"))
     },
 
+    // HARD-negative contrastive mining: random negatives (above) are
+    // trivially easy for the loss — production contrastive prep mines
+    // negatives that are the anchor's MOST similar non-duplicate
+    // neighbors (similar enough to teach the margin, below the near-dup
+    // threshold so they're never false negatives). For each positive
+    // pair (cos ≥ τ), the negative is the anchor's highest-cosine
+    // neighbor with cos < τ (tie → smaller id). This exact form is the
+    // O(n²) oracle anchor; the ANN variant below is the 100 TB path.
+    "pipeline_contrastive_hard" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val tau = 0.45
+      val pairs = Dedup.exactCosinePairs(s, dir, tau)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Vectors.norm(col("v")))
+      val anchors = pairs.select(col("id_a")).distinct()
+        .join(emb, col("id_a") === col("vec_id"))
+        .select(col("id_a"), col("v").as("qa"), col("nrm").as("na"))
+      // anchor set = near-dup participants only (tiny vs corpus) →
+      // broadcast; the corpus scans once, never shuffles
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val negs = emb.join(broadcast(anchors), col("vec_id") =!= col("id_a"))
+        .withColumn("cos",
+          Vectors.dot(col("qa"), col("v")) / (col("na") * col("nrm")))
+        .filter(col("cos") < tau)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id_a"), col("vec_id").as("negative"),
+          round(col("cos"), 6).as("neg_sim"))
+      pairs.join(negs, "id_a")
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+          col("cosine").as("pos_sim"), col("negative"), col("neg_sim"))
+        .orderBy(col("anchor"), col("positive"))
+    },
+    // scale path: positives from the LSH band join (recall-1.0 config
+    // at this τ), negative candidates from the multiprobe LSH top-k —
+    // the corpus-side work is band equi-joins, never all-pairs. The
+    // negative is the best LSH candidate below τ: ANN recall < 1 means
+    // it can differ from the true hardest negative (a SOFTER negative,
+    // never a false one — the cos < τ guard is exact); rows-only,
+    // agreement audited below.
+    "pipeline_contrastive_hard_ann" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val tau = 0.45
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "v", tau)
+      val anchorProbes = pairs.select(col("id_a")).distinct()
+        .join(emb, col("id_a") === col("vec_id"))
+        .select(col("id_a").as("query_id"), col("v").as("qv"))
+      val negs = Similarity.lshTopK(emb, anchorProbes, k = 10)
+        .filter(col("cosine") < tau)
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id").as("id_a"),
+          col("neighbor_id").as("negative"), col("cosine").as("neg_sim"))
+      pairs.join(negs, "id_a")
+        .select(col("id_a").as("anchor"), col("id_b").as("positive"),
+          col("cosine").as("pos_sim"), col("negative"), col("neg_sim"))
+        .orderBy(col("anchor"), col("positive"))
+    },
+    // per-round agreement of the ANN hard negative with the exact one:
+    // identical-negative fraction plus mean cosine shortfall (how much
+    // softer the ANN negative is when it differs — the training-signal
+    // cost of the approximation, not just a match rate)
+    "audit_contrastive_hard_agreement" -> { (s, dir) =>
+      val exact = queries("pipeline_contrastive_hard")(s, dir)
+        .select(col("anchor"), col("positive"),
+          col("negative").as("neg_x"), col("neg_sim").as("sim_x"))
+      val ann = queries("pipeline_contrastive_hard_ann")(s, dir)
+        .select(col("anchor"), col("positive"),
+          col("negative").as("neg_a"), col("neg_sim").as("sim_a"))
+      exact.join(ann, Seq("anchor", "positive"), "left")
+        .agg(count(lit(1)).as("n_triplets"),
+          count(col("neg_a")).as("n_ann_found"),
+          sum(when(col("neg_a") === col("neg_x"), 1L).otherwise(0L))
+            .as("n_same_negative"),
+          round(davg(col("sim_x") - coalesce(col("sim_a"), lit(0.0))), 6)
+            .as("mean_hardness_gap"))
+        .withColumn("agreement",
+          round(col("n_same_negative") / col("n_triplets").cast(DoubleType), 4))
+    },
     // cross-source content-overlap matrix: Jaccard of the sources'
     // token-set-fingerprint sets — the number that says how much two
     // corpus slices duplicate each other before deciding to merge or
@@ -580,6 +665,38 @@ object Corpus {
         |       ELSE neg2 END AS negative,
         |  jaccard AS pos_sim
         |FROM t ORDER BY anchor, positive""".stripMargin,
+    "pipeline_contrastive_hard" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |    sqrt(list_reduce(list_transform(range(1, len(v)+1),
+        |      i -> v[i]*v[i]), (x,y) -> x+y)) AS nrm
+        |  FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(range(1, len(a.v)+1),
+        |      i -> a.v[i]*b.v[i]), (x,y) -> x+y) / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |pos AS (SELECT id_a, id_b, round(cos, 6) AS pos_sim
+        |  FROM p WHERE cos >= 0.45),
+        |anc AS (SELECT DISTINCT id_a FROM pos),
+        |c AS (
+        |  SELECT anc.id_a, x.vec_id,
+        |    list_reduce(list_transform(range(1, len(qa.v)+1),
+        |      i -> qa.v[i]*x.v[i]), (x2,y) -> x2+y) / (qa.nrm * x.nrm) AS cos
+        |  FROM anc
+        |  JOIN n qa ON qa.vec_id = anc.id_a
+        |  JOIN n x ON x.vec_id <> anc.id_a),
+        |neg AS (
+        |  SELECT id_a, vec_id AS negative, round(cos, 6) AS neg_sim
+        |  FROM c WHERE cos < 0.45
+        |  QUALIFY row_number() OVER (PARTITION BY id_a
+        |    ORDER BY cos DESC, vec_id) = 1)
+        |SELECT pos.id_a AS anchor, pos.id_b AS positive, pos_sim,
+        |  negative, neg_sim
+        |FROM pos JOIN neg USING (id_a)
+        |ORDER BY anchor, positive""".stripMargin,
     "corpus_overlap_sources" ->
       """WITH fp AS (
         |  SELECT DISTINCT source,

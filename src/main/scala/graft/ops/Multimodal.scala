@@ -65,6 +65,91 @@ object Multimodal {
     t(s, dir, "documents")
       .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
 
+  /** Perceptual-hash STUB ==========================================
+    * Real image near-dup detection hashes decoded PIXELS (aHash/pHash:
+    * downscale, compare each cell to the global mean, one bit per
+    * cell). The codec is stubbed (no imaging libs in this container),
+    * so the SAME algorithm runs on the payload BYTES: 63 equal
+    * byte-blocks, bit b set iff block b's mean byte value exceeds the
+    * whole payload's mean — integer cross-multiplied so the compare is
+    * exact and the DuckDB oracle reproduces every bit. 63 bits keeps
+    * every band value and the hash itself positive in a signed 64-bit
+    * lane on both engines. Locality is real: flipping a few payload
+    * bytes flips few hash bits, so the Hamming band join downstream is
+    * exercised exactly as it would be on codec output. */
+  val PHashBits = 63
+
+  def phash63(bytes: Array[Byte]): Long = {
+    val len = bytes.length
+    if (len == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < len) { total += (bytes(i) & 0xff); i += 1 }
+    var h = 0L
+    var b = 0
+    while (b < PHashBits) {
+      // block b covers 0-based positions [b*len/63, (b+1)*len/63)
+      val lo = (b.toLong * len / PHashBits).toInt
+      val hi = ((b + 1).toLong * len / PHashBits).toInt
+      if (hi > lo) {
+        var s = 0L
+        var j = lo
+        while (j < hi) { s += (bytes(j) & 0xff); j += 1 }
+        // mean(block) > mean(all) without division: s/ (hi-lo) > total/len
+        if (s * len > total * (hi - lo)) h |= (1L << b)
+      }
+      b += 1
+    }
+    h
+  }
+
+  /** Batch fingerprint: the same mapPartitions shape as [[decodeBatch]]
+    * (a real pipeline hashes right after decode, codec state shared per
+    * partition); one scan, map-only, no shuffle. */
+  def phashBatch(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, phash63(bytes)) })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Hamming near-dup pairs over perceptual hashes via a BAND equi-join
+    * — the 100 TB shape (no all-pairs anywhere): split the 63-bit hash
+    * into `bands` equal slices; by pigeonhole two hashes within Hamming
+    * distance `bands − 1` agree exactly on ≥1 slice, so for
+    * `maxHamming ≤ bands − 1` the band join is a LOSSLESS candidate
+    * filter (recall 1.0 — this query is oracle-checkable, unlike the
+    * probabilistic LSH paths) and the exact bit_count verify keeps
+    * precision 1.0. Default 9×7-bit bands / threshold 3 is the
+    * standard image-near-dup operating point with pigeonhole slack;
+    * at larger corpora raise per-band bits (fewer, wider bands) to
+    * keep bucket sizes bounded, trading down the lossless threshold. */
+  def phashBandPairs(hashes: DataFrame, maxHamming: Int = 3,
+      bands: Int = 9): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"band join is only lossless up to Hamming ${bands - 1} with $bands bands")
+    val bits = PHashBits / bands
+    val banded = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(phash, band * $bits)")
+          .bitwiseAND(lit((1L << bits) - 1)))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_a"), col("phash").as("ph_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("id_b"), col("phash").as("ph_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        expr("bit_count(ph_a ^ ph_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // binary column plumbing: payload sizes + hashes (oracle-checked —
     // DuckDB sees the identical UTF-8 bytes via CAST(text AS BLOB))
@@ -93,6 +178,35 @@ object Multimodal {
           floor(col("height") * col("scale")).cast(IntegerType).as("out_h"))
         .orderBy(col("doc_id"))
     },
+    // perceptual-hash near-dup, anchor form: the 15 closest payload
+    // pairs by Hamming distance over the 63-bit block-mean hash —
+    // all-pairs is the deliberate small-scale anchor (the band join
+    // below is the scale path); fully oracle-checked since every hash
+    // bit is integer arithmetic DuckDB reproduces
+    "mm_phash_topk" -> { (s, dir) =>
+      val h = phashBatch(payloads(s, dir)
+        .filter(length(col("payload")) > 0))
+      val a = h.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
+      val b = h.select(col("doc_id").as("id_b"), col("phash").as("ph_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)").cast(LongType))
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(15)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    },
+    // perceptual-hash near-dup, scale form: 9×7-bit band equi-join +
+    // exact Hamming verify at the production image threshold (≤3 bits
+    // of 63). Lossless by pigeonhole (3 < 9 bands), so this shares the
+    // all-pairs oracle EXACTLY — recall 1.0 is provable, not sampled.
+    // The synthetic byte-payload corpus has no pairs this close
+    // (nearest is Hamming ~10): the correct, oracle-confirmed answer is
+    // empty here, and OpsSpec plants byte-flipped payload dups to lock
+    // in the find-behavior the corpus can't exercise.
+    "mm_phash_dedup" -> { (s, dir) =>
+      phashBandPairs(
+        phashBatch(payloads(s, dir).filter(length(col("payload")) > 0)))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // frame sampling: every 64-byte "frame", keep each 8th (oracle-
     // checked: pure byte arithmetic, portable to DuckDB substring math)
     "mm_frame_sample" -> { (s, dir) =>
@@ -113,6 +227,48 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the 63-bit block-mean hash in plain SQL: the payload is the UTF-8
+    // bytes of `text` (pure ASCII — ord(char) IS the byte), blocks and
+    // the bit rule integer-cross-multiplied exactly like phash63
+    "mm_phash_topk" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, L,
+        |    list_transform(range(1, L+1), i -> ord(substr(text, i, 1))) AS cp
+        |  FROM d),
+        |s AS (SELECT doc_id, L, cp, list_reduce(cp, (x,y) -> x+y) AS total
+        |  FROM t),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 63), b ->
+        |      CASE WHEN ((b+1)*L)//63 > (b*L)//63
+        |        AND list_reduce(cp[(b*L)//63 + 1 : ((b+1)*L)//63],
+        |              (x,y) -> x+y) * L > total * (((b+1)*L)//63 - (b*L)//63)
+        |      THEN 1::BIGINT << b ELSE 0::BIGINT END), (x,y) -> x | y) AS ph
+        |  FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.ph, b.ph)) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |ORDER BY hamming, id_a, id_b LIMIT 15""".stripMargin,
+    "mm_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS L
+        |  FROM documents WHERE length(text) > 0),
+        |t AS (SELECT doc_id, L,
+        |    list_transform(range(1, L+1), i -> ord(substr(text, i, 1))) AS cp
+        |  FROM d),
+        |s AS (SELECT doc_id, L, cp, list_reduce(cp, (x,y) -> x+y) AS total
+        |  FROM t),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_transform(range(0, 63), b ->
+        |      CASE WHEN ((b+1)*L)//63 > (b*L)//63
+        |        AND list_reduce(cp[(b*L)//63 + 1 : ((b+1)*L)//63],
+        |              (x,y) -> x+y) * L > total * (((b+1)*L)//63 - (b*L)//63)
+        |      THEN 1::BIGINT << b ELSE 0::BIGINT END), (x,y) -> x | y) AS ph
+        |  FROM s)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.ph, b.ph)) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // this DuckDB build only hashes VARCHAR; the documents text is pure
     // ASCII (verified), so hashing the string hashes the same bytes
     "mm_binary_meta" ->

@@ -527,6 +527,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("phash band join finds planted byte-flipped payload dups losslessly") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(4096)(rnd.nextInt().toByte)
+    // near-dup: flip a couple of bytes hard enough to flip SOME hash
+    // bits but stay within the Hamming-3 production threshold
+    val dup = base.clone(); dup(100) = (dup(100) ^ 0x7f).toByte
+    val far = Array.fill(4096)(rnd.nextInt().toByte)
+    val rows = Seq((1L, base), (2L, dup), (3L, far)).toDF("doc_id", "payload")
+    val h = Multimodal.phashBatch(rows)
+    val d12 = java.lang.Long.bitCount(
+      Multimodal.phash63(base) ^ Multimodal.phash63(dup))
+    assert(d12 <= 3, s"planted dup drifted to Hamming $d12")
+    val pairs = Multimodal.phashBandPairs(h).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    // lossless claim: band join == brute force at the same threshold
+    val brute = h.as("a").join(h.as("b"), $"a.doc_id" < $"b.doc_id")
+      .selectExpr("a.doc_id", "b.doc_id",
+        "bit_count(a.phash ^ b.phash) AS hm")
+      .filter($"hm" <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
+  }
+
   test("KLL quantile sketch rollup within 3% rank error of exact quantiles") {
     val ev = Q.events(spark, "/root/testdata/sf0.001")
     val approx = graft.ops.Analytics.queries("q_kll_rollup")(
