@@ -376,6 +376,34 @@ object Incremental {
         .crossJoin(cos) // three 1-row frames
     },
 
+    // incremental MATERIALIZED-AGGREGATE maintenance: the per-(lang,
+    // source) corpus statistics table is kept current by merging the
+    // persisted base state with the new batch's delta state — the base
+    // RAW rows are never re-scanned (at 100 TB the state table is
+    // |lang|×|source| rows; the nightly cost is one scan of the BATCH
+    // plus a state-sized merge). Only algebraic aggregates live in the
+    // state (count, sum, max — each mergeable by the same function);
+    // the non-mergeable mean is derived at read time from sum/count,
+    // which is exactly why it's NOT a state column. Oracle = the full
+    // recompute over base ∪ batch, which the merge must equal exactly.
+    "incr_agg_merge" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok", size(Text.tokens(col("text"))).cast(LongType))
+      def state(df: DataFrame) = df.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          max(col("doc_id")).as("max_doc_id"))
+      state(docs.filter(isBase(col("doc_id"))))       // persisted state
+        .unionByName(state(docs.filter(!isBase(col("doc_id"))))) // delta
+        .groupBy(col("lang"), col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          max(col("max_doc_id")).as("max_doc_id"))
+        .withColumn("mean_tokens",
+          round(col("n_tokens").cast(DoubleType) /
+            col("n_docs").cast(DoubleType), 6))
+        .orderBy(col("lang"), col("source"))
+    },
+
     "dedup_incr_exact" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val index = fingerprintIndex(docs.filter(isBase(col("doc_id"))), "text")
@@ -558,6 +586,19 @@ object Incremental {
         |  c.centroid_cosine
         |FROM (SELECT * FROM side WHERE is_base) b,
         |  (SELECT * FROM side WHERE NOT is_base) nb, cosine c""".stripMargin,
+    // full recompute — the merged state must equal it bit-for-bit
+    // (counts/sums/max are exact integers; the mean divides two exact
+    // integers in DOUBLE on both engines)
+    "incr_agg_merge" ->
+      """WITH d AS (SELECT doc_id, lang, source,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  max(doc_id) AS max_doc_id,
+        |  round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS mean_tokens
+        |FROM d GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "dedup_incr_exact" ->
       """WITH d AS (SELECT doc_id,
         |    md5(array_to_string(list_sort(list_distinct(

@@ -84,6 +84,38 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("n_users"))
   }
 
+  /** Per-(hour window, type) counts — the streaming-stateful stage of
+    * the trending computation (identical batch/stream). */
+  def windowTypeCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Trending ranking over finalized window counts: growth of each
+    * type's count vs ITS OWN previous hour (missing previous hour
+    * counts as 0 — lag alone would skip gaps, so the adjacency is
+    * checked explicitly), top 3 per window by (growth desc, type).
+    * Runs on the windows×types-bounded count table, never raw events —
+    * under streaming this is the foreachBatch post-stage on finalized
+    * windows while [[windowTypeCounts]] carries the unbounded state
+    * (StreamingSpec drives exactly that split and proves parity). */
+  def trendRank(counts: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("win_start"))
+    val rankW = Window.partitionBy(col("win_start"))
+      .orderBy(col("growth").desc, col("event_type"))
+    counts
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .withColumn("prev_start", lag(col("win_start"), 1).over(w))
+      .withColumn("prev_n",
+        when(col("prev_start") === col("win_start") - expr("INTERVAL 1 HOUR"),
+          col("prev_n")).otherwise(lit(0L)))
+      .withColumn("growth", col("n") - col("prev_n"))
+      .withColumn("trend_rank", row_number().over(rankW))
+      .filter(col("trend_rank") <= 3)
+      .select(col("win_start"), col("trend_rank"), col("event_type"),
+        col("n"), col("prev_n"), col("growth"))
+  }
+
   /** Sliding 1-hour window, 15-minute slide (epoch-aligned, Spark's
     * default): each event lands in 4 overlapping windows. Identical in
     * batch and under `withWatermark → groupBy(window(...))`. */
@@ -193,6 +225,13 @@ object EventStream {
     "stream_sessionize" -> { (s, dir) =>
       sessionize(events(s, dir))
         .orderBy(col("user_id"), col("session_id"))
+    },
+    // trending event types: hour-over-hour growth ranking, top 3 per
+    // window — windowed counts are the streaming-stateful stage, the
+    // growth/rank post-stage runs on the bounded finalized-window table
+    "stream_trending_types" -> { (s, dir) =>
+      trendRank(windowTypeCounts(events(s, dir)))
+        .orderBy(col("win_start"), col("trend_rank"))
     },
     "stream_session_native" -> { (s, dir) =>
       sessionWindowAgg(events(s, dir))
@@ -341,6 +380,24 @@ object EventStream {
         |  count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin
+        |ORDER BY user_id, session_id""".stripMargin,
+    "stream_trending_types" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT win_start, event_type, n,
+        |    CASE WHEN lag(win_start) OVER w = win_start - INTERVAL 1 HOUR
+        |         THEN lag(n) OVER w ELSE 0 END AS prev_n
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY win_start))
+        |SELECT win_start,
+        |  CAST(row_number() OVER (PARTITION BY win_start
+        |    ORDER BY n - prev_n DESC, event_type) AS INT) AS trend_rank,
+        |  event_type, n, prev_n, n - prev_n AS growth
+        |FROM g
+        |QUALIFY trend_rank <= 3
+        |ORDER BY win_start, trend_rank""".stripMargin
   )
 }

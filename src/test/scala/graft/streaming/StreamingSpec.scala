@@ -131,6 +131,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("trending types: streamed window counts + batch rank == batch end-to-end") {
+    // the production split: windowTypeCounts is the unbounded-state
+    // streaming stage (append mode, watermark-finalized windows);
+    // trendRank runs per emitted batch on the bounded count table
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.windowTypeCounts(
+        input.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend_counts").start()
+    val data = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 2, "click", 1.0),
+      Ev(3, ts(30), 3, "buy", 1.0),
+      Ev(4, ts(65), 1, "click", 1.0), Ev(5, ts(70), 2, "buy", 1.0),
+      Ev(6, ts(80), 3, "buy", 1.0), Ev(7, ts(85), 4, "buy", 1.0))
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData(Ev(8, ts(300), 9, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val finalized = spark.table("trend_counts")
+        .filter($"win_start" < ts(180))
+      val streamed = EventStream.trendRank(finalized)
+        .orderBy($"win_start", $"trend_rank").collect().toSeq
+      val batch = EventStream.trendRank(EventStream.windowTypeCounts(
+          data.toDF()))
+        .orderBy($"win_start", $"trend_rank").collect().toSeq
+      assert(streamed == batch)
+      // hour 1: buy went 1→3 (growth 2), click 2→1 (growth −1)
+      val h1 = streamed.filter(_.getTimestamp(0) == ts(60))
+      assert(h1.map(r => (r.getString(2), r.getLong(5))).toSeq ==
+        Seq(("buy", 2L), ("click", -1L)))
+    } finally q.stop()
+  }
+
   test("slidingAgg: streaming with watermark == batch on same data") {
     val input = MemoryStream[Ev](spark)
     input.addData(sample: _*)
