@@ -408,6 +408,51 @@ object TextStats {
         .orderBy(col("source"), col("rk"))
     },
 
+    // WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    // A-Res), exact-k per language: rank by key = ln(u)/w where w is
+    // the doc's weight (longer docs likelier) and u a deterministic
+    // 52-bit uniform from md5(doc_id) — reproducible on any engine/
+    // cluster/run, unlike rand()-seeded sampling whose draw order is
+    // partition-dependent. One shuffle on lang + a bounded window —
+    // the distributed shape of a weighted reservoir. ln/division are
+    // IEEE doubles on both engines; a rank flip needs two keys within
+    // 1 ulp (u spans 2^52 values — same accepted risk class as the
+    // cosine-threshold compares).
+    "pipeline_weighted_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 13),
+        16, 10).cast(LongType) + 1).cast(DoubleType) / lit(4503599627370496.0)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("key").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("key", log(u) / col("n_chars").cast(DoubleType))
+        .withColumn("pick_rank", row_number().over(w))
+        .filter(col("pick_rank") <= 5)
+        .select(col("lang"), col("pick_rank"), col("doc_id"), col("n_chars"),
+          round(col("key"), 6).as("key"))
+        .orderBy(col("lang"), col("pick_rank"))
+    },
+
+    // Zipf-fit corpus diagnostic: OLS of ln(freq) on ln(rank) over the
+    // corpus term-frequency table — slope ≈ −1 is the healthy natural-
+    // text signature; a flat slope flags templated/synthetic text, a
+    // cliff flags boilerplate domination. One token-count agg (the same
+    // shuffle text_term_freq already pays) + a rank window + one
+    // 4-scalar regression agg.
+    "text_zipf_fit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("f"))
+      val ranked = freq.withColumn("r",
+        row_number().over(Window.orderBy(col("f").desc, col("token"))))
+      ranked
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("f")).as("n_tokens"),
+          round(regr_slope(log(col("f")), log(col("r"))), 6).as("zipf_slope"),
+          round(regr_r2(log(col("f")), log(col("r"))), 6).as("zipf_r2"))
+    },
+
     // end-to-end corpus cleaning: quality gate → exact near-dup removal
     // (fingerprint keep-first) → per-(lang, source) stats. The composed
     // pipeline a training-data run would execute, as one declarative
@@ -631,6 +676,30 @@ object TextStats {
         |FROM documents
         |QUALIFY rk <= 5
         |ORDER BY source, rk""".stripMargin,
+    "pipeline_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+        |      + 1)::DOUBLE / 4503599627370496.0 AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, n_chars, ln(u) / n_chars AS key FROM d)
+        |SELECT lang,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY key DESC, doc_id) AS INT) AS pick_rank,
+        |  doc_id, n_chars, round(key, 6) AS key
+        |FROM k QUALIFY pick_rank <= 5
+        |ORDER BY lang, pick_rank""".stripMargin,
+    "text_zipf_fit" ->
+      """WITH f AS (
+        |  SELECT token, count(*) AS f
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS token FROM documents)
+        |  GROUP BY token),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r
+        |  FROM f)
+        |SELECT count(*) AS n_types, CAST(sum(f) AS BIGINT) AS n_tokens,
+        |  round(regr_slope(ln(f), ln(r)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(f), ln(r)), 6) AS zipf_r2
+        |FROM r""".stripMargin,
     "pipeline_pack_sequences_sharded" ->
       """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens

@@ -527,6 +527,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCore peels a pendant chain and keeps the clique") {
+    // K4 on {1,2,3,4} plus chain 4-5-6: 2-core = the clique exactly,
+    // and the chain needs TWO rounds (6 peels, then 5) — catching any
+    // implementation that only peels once
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val core = Graph.kCore(pairs, "id_a", "id_b", k = 2, rounds = 4)
+      .orderBy($"node").collect()
+    assert(core.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(core.map(_.getLong(1)).forall(_ == 3L)) // clique degrees
+    // k above the max degree empties the graph without erroring
+    assert(Graph.kCore(pairs, "id_a", "id_b", k = 10, rounds = 4)
+      .collect().isEmpty)
+  }
+
   test("phash band join finds planted byte-flipped payload dups losslessly") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(4096)(rnd.nextInt().toByte)
