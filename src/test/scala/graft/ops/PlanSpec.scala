@@ -117,6 +117,20 @@ class PlanSpec extends AnyFunSuite {
       s"triangle count fell back to a nested loop:\n$plan")
   }
 
+  test("phash band dedup plans as an equi-join — no nested loop") {
+    val plan = formatted(q("mm_phash_dedup"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"phash band join fell back to a nested loop:\n$plan")
+  }
+
+  test("k-core ANN peeling plans with equi-joins only") {
+    val plan = formatted(q("graph_kcore_ann"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"k-core peel fell back to a nested loop:\n$plan")
+  }
+
   test("IVF index lands partitioned by cluster; literal reads prune") {
     // what this locks: the on-disk LAYOUT — one directory per cluster,
     // and a cluster-literal read resolves to PartitionFilters (no full
