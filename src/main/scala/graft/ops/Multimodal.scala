@@ -236,13 +236,13 @@ object Multimodal {
         |t AS (SELECT doc_id, L,
         |    list_transform(range(1, L+1), i -> ord(substr(text, i, 1))) AS cp
         |  FROM d),
-        |s AS (SELECT doc_id, L, cp, list_reduce(cp, (x,y) -> x+y) AS total
+        |s AS (SELECT doc_id, L, cp, CAST(list_sum(cp) AS BIGINT) AS total
         |  FROM t),
         |h AS (SELECT doc_id,
         |    list_reduce(list_transform(range(0, 63), b ->
         |      CASE WHEN ((b+1)*L)//63 > (b*L)//63
-        |        AND list_reduce(cp[(b*L)//63 + 1 : ((b+1)*L)//63],
-        |              (x,y) -> x+y) * L > total * (((b+1)*L)//63 - (b*L)//63)
+        |        AND CAST(list_sum(cp[(b*L)//63 + 1 : ((b+1)*L)//63])
+        |              AS BIGINT) * L > total * (((b+1)*L)//63 - (b*L)//63)
         |      THEN 1::BIGINT << b ELSE 0::BIGINT END), (x,y) -> x | y) AS ph
         |  FROM s)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -255,13 +255,13 @@ object Multimodal {
         |t AS (SELECT doc_id, L,
         |    list_transform(range(1, L+1), i -> ord(substr(text, i, 1))) AS cp
         |  FROM d),
-        |s AS (SELECT doc_id, L, cp, list_reduce(cp, (x,y) -> x+y) AS total
+        |s AS (SELECT doc_id, L, cp, CAST(list_sum(cp) AS BIGINT) AS total
         |  FROM t),
         |h AS (SELECT doc_id,
         |    list_reduce(list_transform(range(0, 63), b ->
         |      CASE WHEN ((b+1)*L)//63 > (b*L)//63
-        |        AND list_reduce(cp[(b*L)//63 + 1 : ((b+1)*L)//63],
-        |              (x,y) -> x+y) * L > total * (((b+1)*L)//63 - (b*L)//63)
+        |        AND CAST(list_sum(cp[(b*L)//63 + 1 : ((b+1)*L)//63])
+        |              AS BIGINT) * L > total * (((b+1)*L)//63 - (b*L)//63)
         |      THEN 1::BIGINT << b ELSE 0::BIGINT END), (x,y) -> x | y) AS ph
         |  FROM s)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
