@@ -47,8 +47,10 @@ object Bench {
     // repeated-window detection + per-doc span merge)
     "dedup_substring_spans",
     // round-7: mergeable KLL quantile-sketch rollup (the percentile
-    // analogue of the HLL rollup — custom TypedImperativeAggregate)
-    "q_kll_rollup")
+    // analogue of the HLL rollup — custom TypedImperativeAggregate),
+    // perceptual-hash band dedup (lossless Hamming band join), and
+    // k-core peeling over LSH pairs (the iterative-graph scale form)
+    "q_kll_rollup", "mm_phash_dedup", "graph_kcore_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
