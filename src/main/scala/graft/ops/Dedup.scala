@@ -268,6 +268,20 @@ object Dedup {
     * thresholds (τ ≥ 0.9 → collide ≥ 0.87/table) far fewer tables and
     * more bits suffice — raise `bits` with log₂(corpus/target-bucket)
     * so bucket size, and with it band-join fan-out, stays bounded. */
+  /** Widen an LSH band width with corpus growth: +1 bit per doubling
+    * past `refN` (the size the base config's recall was tuned/audited
+    * at). Bucket size n/2^bits — and with it the band join's QUADRATIC
+    * candidate fan-out — stays bounded, which the 3× scale probe showed
+    * is the difference between linear and ~10× super-linear runtime
+    * (graph_label_prop_ann 5.2 s → 50.6 s at 3× with fixed 5-bit
+    * bands). At n ≤ refN this is the identity, so every tuned
+    * correctness/recall result is unchanged; above it, the per-round
+    * recall audits measure the width actually deployed. */
+  def adaptiveBits(base: Int, n: Long, refN: Long): Int =
+    if (n <= refN) base
+    else base + (64 - java.lang.Long.numberOfLeadingZeros(
+      (n + refN - 1) / refN - 1)).toInt
+
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 48, bits: Int = 5,
       dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
@@ -803,14 +817,20 @@ object Dedup {
     // recall 1.0 explicitly and would surface any miss on regenerated
     // data that does contain tight pairs.
     "dedup_embedding_ann_tight" -> { (s, dir) =>
-      embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        0.9, tables = 8, bits = 10, multiprobe = true)
+      // 8×10 tuned at ≤5k vectors; widen past that (adaptiveBits) so
+      // bucket size stays bounded at probe scale
+      val emb = t(s, dir, "embeddings")
+      val bits = adaptiveBits(10, emb.count(), 5000L)
+      embeddingNearDupPairs(emb, "vec_id", "embedding",
+        0.9, tables = 8, bits = bits, multiprobe = true)
         .orderBy(col("id_a"), col("id_b"))
     },
     "audit_embedding_ann_tight_recall" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val bits = adaptiveBits(10, emb.count(), 5000L)
       pairRecall(
-        embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          0.9, tables = 8, bits = 10, multiprobe = true),
+        embeddingNearDupPairs(emb, "vec_id", "embedding",
+          0.9, tables = 8, bits = bits, multiprobe = true),
         exactCosinePairs(s, dir, 0.9))
     },
     // SimHash hamming-distance near-dup (not SQL-expressible)

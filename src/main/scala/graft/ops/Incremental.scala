@@ -152,10 +152,18 @@ object Incremental {
     * approximation (audited per round by audit_incr_embedding_recall).
     * Returns (id_batch, id_base, cosine). */
   def nearDupEmbeddingAgainstIndex(batch: DataFrame, base: DataFrame,
-      threshold: Double, tables: Int = 24, bits: Int = 5,
-      dim: Int = 64): DataFrame =
-    probeEmbeddingIndex(batch, embeddingBandIndex(base, tables, bits, dim),
-      base, threshold, tables, bits, dim)
+      threshold: Double, tables: Int = 24, bits: Int = 0,
+      dim: Int = 64): DataFrame = {
+    // bits = 0 → derive from the BASE corpus size: 5 bits is the tuned
+    // width (recall 1.0 audited) up to 5k vectors, +1 per doubling past
+    // it so index bucket size stays bounded (the 3× scale probe
+    // measured 10.7× runtime growth with the width left fixed). A
+    // persisted production index stores its width; here both halves
+    // derive it from the same base frame.
+    val b = if (bits > 0) bits else Dedup.adaptiveBits(5, base.count(), 5000L)
+    probeEmbeddingIndex(batch, embeddingBandIndex(base, tables, b, dim),
+      base, threshold, tables, b, dim)
+  }
 
   /** The probe half of [[nearDupEmbeddingAgainstIndex]] against an
     * ALREADY-MATERIALIZED band index (e.g. read back from parquet —

@@ -527,6 +527,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptiveBits: identity at tuned size, +1 per corpus doubling") {
+    assert(Dedup.adaptiveBits(5, 500, 5000) == 5)
+    assert(Dedup.adaptiveBits(5, 5000, 5000) == 5)
+    assert(Dedup.adaptiveBits(5, 5001, 5000) == 6)
+    assert(Dedup.adaptiveBits(5, 10000, 5000) == 6)
+    assert(Dedup.adaptiveBits(5, 15000, 5000) == 7)  // the 3x probe point
+    assert(Dedup.adaptiveBits(5, 20000, 5000) == 7)
+    assert(Dedup.adaptiveBits(10, 5000000, 5000) == 20)
+  }
+
   test("kCore peels a pendant chain and keeps the clique") {
     // K4 on {1,2,3,4} plus chain 4-5-6: 2-core = the clique exactly,
     // and the chain needs TWO rounds (6 peels, then 5) — catching any

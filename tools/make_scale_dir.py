@@ -35,7 +35,7 @@ def main(src, out, copies=3):
     con = duckdb.connect()
 
     def stack(table, select_fmt):
-        parts = [select_fmt.format(k=k, off=k * OFF,
+        parts = [select_fmt.format(k=k, off=k * OFF, cip=cipher(k),
                                    src=f"'{src}/{table}.parquet'")
                  for k in range(copies)]
         sql = " UNION ALL ".join(parts)
@@ -43,10 +43,25 @@ def main(src, out, copies=3):
         n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
         print(f"{table}: {n} rows")
 
+    # Copy decorrelation must hold at the CHARACTER level, not just the
+    # token level: the engine's containment/incremental paths shingle
+    # over char 5-grams, and the earlier token-SUFFIX scheme left
+    # cross-copy texts sharing most of their char-grams ("table_c1" vs
+    # "table_c2" differ only in grams touching the final digit), so the
+    # band join saw quadratic cross-copy candidates (the 3x probe's
+    # phantom 18x on dedup_incr_minhash). A per-copy letter-rotation
+    # cipher (translate a..z -> rotated alphabet; copy 0 = identity)
+    # makes every char-gram, word-shingle, and fingerprint copy-local
+    # while preserving lengths, token boundaries, and distinctness.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def cipher(k):
+        rot = k % 26
+        return alpha[rot:] + alpha[:rot]
+
     stack("documents",
           "SELECT doc_id + {off} AS doc_id, "
-          "array_to_string(list_transform(string_split(text, ' '), "
-          "t -> CASE WHEN t = '' OR {k} = 0 THEN t ELSE t || '_c{k}' END), ' ') AS text, "
+          f"translate(text, '{alpha}', '{{cip}}') AS text, "
           "lang, source || '_{k}' AS source, n_chars FROM {src}")
     stack("embeddings",
           "SELECT vec_id + {off} AS vec_id, "
