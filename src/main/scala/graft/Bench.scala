@@ -50,7 +50,11 @@ object Bench {
     // analogue of the HLL rollup — custom TypedImperativeAggregate),
     // perceptual-hash band dedup (lossless Hamming band join), and
     // k-core peeling over LSH pairs (the iterative-graph scale form)
-    "q_kll_rollup", "mm_phash_dedup", "graph_kcore_ann")
+    "q_kll_rollup", "mm_phash_dedup", "graph_kcore_ann",
+    // round-7 additions: semantic contamination screen (persisted band
+    // index probe — the batch-vs-index join at its production shape)
+    // and frontier BFS over the blocked entity graph
+    "text_contamination_semantic", "graph_bfs_hops")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

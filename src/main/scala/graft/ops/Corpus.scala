@@ -27,6 +27,26 @@ object Corpus {
       sequence(lit(0), ceil(size(toks) / lit(n.toDouble)).cast(IntegerType) - 1),
       i => concat_ws(" ", slice(toks, i * n + 1, lit(n))))
 
+  /** Per-doc hashed-linear-classifier scores (doc_id, lang, n_feats,
+    * score_milli) — the shared scoring pass behind
+    * `text_quality_classifier` and `pipeline_preference_pairs`.
+    * Per-row codegen fold over unigram + joined-bigram features; zero
+    * shuffle. */
+  private def classifierScores(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .withColumn("grams", expr(
+        """concat(toks,
+          |  transform(slice(toks, 1, size(toks) - 1),
+          |    (t, i) -> concat(t, '_', element_at(toks, i + 2))))"""
+          .stripMargin))
+      .select(col("doc_id"), col("lang"),
+        size(col("grams")).as("n_feats"),
+        expr(s"""aggregate(grams, CAST(0 AS BIGINT),
+                |  (acc, g) -> acc + ${gramWeightSql("g")})"""
+          .stripMargin).as("score_milli"))
+
   /** Integer feature weight of one n-gram for the linear quality
     * classifier: bucket = first 4 md5 hex chars (16 bits), scrambled by
     * a Knuth multiplicative constant into [-1000, 1000]. Every step is
@@ -52,21 +72,39 @@ object Corpus {
     // nothing else changes. Per-row codegen fold, zero shuffle, and —
     // because every step is integer — fully oracle-checked.
     "text_quality_classifier" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .withColumn("toks", Text.tokens(col("text")))
-        .filter(size(col("toks")) > 0)
-        .withColumn("grams", expr(
-          """concat(toks,
-            |  transform(slice(toks, 1, size(toks) - 1),
-            |    (t, i) -> concat(t, '_', element_at(toks, i + 2))))"""
-            .stripMargin))
-        .select(col("doc_id"),
-          size(col("grams")).as("n_feats"),
-          expr(s"""aggregate(grams, CAST(0 AS BIGINT),
-                  |  (acc, g) -> acc + ${gramWeightSql("g")})"""
-            .stripMargin).as("score_milli"))
+      classifierScores(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_feats"), col("score_milli"))
         .withColumn("keep", col("score_milli") >= 0)
         .orderBy(col("doc_id"))
+    },
+
+    // preference-pair construction (DPO/RLHF data prep): per language,
+    // pair the k best-scoring docs with the k worst by classifier
+    // score, rank-matched — the chosen/rejected assembly step of a
+    // preference-tuning pipeline. All-integer arithmetic (the hashed
+    // linear classifier), so oracle-checked bit-exactly; the per-lang
+    // windows are top-k bounded, and at 100 TB the same shape runs on
+    // approx-threshold pre-filters exactly like the quantile gate.
+    "pipeline_preference_pairs" -> { (s, dir) =>
+      val sc = classifierScores(t(s, dir, "documents"))
+      val wTop = Window.partitionBy(col("lang"))
+        .orderBy(col("score_milli").desc, col("doc_id"))
+      val wBot = Window.partitionBy(col("lang"))
+        .orderBy(col("score_milli").asc, col("doc_id"))
+      val top = sc.withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("doc_id").as("chosen_id"),
+          col("score_milli").as("chosen_score"))
+      val bot = sc.withColumn("rank", row_number().over(wBot))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("doc_id").as("rejected_id"),
+          col("score_milli").as("rejected_score"))
+      top.join(bot, Seq("lang", "rank"))
+        .filter(col("chosen_id") =!= col("rejected_id"))
+        .select(col("lang"), col("rank"), col("chosen_id"),
+          col("rejected_id"),
+          (col("chosen_score") - col("rejected_score")).as("score_gap"))
+        .orderBy(col("lang"), col("rank"))
     },
 
     // PII redaction: mask all but the last 2 digits of the account
@@ -465,6 +503,58 @@ object Corpus {
         .localCheckpoint()
       fps.unpersist(blocking = false)
       out
+    },
+
+    // the 100 TB form of the overlap matrix: one Theta sketch per source
+    // over the same doc fingerprints (built in ONE corpus scan, kilobytes
+    // per source), pairwise overlap by sketch set-algebra — |sources|²
+    // work on binaries instead of a fingerprint×fingerprint equi-join.
+    // In production the per-slice sketches persist and any later overlap
+    // question (new source vs all existing) never re-touches the corpus.
+    // Rows-only: theta estimates aren't SQL-reproducible; the audit
+    // below scores them against the exact matrix every round.
+    "corpus_overlap_theta" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      import graft.functions.{ThetaOverlap, ThetaSketchAgg}
+      val sk = GraftBridge.column(
+        ThetaSketchAgg(GraftBridge.expression(Text.fingerprint(col("text"))))
+          .toAggregateExpression())
+      val perSrc = t(s, dir, "documents")
+        .groupBy(col("source")).agg(sk.as("sk"))
+      val pairs = perSrc.select(col("source").as("source_a"), col("sk").as("ska"))
+        .join(broadcast(perSrc
+          .select(col("source").as("source_b"), col("sk").as("skb"))),
+          col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          GraftBridge.column(ThetaOverlap(
+            GraftBridge.expression(col("ska")),
+            GraftBridge.expression(col("skb")))).as("o"))
+      pairs.select(col("source_a"), col("source_b"),
+          round(element_at(col("o"), 1), 2).as("n_a_est"),
+          round(element_at(col("o"), 2), 2).as("n_b_est"),
+          round(element_at(col("o"), 3), 2).as("union_est"),
+          round(element_at(col("o"), 4), 2).as("inter_est"),
+          round(when(element_at(col("o"), 3) === 0, lit(0.0))
+            .otherwise(element_at(col("o"), 4) / element_at(col("o"), 3)), 6)
+            .as("jaccard_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // per-round sketch-vs-exact error: max/mean |jaccard_est − jaccard|
+    // over all source pairs (rows-only by design — this row IS the
+    // measurement; in exact mode, below 4k fingerprints per source, the
+    // error is identically 0)
+    "audit_theta_overlap_error" -> { (s, dir) =>
+      val exact = queries("corpus_overlap_sources")(s, dir)
+        .select(col("source_a"), col("source_b"), col("jaccard"))
+      val theta = queries("corpus_overlap_theta")(s, dir)
+        .select(col("source_a"), col("source_b"), col("jaccard_est"))
+      exact.join(theta, Seq("source_a", "source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max(abs(col("jaccard_est") - col("jaccard"))), 6)
+            .as("max_abs_err"),
+          round(avg(abs(col("jaccard_est") - col("jaccard"))), 6)
+            .as("mean_abs_err"))
     }
   )
 
@@ -488,6 +578,37 @@ object Corpus {
          |  CAST(sum($w) AS BIGINT) AS score_milli,
          |  sum($w) >= 0 AS keep
          |FROM u GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "pipeline_preference_pairs" -> {
+      val w =
+        """(((instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 4096 +
+          |  (instr('0123456789abcdef', substring(md5(g), 2, 1)) - 1) * 256 +
+          |  (instr('0123456789abcdef', substring(md5(g), 3, 1)) - 1) * 16 +
+          |  (instr('0123456789abcdef', substring(md5(g), 4, 1)) - 1))
+          |  * 2654435761 % 2001 - 1000)""".stripMargin
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |gr AS (SELECT doc_id, lang,
+         |    list_concat(toks, list_transform(range(1, len(toks)),
+         |      i -> toks[i] || '_' || toks[i + 1])) AS grams
+         |  FROM d WHERE len(toks) > 0),
+         |u AS (SELECT doc_id, lang, unnest(grams) AS g FROM gr),
+         |sc AS (SELECT doc_id, lang, CAST(sum($w) AS BIGINT) AS score
+         |  FROM u GROUP BY doc_id, lang),
+         |top AS (SELECT lang, row_number() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id) AS rank,
+         |    doc_id AS chosen_id, score AS chosen_score
+         |  FROM sc QUALIFY rank <= 5),
+         |bot AS (SELECT lang, row_number() OVER (PARTITION BY lang
+         |      ORDER BY score ASC, doc_id) AS rank,
+         |    doc_id AS rejected_id, score AS rejected_score
+         |  FROM sc QUALIFY rank <= 5)
+         |SELECT top.lang, top.rank, chosen_id, rejected_id,
+         |  chosen_score - rejected_score AS score_gap
+         |FROM top JOIN bot ON top.lang = bot.lang AND top.rank = bot.rank
+         |WHERE chosen_id <> rejected_id
+         |ORDER BY 1, 2""".stripMargin
     },
     "text_pii_redact" ->
       """WITH a AS (SELECT c_custkey, c_name,

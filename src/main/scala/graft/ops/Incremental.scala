@@ -292,6 +292,27 @@ object Incremental {
       .withColumn("nrm", Vectors.norm(col("v")))
   }
 
+  /** The held-out benchmark vectors (every 100th id, offset 7) and the
+    * training-candidate corpus — the semantic analogue of
+    * text_contamination's src0 split, over embeddings. */
+  private def benchVecs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").cast(LongType).as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+  }
+
+  private def trainVecs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    t(s, dir, "embeddings")
+      .filter(col("vec_id") % 100 =!= 7)
+      .select(col("vec_id").cast(LongType).as("id"),
+        Vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Vectors.norm(col("v")))
+  }
+
   /** Exact batch×base cosine pairs — the small-scale oracle anchor for
     * [[nearDupEmbeddingAgainstIndex]] (all-pairs join, batch×base only). */
   private def exactIncrEmbPairs(s: SparkSession, dir: String,
@@ -531,6 +552,60 @@ object Incremental {
         .crossJoin(diff)
     },
 
+    // SEMANTIC benchmark-contamination screen (the embedding analogue
+    // of text_contamination's 8-gram screen, which paraphrases evade):
+    // flag training-corpus vectors with cosine ≥ τ against any held-out
+    // benchmark vector. Exact anchor: the bounded bench set broadcast
+    // against ONE corpus scan — all-pairs only in bench×corpus, never
+    // corpus².
+    "text_contamination_semantic_exact" -> { (s, dir) =>
+      import graft.functions.Vectors
+      val bench = benchVecs(s, dir)
+        .select(col("id").as("id_bench"), col("v").as("vb"),
+          col("nrm").as("nb"))
+      trainVecs(s, dir)
+        .select(col("id").as("doc_id"), col("v").as("va"),
+          col("nrm").as("na"))
+        .crossJoin(broadcast(bench))
+        .withColumn("cos",
+          Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.45)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bench_matches"),
+          round(max(col("cos")), 6).as("max_cosine"))
+        .orderBy(col("doc_id"))
+    },
+
+    // the 100 TB form: index the training corpus ONCE (persisted band
+    // index), probe each benchmark release against it — bench probes
+    // multiprobe the index, candidates exact-cosine verified, so
+    // precision is 1.0 and recall the only approximation (audited
+    // below). Rows-only by the LSH contract.
+    "text_contamination_semantic" -> { (s, dir) =>
+      nearDupEmbeddingAgainstIndex(benchVecs(s, dir), trainVecs(s, dir), 0.45)
+        .groupBy(col("id_base").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_matches"),
+          max(col("cosine")).as("max_cosine"))
+        .orderBy(col("doc_id"))
+    },
+
+    // doc-level recall of the ANN contamination screen vs the exact
+    // anchor (a missed flagged doc = leaked benchmark content)
+    "audit_contamination_semantic_recall" -> { (s, dir) =>
+      val exact = queries("text_contamination_semantic_exact")(s, dir)
+        .select(col("doc_id"))
+      val ann = queries("text_contamination_semantic")(s, dir)
+        .select(col("doc_id"))
+      val matched = ann.join(exact, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(matched)
+        .select(col("n_exact"), col("n_matched"),
+          when(col("n_exact") === 0, lit(1.0)).otherwise(
+            round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
+            .as("recall"))
+    },
+
     "audit_incr_embedding_recall" -> { (s, dir) =>
       val approx = nearDupEmbeddingAgainstIndex(
         vecSets(s, dir, base = false), vecSets(s, dir, base = true), 0.45)
@@ -653,6 +728,24 @@ object Incremental {
         |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
         |        i -> b.v[i]*b.v[i]), (x,y) -> x+y))) >= 0.45
         |ORDER BY id_batch, id_base""".stripMargin,
+    "text_contamination_semantic_exact" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_reduce(list_transform(range(1, len(c.v)+1),
+        |        i -> c.v[i]*b.v[i]), (x,y) -> x+y)
+        |      / (sqrt(list_reduce(list_transform(range(1, len(c.v)+1),
+        |          i -> c.v[i]*c.v[i]), (x,y) -> x+y))
+        |       * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+        |          i -> b.v[i]*b.v[i]), (x,y) -> x+y))) AS cos
+        |  FROM e c JOIN e b
+        |    ON c.vec_id % 100 <> 7 AND b.vec_id % 100 = 7)
+        |SELECT doc_id, count(*) AS n_bench_matches,
+        |  round(max(cos), 6) AS max_cosine
+        |FROM p WHERE cos >= 0.45
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_incr_jaccard_exact" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(list_transform(

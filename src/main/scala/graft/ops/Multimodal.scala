@@ -226,10 +226,45 @@ object Multimodal {
           length(col("payload").substr(col("frame_idx") * 64 + 1, lit(64)))
             .as("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // cross-modality coverage report: per source, how many docs have a
+    // matching embedding row and how many embeddings are orphaned (no
+    // doc) — the data-quality join audit every multimodal pipeline runs
+    // before training (a silent 30% missing-embedding source skews a
+    // mixture). One outer join on the shared id space + one bounded
+    // aggregate; at 100 TB both sides bucket by id and the exchange
+    // vanishes.
+    "mm_coverage_report" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val vecs = t(s, dir, "embeddings").select(col("vec_id"))
+      docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+        .groupBy(coalesce(col("source"), lit("_orphan_vec")).as("source"))
+        .agg(count(col("doc_id")).as("n_docs"),
+          count(col("vec_id")).as("n_with_vec"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L))
+            .as("n_missing_vec"))
+        .withColumn("coverage",
+          round(when(col("n_docs") === 0, lit(0.0))
+            .otherwise(col("n_with_vec").cast(DoubleType) / col("n_docs")),
+            6))
+        .orderBy(col("source"))
     }
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_coverage_report" ->
+      """SELECT COALESCE(d.source, '_orphan_vec') AS source,
+        |  count(d.doc_id) AS n_docs,
+        |  count(e.vec_id) AS n_with_vec,
+        |  CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missing_vec,
+        |  round(CASE WHEN count(d.doc_id) = 0 THEN 0.0
+        |    ELSE count(e.vec_id) / CAST(count(d.doc_id) AS DOUBLE) END, 6)
+        |    AS coverage
+        |FROM documents d FULL JOIN embeddings e ON d.doc_id = e.vec_id
+        |GROUP BY 1 ORDER BY source""".stripMargin,
     // the 63-bit block-mean hash in plain SQL: the payload is the UTF-8
     // bytes of `text` (pure ASCII — ord(char) IS the byte), blocks and
     // the bit rule integer-cross-multiplied exactly like phash63

@@ -128,6 +128,65 @@ object Search {
         col("rl").as("rank_lex"), col("rv").as("rank_vec"))
   }
 
+  /** Retrieval-quality evaluation: per-query recall@k, MRR@k, nDCG@k of
+    * a ranking against label-relevance ground truth (a corpus item is
+    * relevant to a query iff it carries the query's label — the standard
+    * proxy when no human judgments exist). This is the measurement loop
+    * a curation pipeline runs after every embedding/index change: did
+    * retrieval quality move?
+    *
+    * Scale shape: the query workload is fixed-size, so `ranked` is
+    * |queries|×k rows and everything here is broadcast-sized except the
+    * one label-counts aggregate over the corpus (bounded by #labels).
+    * Nothing rescans text or vectors — the ranking is the input.
+    *
+    * Float determinism: DCG and IDCG are sums of 1/log2(rank+1) terms —
+    * per-term IEEE-deterministic (small-integer ranks), summed via the
+    * DECIMAL(18,6) pattern on BOTH engines and on both the real and the
+    * ideal ranking, so every metric is bit-identical cross-engine.
+    *
+    * @param ranked  (query_id, rank, doc_id) — rank 1-based, rank ≤ k
+    * @param labels  (vec_id, label) — doc/query id space
+    */
+  def evalMetrics(ranked: DataFrame, labels: DataFrame, k: Int): DataFrame = {
+    val lab = labels.select(col("vec_id"), col("label"))
+    val labCnt = lab.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    // per-query relevant-universe size (excluding the query itself)
+    val q = lab.filter(col("vec_id") % 97 === 13 && col("vec_id") < 2000)
+      .select(col("vec_id").as("query_id"), col("label"))
+      .join(broadcast(labCnt), "label")
+      .withColumn("n_rel", col("n_label") - 1)
+      .select(col("query_id"), col("label"), col("n_rel"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(lab.withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("label", "doc_label"), "doc_id")
+      .join(broadcast(q), "query_id")
+      .filter(col("doc_label") === col("label"))
+    val perQ = hits.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("min_rank"),
+        dsum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+    // IDCG through the SAME decimal-sum machinery as DCG: explode the
+    // ideal ranking's ranks 1..min(n_rel, k) and aggregate identically
+    val idcg = q.filter(col("n_rel") >= 1)
+      .select(col("query_id"),
+        explode(sequence(lit(1L),
+          least(col("n_rel").cast(LongType), lit(k.toLong)))).as("rank"))
+      .groupBy(col("query_id"))
+      .agg(dsum(lit(1.0) / log2(col("rank") + 1)).as("idcg"))
+    q.join(perQ, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("query_id"), col("n_rel"), col("n_hits"),
+        round(when(col("n_rel") === 0, lit(0.0)).otherwise(
+          col("n_hits").cast(DoubleType) / col("n_rel")), 6)
+          .as(s"recall_at_$k"),
+        round(when(col("min_rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("min_rank")), 6).as(s"mrr_at_$k"),
+        round(when(col("dcg").isNull || col("idcg").isNull, lit(0.0))
+          .otherwise(col("dcg") / col("idcg")), 6).as(s"ndcg_at_$k"))
+      .orderBy(col("query_id"))
+  }
+
   /** Embedding probes for the same fixed query workload (documents and
     * embeddings share the id space). */
   private def vecProbes(s: SparkSession, dir: String): DataFrame =
@@ -173,6 +232,48 @@ object Search {
         .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
       rrfFuse(lex, vec, 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // retrieval-quality eval over the exact-cosine ranking: per-query
+    // recall@10 / MRR@10 / nDCG@10 vs label relevance (oracle-checked —
+    // the whole metric chain is integer-rank + decimal-sum arithmetic)
+    "search_eval_metrics" -> { (s, dir) =>
+      val ranked = Similarity
+        .bruteForceTopK(vecCorpus(s, dir), vecProbes(s, dir), 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      evalMetrics(ranked, t(s, dir, "embeddings"), 10)
+    },
+
+    // same metrics over the multiprobe-LSH ANN ranking — the number that
+    // answers "what retrieval quality does the INDEX I can afford at
+    // 100 TB actually deliver" (rows-only: ANN recall < 1 by design)
+    "search_eval_metrics_ann" -> { (s, dir) =>
+      val ranked = Similarity
+        .lshTopK(vecCorpus(s, dir), vecProbes(s, dir), 10)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      evalMetrics(ranked, t(s, dir, "embeddings"), 10)
+    },
+
+    // exact-vs-ANN metric deltas in one row — the per-round record of
+    // how much ranking quality the approximate index costs
+    "audit_search_eval_agreement" -> { (s, dir) =>
+      def metrics(ranked: DataFrame): DataFrame =
+        evalMetrics(ranked
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id")),
+          t(s, dir, "embeddings"), 10)
+      val ex = metrics(Similarity
+        .bruteForceTopK(vecCorpus(s, dir), vecProbes(s, dir), 10))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall_at_10")), 4).as("recall_exact"),
+          round(avg(col("ndcg_at_10")), 4).as("ndcg_exact"))
+      val an = metrics(Similarity
+        .lshTopK(vecCorpus(s, dir), vecProbes(s, dir), 10))
+        .agg(round(avg(col("recall_at_10")), 4).as("recall_ann"),
+          round(avg(col("ndcg_at_10")), 4).as("ndcg_ann"))
+      ex.crossJoin(an)
+        .select(col("n_queries"), col("recall_exact"), col("recall_ann"),
+          col("ndcg_exact"), col("ndcg_ann"))
     },
 
     // fraction of (query, doc) results the ANN-leg hybrid shares with
@@ -260,6 +361,38 @@ object Search {
        |  FROM cs QUALIFY rv <= $k)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "search_eval_metrics" ->
+      s"""WITH ${vecCte(10)},
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |lc AS (SELECT label, count(*) AS n_label FROM lab GROUP BY 1),
+         |qn AS (SELECT l.vec_id AS query_id, l.label, lc.n_label - 1 AS n_rel
+         |  FROM lab l JOIN lc USING (label)
+         |  WHERE l.vec_id % 97 = 13 AND l.vec_id < 2000),
+         |hits AS (SELECT v.query_id, v.rv AS rank FROM vec v
+         |  JOIN lab d ON d.vec_id = v.doc_id
+         |  JOIN qn ON qn.query_id = v.query_id
+         |  WHERE d.label = qn.label),
+         |m AS (SELECT query_id, count(*) AS n_hits, min(rank) AS min_rank,
+         |    CAST(sum(CAST(1.0 / log2(rank + 1) AS DECIMAL(18,6)))
+         |      AS DOUBLE) AS dcg
+         |  FROM hits GROUP BY 1),
+         |ideal AS (SELECT query_id,
+         |    unnest(range(1, least(n_rel, 10) + 1)) AS rank
+         |  FROM qn WHERE n_rel >= 1),
+         |it AS (SELECT query_id,
+         |    CAST(sum(CAST(1.0 / log2(rank + 1) AS DECIMAL(18,6)))
+         |      AS DOUBLE) AS idcg
+         |  FROM ideal GROUP BY 1)
+         |SELECT qn.query_id, qn.n_rel, COALESCE(m.n_hits, 0) AS n_hits,
+         |  round(CASE WHEN qn.n_rel = 0 THEN 0.0
+         |    ELSE COALESCE(m.n_hits, 0) / CAST(qn.n_rel AS DOUBLE) END, 6)
+         |    AS recall_at_10,
+         |  round(CASE WHEN m.min_rank IS NULL THEN 0.0
+         |    ELSE 1.0 / m.min_rank END, 6) AS mrr_at_10,
+         |  round(CASE WHEN m.dcg IS NULL OR it.idcg IS NULL THEN 0.0
+         |    ELSE m.dcg / it.idcg END, 6) AS ndcg_at_10
+         |FROM qn LEFT JOIN m USING (query_id) LEFT JOIN it USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     "search_bm25_topk" ->
       s"""WITH $toksCte,
          |$qCte,

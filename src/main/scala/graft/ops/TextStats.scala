@@ -476,6 +476,59 @@ object TextStats {
           sum(col("n_tokens")).as("total_tokens"),
           davg(col("n_chars")).as("avg_chars"))
         .orderBy(col("lang"), col("source"))
+    },
+
+    // pipeline OBSERVABILITY: the survivorship funnel — how many docs
+    // survive each curation stage (Gopher quality gate → exact
+    // fingerprint dedup → benchmark decontamination) and what fraction
+    // of the previous stage that is. The number a 100 TB run is
+    // steered by ("why did stage 3 eat 40% of the corpus?"); each
+    // stage count is a partial+final aggregate over the stage's
+    // surviving rows, the 4-row funnel table itself is metadata-sized,
+    // and the lag window runs over those 4 rows only.
+    "pipeline_funnel_report" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val gq = docs.withColumn("toks", Text.tokens(col("text")))
+        .withColumn("n_words", size(col("toks")))
+        .withColumn("gopher_pass",
+          col("n_words") > 0 &&
+            col("n_words").between(50, 100000) &&
+            (aggregate(col("toks"), lit(0), (a, x) => a + length(x))
+              .cast(DoubleType) / col("n_words")).between(3.0, 10.0) &&
+            (size(filter(col("toks"), x => x.rlike("[a-z]")))
+              .cast(DoubleType) / col("n_words")) > 0.8 &&
+            stopwordCount(col("toks"), "en") >= 2)
+      val surv1 = gq.filter(col("gopher_pass"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val wfp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val surv2 = surv1.withColumn("fp", Text.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(wfp)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("source"))
+      // contamination flags vs the src0 "benchmark" — same distinct-gram
+      // equi-join shape as text_contamination
+      val grams = docs.select(col("doc_id"), col("source"),
+        explode(array_distinct(Text.wordShingles(col("text"), 8))).as("g"))
+      val contam = grams.filter(col("source") =!= "src0")
+        .join(grams.filter(col("source") === "src0")
+          .select(col("g")).distinct(), "g")
+        .select(col("doc_id")).distinct()
+      val surv3 = surv2.filter(col("source") =!= "src0")
+        .join(contam, Seq("doc_id"), "left_anti")
+      def stage(i: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage"), lit(name).as("stage_name"),
+            col("n_docs"))
+      val funnel = stage(0, "ingested", docs)
+        .union(stage(1, "quality_gate", surv1))
+        .union(stage(2, "exact_dedup", surv2))
+        .union(stage(3, "decontaminated", surv3))
+      val wl = Window.orderBy(col("stage"))
+      val prev = lag(col("n_docs"), 1).over(wl)
+      funnel.withColumn("frac_of_prev",
+          round(when(prev.isNull || prev === 0, lit(1.0))
+            .otherwise(col("n_docs").cast(DoubleType) / prev), 6))
+        .orderBy(col("stage"))
     }
   )
 
@@ -483,6 +536,49 @@ object TextStats {
     Stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_funnel_report" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |gq AS (SELECT doc_id, source, text,
+         |    CASE WHEN len(toks) > 0
+         |      AND len(toks) BETWEEN 50 AND 100000
+         |      AND (CAST(list_reduce(list_transform(toks, x -> length(x)),
+         |        (a,b) -> a+b) AS DOUBLE) / len(toks)) BETWEEN 3.0 AND 10.0
+         |      AND (CAST(len(list_filter(toks,
+         |        x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks)) > 0.8
+         |      AND len(list_filter(toks, x -> x IN ${duckStop("en")})) >= 2
+         |    THEN TRUE ELSE FALSE END AS gopher_pass
+         |  FROM d),
+         |s1 AS (SELECT doc_id, source, text FROM gq WHERE gopher_pass),
+         |s2 AS (SELECT doc_id, source FROM (
+         |    SELECT doc_id, source, row_number() OVER (
+         |      PARTITION BY md5(array_to_string(list_sort(list_distinct(
+         |        list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+         |      ORDER BY doc_id) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |g AS (SELECT doc_id, source, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_transform(range(1, len(toks)-6),
+         |      i -> array_to_string(toks[i:i+7], ' ')) END)) AS g
+         |  FROM d),
+         |b AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+         |cont AS (SELECT DISTINCT doc_id FROM g JOIN b USING (g)
+         |  WHERE source <> 'src0'),
+         |s3 AS (SELECT s2.doc_id FROM s2 WHERE s2.source <> 'src0'
+         |  AND s2.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |c AS (
+         |  SELECT 0 AS stage, 'ingested' AS stage_name,
+         |    (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality_gate', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM s3))
+         |SELECT stage, stage_name, n_docs,
+         |  round(CASE WHEN lag(n_docs) OVER (ORDER BY stage) IS NULL
+         |      OR lag(n_docs) OVER (ORDER BY stage) = 0 THEN 1.0
+         |    ELSE n_docs / CAST(lag(n_docs) OVER (ORDER BY stage) AS DOUBLE)
+         |    END, 6) AS frac_of_prev
+         |FROM c ORDER BY stage""".stripMargin,
     "text_quality" ->
       s"""WITH d AS (SELECT doc_id, text,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

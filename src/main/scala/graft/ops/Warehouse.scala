@@ -318,10 +318,58 @@ object Warehouse {
         .select(col("event_type"), col("hour_start"), col("n"),
           col("z"), (abs(col("z")) > 2).as("is_anomaly"))
         .orderBy(col("event_type"), col("hour_start"))
+    },
+
+    // Small-file compaction plan (the OPTIMIZE/bin-packing pass every
+    // 100 TB lakehouse table needs): coalesce ADJACENT time-partition
+    // files into ~target-row bins, preserving the time clustering that
+    // makes partition pruning work (first-fit over an arbitrary order
+    // would destroy it). The "file listing" here is the per-month row
+    // counts of lineitem — metadata-sized by construction (|files|
+    // rows, never data rows), so the global order window is bounded and
+    // the plan itself costs one aggregate; the assignment rule
+    // bin = floor(rows_before / target) is pure integer arithmetic.
+    "q_compaction_plan" -> { (s, dir) =>
+      val w = Window.orderBy(col("month"))
+      val wb = Window.partitionBy(col("bin"))
+      t(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("rows_before",
+          coalesce(sum(col("n_rows")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", floor(col("rows_before") / CompactionTargetRows))
+        .withColumn("bin_rows", sum(col("n_rows")).over(wb))
+        .withColumn("bin_files", count(lit(1)).over(wb))
+        .select(col("month"), col("n_rows"), col("bin"),
+          col("bin_rows"), col("bin_files"))
+        .orderBy(col("month"))
     }
   )
 
+  /** Target output size (rows as the stand-in for bytes — the testdata
+    * exposes no physical file metadata; the arithmetic is identical). */
+  val CompactionTargetRows = 20000L
+
   def oracleSql: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      s"""WITH f AS (
+         |  SELECT date_trunc('month', l_shipdate) AS month,
+         |    count(*) AS n_rows
+         |  FROM lineitem GROUP BY 1),
+         |c AS (SELECT month, n_rows,
+         |    COALESCE(sum(n_rows) OVER (ORDER BY month
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS rows_before
+         |  FROM f),
+         |b AS (SELECT month, n_rows,
+         |    CAST(floor(rows_before / $CompactionTargetRows.0) AS BIGINT)
+         |      AS bin
+         |  FROM c)
+         |SELECT month, n_rows, bin,
+         |  CAST(sum(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows,
+         |  count(*) OVER (PARTITION BY bin) AS bin_files
+         |FROM b ORDER BY month""".stripMargin,
     "q_snapshot_diff" ->
       """WITH old AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice

@@ -703,4 +703,61 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == Seq(10L, 12L, 11L))
     assert(got.head._3 == math.round((1.0 / 61 + 1.0 / 62) * 1e6) / 1e6)
   }
+
+  test("theta sketches: exact-mode set algebra matches hand-computed sets") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.{ThetaOverlap, ThetaSketchAgg, ThetaUnionAgg}
+    val df = Seq(("A", "a"), ("A", "b"), ("A", "c"),
+      ("B", "b"), ("B", "c"), ("B", "d")).toDF("src", "item")
+    val agg = GraftBridge.column(
+      ThetaSketchAgg(GraftBridge.expression($"item")).toAggregateExpression())
+    val sk = df.groupBy($"src").agg(agg.as("sk"))
+    // |A|=3 |B|=3 |A∪B|=4 |A∩B|=2 — below 4k items the sketch is exact
+    val o = sk.filter($"src" === "A").select($"sk".as("ska"))
+      .crossJoin(sk.filter($"src" === "B").select($"sk".as("skb")))
+      .select(GraftBridge.column(ThetaOverlap(
+        GraftBridge.expression($"ska"),
+        GraftBridge.expression($"skb"))).as("o"))
+      .head.getSeq[Double](0)
+    assert(o == Seq(3.0, 3.0, 4.0, 2.0))
+    // rollup merge: union the two per-src sketches → estimate 4
+    val merged = sk.agg(GraftBridge.column(
+      ThetaUnionAgg(GraftBridge.expression($"sk")).toAggregateExpression())
+      .as("u"))
+    val u = merged.select(GraftBridge.column(ThetaOverlap(
+        GraftBridge.expression($"u"), GraftBridge.expression($"u"))).as("o"))
+      .head.getSeq[Double](0)
+    assert(u.head == 4.0)
+  }
+
+  test("evalMetrics: recall/MRR/nDCG match hand-computed values") {
+    // query 13 (the fixed workload's id rule), relevant universe = docs
+    // 1, 2 (label 1, excluding the query itself); ranking hits them at
+    // ranks 2 and 5
+    val labels = Seq((13L, 1), (1L, 1), (2L, 1), (3L, 2))
+      .toDF("vec_id", "label")
+    val ranked = Seq((13L, 1, 3L), (13L, 2, 1L), (13L, 5, 2L))
+      .toDF("query_id", "rank", "doc_id")
+    val r = Search.evalMetrics(ranked, labels, 10).head
+    assert(r.getAs[Long]("n_rel") == 2L && r.getAs[Long]("n_hits") == 2L)
+    assert(r.getAs[Double]("recall_at_10") == 1.0)
+    assert(r.getAs[Double]("mrr_at_10") == 0.5)
+    // dcg = 1/log2(3) + 1/log2(6), idcg = 1/log2(2) + 1/log2(3), each
+    // term DECIMAL(18,6)-rounded before the sum (the dsum pattern)
+    def d6(x: Double) = math.round(x * 1e6) / 1e6
+    val dcg = d6(1.0 / (math.log(3) / math.log(2))) +
+      d6(1.0 / (math.log(6) / math.log(2)))
+    val idcg = 1.0 + d6(1.0 / (math.log(3) / math.log(2)))
+    assert(math.abs(r.getAs[Double]("ndcg_at_10") - dcg / idcg) < 1e-5)
+  }
+
+  test("bfsHops: path-graph distances; isolated seed kept at 0; horizon cut") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(Tuple1(1L), Tuple1(10L)).toDF("node")
+    val got = Graph.bfsHops(pairs, "id_a", "id_b", seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 5 is 4 hops out — beyond the 3-round horizon
+    assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
 }
