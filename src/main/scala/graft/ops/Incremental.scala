@@ -126,6 +126,44 @@ object Incremental {
         processBatch(b, idCol, textCol, indexDir, outDir, id)
     }
 
+  /** One microbatch of streaming DISTINCT-COUNT maintenance: per-group
+    * Theta sketches held in a parquet state table, merged (never
+    * recomputed) with each batch's own sketches — the sketch extension
+    * of [[incr_agg_merge]]'s algebraic-aggregate state, covering the
+    * one aggregate class (COUNT DISTINCT) algebraic state cannot.
+    * At 100 TB the state is |groups| kilobyte binaries; each batch
+    * costs one batch-sized aggregate + a |groups|-sized union — the raw
+    * history is never re-scanned, and the same binaries answer ANY
+    * later union across groups (theta sketches are closed under set
+    * algebra, unlike raw distinct counts). At-least-once caveat: a
+    * replayed batch re-unions the same items — a NO-OP for a set
+    * sketch, so restart semantics are exactly-once-equivalent here
+    * (stronger than the dedup handlers' at-least-once). */
+  def processSketchBatch(batch: DataFrame, keyCol: String, itemCol: String,
+      stateDir: String): Unit = {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.{ThetaSketchAgg, ThetaUnionAgg}
+    val sp = batch.sparkSession
+    val build = GraftBridge.column(ThetaSketchAgg(GraftBridge.expression(
+      col(itemCol).cast(StringType))).toAggregateExpression())
+    val bs = batch.groupBy(col(keyCol)).agg(build.as("sk"))
+    val merge = GraftBridge.column(ThetaUnionAgg(
+      GraftBridge.expression(col("sk"))).toAggregateExpression())
+    val merged = if (new java.io.File(stateDir).exists)
+      bs.unionByName(sp.read.parquet(stateDir))
+        .groupBy(col(keyCol)).agg(merge.as("sk"))
+    else bs
+    // eager checkpoint cuts the read-then-overwrite cycle on stateDir
+    merged.localCheckpoint().write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** Streaming wrapper: maintain the sketch state table per microbatch. */
+  def sketchRollupStream(stream: DataFrame, keyCol: String,
+      itemCol: String, stateDir: String) =
+    stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      processSketchBatch(b, keyCol, itemCol, stateDir)
+    }
+
   /** LshBuckets band index over base-corpus EMBEDDINGS: (tb, bk, id) —
     * the persisted semantic-dedup analogue of [[bandIndex]]. In
     * production this parquet table is maintained across runs (append
@@ -521,6 +559,47 @@ object Incremental {
         .localCheckpoint()
       graft.Util.rmrf(new java.io.File(tmp))
       out
+    },
+
+    // deterministic 2-batch replay of streaming DISTINCT-COUNT state
+    // maintenance: events split by event_id parity arrive as two
+    // microbatches; each merges its per-type user sketches into the
+    // parquet state, and the final state answers distinct users per
+    // type without ever re-scanning batch 1. Rows-only (theta
+    // estimates aren't SQL-reproducible past exact mode); the audit
+    // below scores the estimates against the exact distinct counts.
+    "stream_incr_distinct" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      import graft.functions.ThetaOverlap
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sketch_stream").toString
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      processSketchBatch(ev.filter(col("user_id") % 2 === 0),
+        "event_type", "user_id", s"$tmp/state")
+      processSketchBatch(ev.filter(col("user_id") % 2 === 1),
+        "event_type", "user_id", s"$tmp/state")
+      val out = s.read.parquet(s"$tmp/state")
+        .select(col("event_type"),
+          round(element_at(GraftBridge.column(ThetaOverlap(
+            GraftBridge.expression(col("sk")),
+            GraftBridge.expression(col("sk")))), 1), 2).as("approx_users"))
+        .orderBy(col("event_type"))
+        .localCheckpoint()
+      graft.Util.rmrf(new java.io.File(tmp))
+      out
+    },
+
+    // sketch-vs-exact error of the streamed distinct-count state: max
+    // relative error across groups (0.0 while groups are in exact mode)
+    "audit_stream_incr_distinct" -> { (s, dir) =>
+      val est = queries("stream_incr_distinct")(s, dir)
+      val exact = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .agg(count(lit(1)).as("n_groups"),
+          round(max(abs(col("approx_users") - col("n_exact")) /
+            col("n_exact")), 6).as("max_rel_err"))
     },
 
     // agreement of the streamed fold vs the exact all-pairs fold: both

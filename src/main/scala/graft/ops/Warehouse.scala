@@ -320,6 +320,39 @@ object Warehouse {
         .orderBy(col("event_type"), col("hour_start"))
     },
 
+    // EWMA smoothing + one-step forecast per event type (the capacity/
+    // trend number next to the z-score anomaly flag): s_t = α·x_t +
+    // (1−α)·s_{t−1} folded over the type's hourly counts in hour order.
+    // EWMA is inherently sequential PER KEY, so the right distributed
+    // shape is: shuffle once to per-(type, hour) counts (partial+final
+    // agg), collect each type's bounded hour series into an array, and
+    // fold it per row — the recursion never crosses rows, keys stay
+    // independent/parallel, and the series length is bounded by the
+    // time window (720 rows/key/month), not by data volume. Both
+    // engines fold left-to-right over the same sorted array, and each
+    // step rounds to 6 dp, so the recursion is bit-identical
+    // cross-engine.
+    "events_ewma_hourly" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          array_sort(collect_list(struct(col("hour_start"), col("n"))))
+            .as("series"))
+        .withColumn("ewma", expr(
+          """round(aggregate(series, CAST(NULL AS DOUBLE),
+            |  (acc, x) -> round(CASE WHEN acc IS NULL
+            |    THEN CAST(x.n AS DOUBLE)
+            |    ELSE 0.3 * x.n + 0.7 * acc END, 6)), 6)""".stripMargin))
+        .withColumn("last_n", element_at(col("series"), -1).getField("n"))
+        .select(col("event_type"), col("n_hours"), col("last_n"),
+          col("ewma"),
+          round(col("ewma") - col("last_n"), 6).as("trend_gap"))
+        .orderBy(col("event_type"))
+    },
+
     // Small-file compaction plan (the OPTIMIZE/bin-packing pass every
     // 100 TB lakehouse table needs): coalesce ADJACENT time-partition
     // files into ~target-row bins, preserving the time clustering that
@@ -352,6 +385,19 @@ object Warehouse {
   val CompactionTargetRows = 20000L
 
   def oracleSql: Map[String, String] = Map(
+    "events_ewma_hourly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, count(*) AS n_hours,
+        |    list(CAST(n AS DOUBLE) ORDER BY hour_start) AS ns
+        |  FROM h GROUP BY 1),
+        |e AS (SELECT event_type, n_hours, ns,
+        |    round(list_reduce(ns,
+        |      (acc, x) -> round(0.3 * x + 0.7 * acc, 6)), 6) AS ewma
+        |  FROM l)
+        |SELECT event_type, n_hours, CAST(ns[-1] AS BIGINT) AS last_n,
+        |  ewma, round(ewma - ns[-1], 6) AS trend_gap
+        |FROM e ORDER BY event_type""".stripMargin,
     "q_compaction_plan" ->
       s"""WITH f AS (
          |  SELECT date_trunc('month', l_shipdate) AS month,

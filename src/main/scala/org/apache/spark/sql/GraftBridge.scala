@@ -23,6 +23,20 @@ object GraftBridge {
   def analyzed(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
 
+  /** Free the storage blocks behind a `localCheckpoint()`ed DataFrame.
+    * localCheckpoint materializes to a persisted internal RDD wrapped in
+    * a `LogicalRDD`, but exposes no way to release it — iterative
+    * operators that checkpoint per round (kCore peeling) would
+    * otherwise pin every round's blocks until the context cleaner
+    * eventually notices (gigabytes at the 3× scale probe). No-op for
+    * non-checkpoint plans. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a custom expression under a SQL-callable name
     * (`sessionState` is also `private[sql]`). Idempotent. */
   def registerFunction(spark: SparkSession, name: String,

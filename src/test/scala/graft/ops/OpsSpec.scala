@@ -751,6 +751,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ndcg_at_10") - dcg / idcg) < 1e-5)
   }
 
+  test("processSketchBatch: cross-batch distinct union; replay is a no-op") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.ThetaOverlap
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sketch_spec").toString
+    def est(): Map[String, Double] = {
+      val sk = spark.read.parquet(s"$tmp/state")
+      sk.select($"k", GraftBridge.column(ThetaOverlap(
+          GraftBridge.expression($"sk"),
+          GraftBridge.expression($"sk"))).getItem(0).as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val b1 = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("k", "u")
+    val b2 = Seq(("a", 2L), ("a", 3L), ("c", 9L)).toDF("k", "u")
+    Incremental.processSketchBatch(b1, "k", "u", s"$tmp/state")
+    Incremental.processSketchBatch(b2, "k", "u", s"$tmp/state")
+    // a: {1,2} ∪ {2,3} = 3 distinct; b: {1}; c: {9}
+    assert(est() == Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0))
+    // at-least-once replay of batch 2 must not change any estimate
+    Incremental.processSketchBatch(b2, "k", "u", s"$tmp/state")
+    assert(est() == Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0))
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
   test("bfsHops: path-graph distances; isolated seed kept at 0; horizon cut") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
       .toDF("id_a", "id_b")

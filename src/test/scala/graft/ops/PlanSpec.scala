@@ -131,6 +131,20 @@ class PlanSpec extends AnyFunSuite {
       s"k-core peel fell back to a nested loop:\n$plan")
   }
 
+  test("semantic contamination probe plans with equi-joins only") {
+    val plan = formatted(q("text_contamination_semantic"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"band-index contamination probe fell back to a nested loop:\n$plan")
+  }
+
+  test("BFS frontier expansion plans with equi-joins only") {
+    val plan = formatted(q("graph_bfs_hops"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"BFS frontier join fell back to a nested loop:\n$plan")
+  }
+
   test("IVF index lands partitioned by cluster; literal reads prune") {
     // what this locks: the on-disk LAYOUT — one directory per cluster,
     // and a cluster-literal read resolves to PartitionFilters (no full
