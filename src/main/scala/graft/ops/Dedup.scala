@@ -723,6 +723,46 @@ object Dedup {
         .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id"))
     },
+    // per-source duplication rate: which corpus slices duplicate most —
+    // the number that decides WHERE to spend dedup budget before
+    // running it. One fingerprint scan + group-size join, per-source
+    // aggregate; a doc is "duplicated" if its fingerprint occurs more
+    // than once corpus-wide.
+    "dedup_rate_by_source" -> { (s, dir) =>
+      val fp = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          Text.fingerprint(col("text")).as("fp"))
+      val gs = fp.groupBy(col("fp")).agg(count(lit(1)).as("group_size"))
+      fp.join(gs, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("group_size") > 1, 1L).otherwise(0L))
+            .as("n_dup_docs"))
+        .withColumn("dup_rate",
+          round(col("n_dup_docs").cast(DoubleType) / col("n_docs"), 6))
+        .orderBy(col("source"))
+    },
+
+    // similarity-threshold response curve: pair counts per 0.05 cosine
+    // band with a descending cumulative — the table that picks τ before
+    // committing to a full dedup run ("τ=0.45 merges 311 pairs, τ=0.6
+    // merges 9"). Bucketing happens on the 6-dp-rounded cosine, so the
+    // band edges are bit-identical cross-engine; the cumulative window
+    // runs over ≤17 band rows. Pairs come from the exact anchor at
+    // verify scale; the LSH band join is the drop-in source at 100 TB
+    // (the curve above its τ floor is identical by the recall audits).
+    "dedup_threshold_curve" -> { (s, dir) =>
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      exactCosinePairs(s, dir, 0.2)
+        .withColumn("bucket", floor(col("cosine") * 20).cast(IntegerType))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_pairs_ge", sum(col("n_pairs")).over(w))
+        .select(round(col("bucket") / 20.0, 2).as("bucket_lo"),
+          col("n_pairs"), col("n_pairs_ge"))
+        .orderBy(col("bucket_lo"))
+    },
+
     // MinHash+LSH near-dup over word 3-shingles (not SQL-expressible)
     "dedup_minhash" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
@@ -892,6 +932,40 @@ object Dedup {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_rate_by_source" ->
+      """WITH fp AS (SELECT source, doc_id,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fp
+        |  FROM documents),
+        |gs AS (SELECT fp, count(*) AS group_size FROM fp GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  round(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+        |FROM fp JOIN gs USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_threshold_curve" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT list_reduce(list_transform(range(1, len(a.v)+1),
+        |      i -> a.v[i]*b.v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v)+1),
+        |        i -> a.v[i]*a.v[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v)+1),
+        |        i -> b.v[i]*b.v[i]), (x,y) -> x+y))) AS cosraw
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |f AS (SELECT round(cosraw, 6) AS cosine FROM p WHERE cosraw >= 0.2),
+        |c AS (SELECT CAST(floor(cosine * 20) AS INT) AS bucket,
+        |    count(*) AS n_pairs
+        |  FROM f GROUP BY 1)
+        |SELECT round(bucket / 20.0, 2) AS bucket_lo, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_pairs_ge
+        |FROM c ORDER BY bucket_lo""".stripMargin,
     "dedup_substring_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |wins AS (

@@ -241,6 +241,36 @@ object EventStream {
     // with no events, via a generated hour spine × the distinct type
     // set (both tiny — the spine is one row per hour of the span and
     // the cross join is broadcast; the fact side joins once)
+    // event-lateness profile: how far behind the stream's running
+    // high-water mark events arrive — THE measurement that sizes a
+    // watermark before deploying one (p95 lateness 40 min → a 1 h
+    // watermark drops n_past_1h events; these columns say both).
+    // Arrival order is event_id; the running max is computed per
+    // ingest shard (user_id % 8) — the same bounded-window shard
+    // pattern as pipeline_pack_sequences_sharded, matching how a real
+    // stream's order is only defined per partition. One shuffle to
+    // shards, per-shard prefix-max window, then a bounded per-type
+    // aggregate; exact `percentile` ↔ quantile_cont cross-engine.
+    "stream_lateness_profile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .withColumn("shard", col("user_id") % 8)
+        .withColumn("late_us",
+          unix_micros(max(col("ts")).over(w)) - unix_micros(col("ts")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(expr("percentile(late_us, 0.5)") / 1000000, 3)
+            .as("p50_late_s"),
+          round(expr("percentile(late_us, 0.95)") / 1000000, 3)
+            .as("p95_late_s"),
+          round(max(col("late_us")) / 1000000.0, 3).as("max_late_s"),
+          sum(when(col("late_us") > 3600L * 1000000L, 1L).otherwise(0L))
+            .as("n_past_1h"))
+        .orderBy(col("event_type"))
+    },
+
     "events_gap_fill" -> { (s, dir) =>
       val hourly = hourlyAgg(events(s, dir))
       val span = hourly.agg(min(col("hour_start")).as("h0"),
@@ -258,6 +288,20 @@ object EventStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "stream_lateness_profile" ->
+      """WITH l AS (SELECT event_type,
+        |    epoch_us(max(ts) OVER (PARTITION BY user_id % 8
+        |      ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |      - epoch_us(ts) AS late_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(quantile_cont(late_us, 0.5) / 1000000, 3) AS p50_late_s,
+        |  round(quantile_cont(late_us, 0.95) / 1000000, 3) AS p95_late_s,
+        |  round(max(late_us) / 1000000.0, 3) AS max_late_s,
+        |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_past_1h
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS t_view FROM e
