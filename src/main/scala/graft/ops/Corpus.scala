@@ -322,6 +322,53 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    // Chen & Goodman 1999 eq. 4.25, fixed discount D = 0.75):
+    //   P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+    //            + D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|
+    // — the smoothing CCNet-class quality filters actually use, where
+    // the continuation probability ranks words by how many CONTEXTS
+    // they follow, not raw frequency ("San Francisco" makes
+    // "Francisco" frequent but not freely combinable). Same scale
+    // shape as text_bigram_lm: one explode + hash aggs, all four count
+    // tables vocab-bounded and broadcast; per-doc reduce via the
+    // decimal-mean pattern.
+    "text_kneser_ney" -> { (s, dir) =>
+      val D = 0.75
+      val pairs = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bigramCnt = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_bigram"))
+      val contextCnt = pairs.groupBy(col("w1"))
+        .agg(count(lit(1)).as("n_context"))
+      // distinct-successor / distinct-predecessor counts and the
+      // bigram-type total come off the (already vocab²-bounded)
+      // bigram-type table, not the corpus
+      val n1f = bigramCnt.groupBy(col("w1")).agg(count(lit(1)).as("n1f"))
+      val n1p = bigramCnt.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+      val btypes = bigramCnt.agg(count(lit(1)).as("btypes"))
+      val pkn = greatest(col("n_bigram") - lit(D), lit(0.0)) /
+        col("n_context") +
+        lit(D) * col("n1f") / col("n_context") * (col("n1p") / col("btypes"))
+      pairs
+        .join(broadcast(bigramCnt), Seq("w1", "w2"))
+        .join(broadcast(contextCnt), Seq("w1"))
+        .join(broadcast(n1f), Seq("w1"))
+        .join(broadcast(n1p), Seq("w2"))
+        .crossJoin(broadcast(btypes))
+        .withColumn("lp", -log(pkn))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(davg(col("lp")), 6).as("mean_neg_logprob"))
+        .orderBy(col("doc_id"))
+    },
+
     // per-source quota downsampling: cap each source at its 10 best docs
     // by distinct-token ratio (over-represented-domain rebalancing).
     // One shuffle on source + a bounded window — no global sort.
@@ -743,6 +790,27 @@ object Corpus {
         |lp AS (SELECT doc_id,
         |    -ln(CAST(n_bigram AS DOUBLE) / n_context) AS lp
         |  FROM p JOIN cb USING (w1, w2) JOIN cu USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp), 6)
+        |    AS mean_neg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_kneser_ney" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |p0 AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |  FROM d WHERE len(toks) >= 2),
+        |p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2 FROM p0),
+        |cb AS (SELECT w1, w2, count(*) AS n_bigram FROM p GROUP BY w1, w2),
+        |cu AS (SELECT w1, count(*) AS n_context FROM p GROUP BY w1),
+        |f1 AS (SELECT w1, count(*) AS n1f FROM cb GROUP BY w1),
+        |p1 AS (SELECT w2, count(*) AS n1p FROM cb GROUP BY w2),
+        |bt AS (SELECT count(*) AS btypes FROM cb),
+        |lp AS (SELECT doc_id,
+        |    -ln(greatest(n_bigram - 0.75, 0.0) / n_context
+        |      + 0.75 * n1f / n_context * (n1p / btypes)) AS lp
+        |  FROM p JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        |    JOIN f1 USING (w1) JOIN p1 USING (w2) CROSS JOIN bt)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp), 6)
         |    AS mean_neg_logprob

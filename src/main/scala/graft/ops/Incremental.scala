@@ -164,6 +164,84 @@ object Incremental {
       processSketchBatch(b, keyCol, itemCol, stateDir)
     }
 
+  /** CDC delete marker: an event of this type tombstones its key (the
+    * synthetic stream has no op-code column; 'error' plays DELETE, the
+    * other four types are upserts — the mapping is arbitrary and the
+    * mechanics are type-agnostic). */
+  val CdcDeleteType = "error"
+
+  /** One microbatch of streaming CDC apply: fold a batch of keyed
+    * change records into the persisted current-state table — the
+    * foreachBatch MERGE every warehouse ingestion runs. Per key and
+    * batch: the LATEST record (by ts, event_id) wins; a winning
+    * [[CdcDeleteType]] record removes the key; `n_changes` counts
+    * records since the key's last delete (a delete wipes history — the
+    * key restarts if re-inserted). Batches must arrive in stream order
+    * (the usual CDC contract); within a batch, order is by (ts,
+    * event_id), not arrival.
+    *
+    * Scale shape: the batch reduces to one row per touched key (one
+    * hash agg + one bounded window), then ONE equi-join with the state
+    * table on the key. State is |live keys| rows — partitioned by key
+    * in production so the merge co-locates; the overwrite becomes a
+    * partition-level rewrite of touched partitions only (Hive-style
+    * dynamic partition overwrite). Restart: overwrite is idempotent
+    * per (state, batch) pair, so a replayed batch converges to the
+    * same state — exactly-once-equivalent, stronger than the append
+    * sinks' at-least-once. */
+  def processCdcBatch(batch: DataFrame, stateDir: String): Unit = {
+    val sp = batch.sparkSession
+    val dels = batch.filter(col("event_type") === CdcDeleteType)
+      .groupBy(col("user_id")).agg(max(col("ts")).as("del_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val reduced = batch.join(dels, Seq("user_id"), "left")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("rn") === 1, struct(col("ts").as("last_ts"),
+          col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"),
+          col("value").as("last_value")))).as("wrow"),
+        sum(when(col("del_ts").isNull || col("ts") > col("del_ts"), 1L)
+          .otherwise(0L)).as("n_batch"),
+        max(col("del_ts")).as("del_ts"))
+      .select(col("user_id"), col("wrow.last_ts"), col("wrow.last_event_id"),
+        col("wrow.last_type"), col("wrow.last_value"), col("n_batch"),
+        col("del_ts").isNotNull.as("has_del"))
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("last_ts", TimestampType),
+      StructField("last_event_id", LongType),
+      StructField("last_type", StringType),
+      StructField("last_value", DoubleType),
+      StructField("n_changes", LongType)))
+    val state =
+      if (new java.io.File(stateDir).exists) sp.read.parquet(stateDir)
+      else sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    val st = state.select(col("user_id"), col("last_ts").as("s_ts"),
+      col("last_event_id").as("s_eid"), col("last_type").as("s_type"),
+      col("last_value").as("s_value"), col("n_changes").as("s_n"))
+    val merged = st.join(reduced, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col("last_ts"), col("s_ts")).as("last_ts"),
+        coalesce(col("last_event_id"), col("s_eid")).as("last_event_id"),
+        coalesce(col("last_type"), col("s_type")).as("last_type"),
+        coalesce(col("last_value"), col("s_value")).as("last_value"),
+        (when(coalesce(col("has_del"), lit(false)), lit(0L))
+          .otherwise(coalesce(col("s_n"), lit(0L))) +
+          coalesce(col("n_batch"), lit(0L))).as("n_changes"))
+      .filter(col("last_type") =!= CdcDeleteType)
+    // eager checkpoint cuts the read-then-overwrite cycle on stateDir
+    merged.localCheckpoint().write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** Streaming wrapper: apply CDC batches to the state table. */
+  def cdcStream(stream: DataFrame, stateDir: String) =
+    stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      processCdcBatch(b, stateDir)
+    }
+
   /** LshBuckets band index over base-corpus EMBEDDINGS: (tb, bk, id) —
     * the persisted semantic-dedup analogue of [[bandIndex]]. In
     * production this parquet table is maintained across runs (append
@@ -516,6 +594,36 @@ object Incremental {
       out
     },
 
+    // deterministic 2-batch replay of the streaming CDC MERGE handler:
+    // the event stream split at its time midpoint arrives as two
+    // microbatches of keyed change records; batch 2 folds into the
+    // state table batch 1 left behind (latest-wins upserts, tombstone
+    // deletes, since-last-delete change counts). Oracle = the same
+    // fold expressed as one global SQL pass — valid because the
+    // batches are time-ordered, which is exactly the CDC contract the
+    // handler documents.
+    "stream_cdc_upsert" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdc_stream").toString
+      val stateDir = s"$tmp/state"
+      val e = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+      val cut = e.agg(((min(unix_micros(col("ts"))) +
+        max(unix_micros(col("ts")))) / lit(2L)).cast(LongType))
+        .head.getLong(0)
+      processCdcBatch(e.filter(unix_micros(col("ts")) < cut), stateDir)
+      processCdcBatch(e.filter(unix_micros(col("ts")) >= cut), stateDir)
+      val out = s.read.parquet(stateDir)
+        .select(col("user_id"), unix_micros(col("last_ts")).as("last_us"),
+          col("last_event_id"), col("last_type"), col("last_value"),
+          col("n_changes"))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+      graft.Util.rmrf(new java.io.File(tmp))
+      out
+    },
+
     // all-pairs anchor for semantic incremental dedup (batch×base
     // only); τ = 0.45 matches the corpus-wide exact anchor family
     "dedup_incr_embedding_exact" -> { (s, dir) =>
@@ -787,6 +895,24 @@ object Incremental {
         |SELECT doc_id, fp, batch_id FROM (SELECT * FROM s1
         |  UNION ALL SELECT * FROM s2)
         |ORDER BY doc_id""".stripMargin,
+    "stream_cdc_upsert" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type, value
+         |  FROM events),
+         |dels AS (SELECT user_id, max(ts) AS del_ts FROM e
+         |  WHERE event_type = '$CdcDeleteType' GROUP BY 1),
+         |last AS (SELECT user_id, ts, event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM e QUALIFY rn = 1),
+         |cnt AS (SELECT e.user_id, count(*) AS n_changes
+         |  FROM e LEFT JOIN dels d ON d.user_id = e.user_id
+         |  WHERE d.del_ts IS NULL OR e.ts > d.del_ts GROUP BY 1)
+         |SELECT l.user_id, epoch_us(l.ts) AS last_us,
+         |  l.event_id AS last_event_id, l.event_type AS last_type,
+         |  l.value AS last_value, CAST(c.n_changes AS BIGINT) AS n_changes
+         |FROM last l JOIN cnt c ON c.user_id = l.user_id
+         |WHERE l.event_type <> '$CdcDeleteType'
+         |ORDER BY l.user_id""".stripMargin,
     "dedup_incr_embedding_exact" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

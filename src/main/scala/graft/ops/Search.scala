@@ -187,6 +187,113 @@ object Search {
       .orderBy(col("query_id"))
   }
 
+  /** Near-dup drop threshold for context assembly: a candidate whose
+    * cosine to ANY higher-ranked candidate exceeds τ adds no new
+    * information to the context window (the near-dup pairs planted in
+    * the corpus sit well above this; unrelated docs sit near 0). */
+  val CtxTau = 0.85
+
+  /** Context token budget (whitespace tokens; docs average ~54, so the
+    * budget packs roughly the top 7 of 20 candidates — the truncation
+    * path is exercised, not vacuous). */
+  val CtxBudget = 400
+
+  /** The fixed phrase workload: for each query doc, the exact 3-token
+    * phrase at token positions 2–4. Bounded like [[queryTerms]]. */
+  def phraseWorkload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(col("doc_id") % 97 === 13 && col("doc_id") < 2000 &&
+        size(col("toks")) >= 7)
+      .select(col("doc_id").as("query_id"),
+        element_at(col("toks"), 2).as("t1"),
+        element_at(col("toks"), 3).as("t2"),
+        element_at(col("toks"), 4).as("t3"))
+
+  /** Exact-phrase search via a POSITIONAL inverted index — the search
+    * primitive BM25 can't express (bag-of-words scoring loses
+    * adjacency). Postings are (doc_id, term, pos); a 3-term phrase is
+    * two adjacency self-joins on (doc_id, pos+1) / (doc_id, pos+2).
+    * Occurrences = distinct start positions; self-matches excluded.
+    *
+    * Scale shape: the posting table is restricted to the phrase
+    * vocabulary (broadcast semi-join on term) BEFORE any adjacency
+    * join, so candidate size is bounded by the query terms' posting
+    * lists, never the corpus; the adjacency joins are equi-joins on
+    * (doc_id, pos arithmetic) — shuffle keys, no theta join. At 100 TB
+    * the postings persist as a term-partitioned table (same derived
+    * index as BM25's tf) and only the probed terms' partitions are
+    * read. */
+  def phraseMatch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val post = docs
+      .select(col("doc_id"), posexplode(Text.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    val vocab = phrases
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("term"))
+      .distinct()
+    val p = post.join(broadcast(vocab), "term")
+    val m1 = p.join(broadcast(phrases), col("term") === col("t1"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("t2"), col("t3"), col("doc_id"), col("pos"))
+    val p2 = p.select(col("doc_id").as("d2"), col("term").as("term2"),
+      col("pos").as("pos2"))
+    val p3 = p.select(col("doc_id").as("d3"), col("term").as("term3"),
+      col("pos").as("pos3"))
+    m1.join(p2, col("d2") === col("doc_id") &&
+        col("pos2") === col("pos") + 1 && col("term2") === col("t2"))
+      .join(p3, col("d3") === col("doc_id") &&
+        col("pos3") === col("pos") + 2 && col("term3") === col("t3"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** RAG context assembly: retrieval top-k → near-dup drop →
+    * token-budget packing — the step between "retrieve" and "prompt"
+    * every retrieval-augmented pipeline runs. A candidate is dropped
+    * when its cosine to ANY higher-ranked candidate exceeds `tau`
+    * (conservative variant of greedy MMR dedup — drops a superset,
+    * fully relational, no per-query sequential state); survivors keep
+    * retrieval order and are cut at the first doc that would push the
+    * cumulative token count past `budget`.
+    *
+    * Scale shape: `topk` is |queries|×k rows — broadcast-sized by
+    * construction (the corpus-sized work already happened inside the
+    * retrieval that produced it); the pairwise near-dup check is k²
+    * per query over that bounded set, and the packing is a window over
+    * ≤ k rows per query. Nothing here rescans the corpus except the
+    * two bounded joins fetching candidate vectors / token counts by id.
+    */
+  def ragContext(topk: DataFrame, corpus: DataFrame, docs: DataFrame,
+      tau: Double, budget: Int): DataFrame = {
+    val withV = topk.join(
+      corpus.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+    val a = withV.select(col("query_id"), col("neighbor_id").as("doc_id"),
+      col("rank"), col("cosine"), col("v").as("va"))
+    val b = withV.select(col("query_id").as("qb"), col("rank").as("rb"),
+      col("v").as("vb"))
+    // max cosine to a higher-ranked candidate, per candidate
+    val pairMax = a.join(b, col("qb") === col("query_id") &&
+        col("rb") < col("rank"))
+      .withColumn("pc", Vectors.dot(col("va"), col("vb")) /
+        (Vectors.norm(col("va")) * Vectors.norm(col("vb"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("pc")).as("maxsim"))
+    val kept = a.drop("va")
+      .join(pairMax, Seq("query_id", "doc_id"), "left")
+      .filter(coalesce(col("maxsim"), lit(-2.0)) <= tau)
+    val toks = docs.select(col("doc_id"),
+      size(Text.tokens(col("text"))).as("n_tokens"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    kept.join(toks, "doc_id")
+      .withColumn("ctx_rank", row_number().over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("query_id"), col("ctx_rank"), col("doc_id"), col("cosine"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("query_id"), col("ctx_rank"))
+  }
+
   /** Embedding probes for the same fixed query workload (documents and
     * embeddings share the id space). */
   private def vecProbes(s: SparkSession, dir: String): DataFrame =
@@ -276,6 +383,54 @@ object Search {
           col("ndcg_exact"), col("ndcg_ann"))
     },
 
+    // exact-phrase search over the positional inverted index
+    // (oracle-checked: adjacency joins + count are pure relational)
+    "search_phrase_match" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      phraseMatch(docs, phraseWorkload(docs))
+    },
+
+    // RAG context assembly over the exact-cosine retrieval (oracle-
+    // checked end to end: ranking, near-dup drop, and packing are all
+    // relational arithmetic)
+    "search_rag_context" -> { (s, dir) =>
+      ragContext(
+        Similarity.bruteForceTopK(vecCorpus(s, dir), vecProbes(s, dir),
+          FuseDepth),
+        vecCorpus(s, dir), t(s, dir, "documents"), CtxTau, CtxBudget)
+    },
+
+    // the 100 TB form: identical assembly, candidates from multiprobe
+    // LSH ANN (recall < 1 by design → rows-only;
+    // audit_rag_context_agreement is the per-round quality record)
+    "search_rag_context_ann" -> { (s, dir) =>
+      ragContext(
+        Similarity.lshTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth),
+        vecCorpus(s, dir), t(s, dir, "documents"), CtxTau, CtxBudget)
+    },
+
+    // fraction of (query, doc) context picks the ANN-candidate assembly
+    // shares with the exact-candidate assembly — rows-only by design,
+    // this row IS the measurement
+    "audit_rag_context_agreement" -> { (s, dir) =>
+      def picks(topk: DataFrame): DataFrame =
+        ragContext(topk, vecCorpus(s, dir), t(s, dir, "documents"),
+          CtxTau, CtxBudget)
+          .select(col("query_id"), col("doc_id"))
+      val exact = picks(Similarity
+        .bruteForceTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth))
+      val ann = picks(Similarity
+        .lshTopK(vecCorpus(s, dir), vecProbes(s, dir), FuseDepth))
+      val matched = ann.join(exact, Seq("query_id", "doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(matched)
+        .select(col("n_exact"), col("n_matched"),
+          when(col("n_exact") === 0, lit(1.0)).otherwise(
+            round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
+            .as("agreement"))
+    },
+
     // fraction of (query, doc) results the ANN-leg hybrid shares with
     // the exact-leg hybrid at the final top-10 cut — rows-only by
     // design, this row IS the measurement
@@ -360,7 +515,70 @@ object Search {
        |      ORDER BY cos DESC, doc_id) AS rv
        |  FROM cs QUALIFY rv <= $k)""".stripMargin
 
+  // cosine between two DOUBLE lists a/b — identical reduction order to
+  // the Spark side's Vectors.dot/norm (left-to-right)
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)
+       | / (sqrt(list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$a[i]), (x,y) -> x+y))
+       |  * sqrt(list_reduce(list_transform(range(1, len($b)+1), i -> $b[i]*$b[i]), (x,y) -> x+y)))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "search_phrase_match" ->
+      s"""WITH $toksCte,
+         |ph AS (SELECT doc_id AS query_id, toks[2] AS t1, toks[3] AS t2,
+         |    toks[4] AS t3
+         |  FROM toks WHERE doc_id % 97 = 13 AND doc_id < 2000
+         |    AND len(toks) >= 7),
+         |post AS (SELECT doc_id, unnest(toks) AS term,
+         |    unnest(range(1, len(toks)+1)) AS pos
+         |  FROM toks)
+         |SELECT query_id, doc_id, count(*) AS n_hits FROM (
+         |  SELECT ph.query_id, a.doc_id, a.pos
+         |  FROM post a JOIN ph ON a.term = ph.t1
+         |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.term = ph.t2
+         |  JOIN post c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |    AND c.term = ph.t3
+         |  WHERE a.doc_id <> ph.query_id)
+         |GROUP BY query_id, doc_id
+         |ORDER BY query_id, doc_id""".stripMargin,
+    "search_rag_context" ->
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |  WHERE vec_id % 97 = 13 AND vec_id < 2000),
+         |cs AS (SELECT query_id, vec_id AS doc_id,
+         |    ${cosSql("qv", "v")} AS cos
+         |  FROM q JOIN e ON vec_id <> query_id),
+         |top AS (SELECT query_id, doc_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, doc_id) AS rnk
+         |  FROM cs QUALIFY rnk <= $FuseDepth),
+         |pm AS (SELECT a.query_id, a.doc_id,
+         |    max(${cosSql("ea.v", "eb.v")}) AS maxsim
+         |  FROM top a JOIN top b ON a.query_id = b.query_id AND b.rnk < a.rnk
+         |  JOIN e ea ON ea.vec_id = a.doc_id
+         |  JOIN e eb ON eb.vec_id = b.doc_id
+         |  GROUP BY a.query_id, a.doc_id),
+         |toksn AS (SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |      AS n_tokens
+         |  FROM documents),
+         |kept AS (SELECT t.query_id, t.doc_id, t.cos, t.rnk FROM top t
+         |  LEFT JOIN pm ON pm.query_id = t.query_id AND pm.doc_id = t.doc_id
+         |  WHERE coalesce(pm.maxsim, -2.0) <= $CtxTau),
+         |packed AS (SELECT k.query_id, k.doc_id, k.cos,
+         |    row_number() OVER (PARTITION BY k.query_id ORDER BY k.rnk)
+         |      AS ctx_rank,
+         |    tn.n_tokens,
+         |    CAST(sum(tn.n_tokens) OVER (PARTITION BY k.query_id
+         |      ORDER BY k.rnk) AS BIGINT) AS cum_tokens
+         |  FROM kept k JOIN toksn tn ON tn.doc_id = k.doc_id)
+         |SELECT query_id, ctx_rank, doc_id, round(cos, 6) AS cosine,
+         |  n_tokens, cum_tokens
+         |FROM packed WHERE cum_tokens <= $CtxBudget
+         |ORDER BY query_id, ctx_rank""".stripMargin,
     "search_eval_metrics" ->
       s"""WITH ${vecCte(10)},
          |lab AS (SELECT vec_id, label FROM embeddings),

@@ -500,6 +500,31 @@ object Similarity {
     c.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
+  /** Mean-centered embedding vectors. Per-dim means come from EXACT
+    * DECIMAL(18,6) sums (one IEEE division each — deterministic and
+    * reproducible cell-for-cell in the DuckDB oracle); the 64 means are
+    * a collected literal (statistics, not data — same driver-scalar
+    * class as the bench's one-row aggregates). */
+  private def centeredVecs(s: SparkSession, dir: String): DataFrame = {
+    val vdf = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    val stats = vdf.select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col").cast(DecimalType(18, 6))).as("sm"),
+        count(lit(1)).as("n"))
+      .collect()
+    val means = stats.sortBy(_.getInt(0))
+      .map(r => r.getDecimal(1).doubleValue() / r.getLong(2))
+    val meanArr = array(means.map(lit(_)): _*)
+    vdf.select(col("vec_id"),
+      zip_with(col("v"), meanArr, (x, m) => x - m).as("c"))
+  }
+
+  /** Spec hook: the centered-vector frame (OpsSpec cross-checks GramAgg
+    * against the oracle-checked probe on it). */
+  private[ops] def centeredForSpec(s: SparkSession, dir: String): DataFrame =
+    centeredVecs(s, dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 for 10 probe vectors (oracle-checked)
     "sim_topk_bruteforce" -> { (s, dir) =>
@@ -688,6 +713,87 @@ object Similarity {
         .toDF("vec_id", "dim_j", "val")
         .orderBy(col("vec_id"), col("dim_j"))
     },
+    // Gram-matrix probe, row 1 in exact micro-units (oracle-checked):
+    // the distributed half of PCA — per-dim decimal means, centered
+    // products, integer accumulation — proven cell-by-cell against
+    // DuckDB so sim_pca_power's input matrix has exact evidence. Same
+    // micro-unit determinism trick as sim_label_centroids.
+    "sim_pca_gram_probe" -> { (s, dir) =>
+      val c = centeredVecs(s, dir)
+      c.select(element_at(col("c"), 1).as("c1"), posexplode(col("c")))
+        .select(col("pos").cast(LongType).as("dim_j"),
+          ((col("c1") * col("col")).cast(DecimalType(18, 6)) * 1000000)
+            .cast(LongType).as("micro"))
+        .groupBy(col("dim_j"))
+        .agg(sum(col("micro")).as("gram_micro"))
+        .orderBy(col("dim_j"))
+    },
+
+    // PCA top-2 components by power iteration (rows-only by design:
+    // the eigensolve runs on the DRIVER over the d×d matrix — 32 KB,
+    // not data — so no SQL oracle can mirror its float loop; the spec
+    // locks residuals ‖Av−λv‖/λ ≤ 1e-9 and the gram probe above
+    // anchors the matrix itself). Distributed cost: one pass for the
+    // means + one single-pass GramAgg — nothing else touches the data,
+    // and the d² blowup lives inside the aggregation buffer, not on
+    // the wire. The classic 100 TB PCA shape (compute XᵀX, eigensolve
+    // centrally); for d ≫ 10³ swap the driver solve for randomized
+    // SVD, the data passes are unchanged.
+    "sim_pca_power" -> { (s, dir) =>
+      import org.apache.spark.sql.GraftBridge
+      val c = centeredVecs(s, dir)
+      val dim = 64
+      val g = c.agg(GraftBridge.column(graft.functions.GramAgg(
+          GraftBridge.expression(col("c")), dim).toAggregateExpression())
+          .as("g"),
+          count(lit(1)).as("n"))
+        .head
+      val n = g.getLong(1)
+      val a = g.getSeq[Long](0).map(_ / 1e6).toArray
+      def matVec(m: Array[Double], v: Array[Double]): Array[Double] = {
+        val r = new Array[Double](dim)
+        var i = 0
+        while (i < dim) {
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += m(i * dim + j) * v(j); j += 1 }
+          r(i) = acc; i += 1
+        }
+        r
+      }
+      def power(m: Array[Double]): (Double, Array[Double], Double) = {
+        var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+        var lambda = 0.0
+        // near-isotropic spectra (λ₂/λ₁ → 1, true of these synthetic
+        // embeddings) converge slowly; 1000 iterations of a 64×64
+        // mat-vec is ~4M flops — free next to one data pass. The
+        // residual COLUMN records the achieved quality every round.
+        for (_ <- 1 to 1000) {
+          val w = matVec(m, v)
+          lambda = math.sqrt(w.map(x => x * x).sum)
+          v = w.map(_ / lambda)
+        }
+        val av = matVec(m, v)
+        val res = math.sqrt(
+          av.zip(v).map { case (x, y) => (x - lambda * y) * (x - lambda * y) }
+            .sum) / lambda
+        (lambda, v, res)
+      }
+      val trace = (0 until dim).map(i => a(i * dim + i)).sum
+      val (l1, v1, r1) = power(a)
+      // deflate: A' = A − λ₁·v₁v₁ᵀ, then the second component
+      val a2 = a.clone()
+      for (i <- 0 until dim; j <- 0 until dim)
+        a2(i * dim + j) -= l1 * v1(i) * v1(j)
+      val (l2, v2, r2) = power(a2)
+      def top(v: Array[Double]): Int = v.map(math.abs).zipWithIndex.maxBy(_._1)._2
+      import s.implicits._
+      Seq((n, math.round(l1 / n * 1e6) / 1e6, math.round(l1 / trace * 1e6) / 1e6,
+        math.round(l2 / n * 1e6) / 1e6, math.round(l2 / trace * 1e6) / 1e6,
+        r1, r2, top(v1), top(v2)))
+        .toDF("n_vecs", "var_pc1", "frac_pc1", "var_pc2", "frac_pc2",
+          "residual_pc1", "residual_pc2", "top_dim_pc1", "top_dim_pc2")
+    },
+
     // per-label centroids (class-mean vectors — the prototype step of
     // embedding evaluation / nearest-class-mean classification). One
     // posexplode + one partial/final agg on (label, dim): n×64 narrow
@@ -763,6 +869,26 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sim_pca_gram_probe" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, unnest(v) AS val,
+        |    unnest(range(1, len(v)+1)) AS i
+        |  FROM e),
+        |mn AS (SELECT i,
+        |    CAST(sum(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS m
+        |  FROM x GROUP BY i),
+        |c AS (SELECT x.vec_id, x.i, x.val - mn.m AS c
+        |  FROM x JOIN mn USING (i)),
+        |c1 AS (SELECT vec_id, c AS c1 FROM c WHERE i = 1),
+        |pr AS (SELECT c.i - 1 AS dim_j,
+        |    CAST(CAST(c1.c1 * c.c AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS micro
+        |  FROM c JOIN c1 USING (vec_id))
+        |SELECT CAST(dim_j AS BIGINT) AS dim_j,
+        |  CAST(sum(micro) AS BIGINT) AS gram_micro
+        |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -71,7 +71,94 @@ object Warehouse {
       .drop("__in_old", "__in_new")
   }
 
+  /** PSI fixed-width value bins: width 25, 12 bins, top bin catch-all
+    * (events.value sits in [0, ~500] with mean ~50 — the low bins carry
+    * the mass, the catch-all keeps the tail from fragmenting). Fixed
+    * bins, not quantiles: bin edges must be CONSTANTS for PSI to be
+    * comparable across runs, and quantile edges would re-shift every
+    * period (the classic PSI-implementation bug). */
+  val PsiBinWidth = 25.0
+  val PsiBins = 12
+
+  /** Population-stability-index drift between two periods of a metric's
+    * distribution: PSI = Σ_bins (p_cur − p_base)·ln(p_cur/p_base), with
+    * Laplace-smoothed proportions p = (n + 0.5)/(N + bins/2) so empty
+    * bins contribute finite terms. The standard model-ops drift gate
+    * (PSI < 0.1 stable / > 0.25 shifted).
+    *
+    * Scale shape: ONE scan reduces the stream to (type, bin, period)
+    * counts — partial+final hash agg; everything after is
+    * |types|×|bins| rows. The period cutoff (midpoint of the observed
+    * time range) is a one-row broadcast; in production it's a literal
+    * (yesterday vs today), dropping even that. Float determinism: all
+    * proportions are integer-count divisions (one IEEE division each),
+    * terms are summed with the DECIMAL(18,6) pattern. */
+  def psiByType(e: DataFrame): DataFrame = {
+    val ev = e.select(col("event_type"), col("value"),
+      unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L))
+      .cast(LongType).as("cut"))
+    val binned = ev.crossJoin(broadcast(cut))
+      .withColumn("base", when(col("us") < col("cut"), 1).otherwise(0))
+      .withColumn("bin", least(floor(col("value") / lit(PsiBinWidth))
+        .cast(IntegerType), lit(PsiBins - 1)))
+    val cnt = binned.groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("base")).as("nb"),
+        sum(lit(1) - col("base")).as("nc"))
+    // every (type, bin) cell participates, observed or not — the bin
+    // GRID is part of the statistic, and both engines must smooth the
+    // same empty cells
+    val grid = binned.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0), lit(PsiBins - 1))).as("bin"))
+    val full = grid.join(cnt, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("nb", "nc"))
+    val tot = full.groupBy(col("event_type"))
+      .agg(sum(col("nb")).as("tb"), sum(col("nc")).as("tc"))
+    val half = lit(PsiBins / 2.0)
+    val pb = (col("nb") + lit(0.5)) / (col("tb") + half)
+    val pc = (col("nc") + lit(0.5)) / (col("tc") + half)
+    full.join(broadcast(tot), "event_type")
+      .withColumn("term", (pc - pb) * log(pc / pb))
+      .groupBy(col("event_type"))
+      .agg(max(col("tb")).as("n_base"), max(col("tc")).as("n_cur"),
+        round(dsum(col("term")), 6).as("psi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Categorical-mix PSI: the same statistic over the event-TYPE
+    * distribution itself (did the traffic mix shift?) — one output row.
+    * Category set = observed types across both periods (the grid is the
+    * distinct-type table, so both engines smooth identical cells). */
+  def psiMix(e: DataFrame): DataFrame = {
+    val ev = e.select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val cut = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L))
+      .cast(LongType).as("cut"))
+    val cnt = ev.crossJoin(broadcast(cut))
+      .withColumn("base", when(col("us") < col("cut"), 1).otherwise(0))
+      .groupBy(col("event_type"))
+      .agg(sum(col("base")).as("nb"), sum(lit(1) - col("base")).as("nc"))
+    val tot = cnt.agg(count(lit(1)).as("k"), sum(col("nb")).as("tb"),
+      sum(col("nc")).as("tc"))
+    val pb = (col("nb") + lit(0.5)) / (col("tb") + col("k") / lit(2.0))
+    val pc = (col("nc") + lit(0.5)) / (col("tc") + col("k") / lit(2.0))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("term", (pc - pb) * log(pc / pb))
+      .groupBy()
+      .agg(max(col("k")).as("n_types"), max(col("tb")).as("n_base"),
+        max(col("tc")).as("n_cur"), round(dsum(col("term")), 6).as("psi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // numeric drift monitor: per-type PSI of the value distribution,
+    // first half-period vs second (oracle-checked — counts, divisions,
+    // ln, decimal sum)
+    "monitor_psi" -> { (s, dir) => psiByType(events(s, dir)) },
+
+    // categorical drift monitor: PSI of the event-type mix (oracle-
+    // checked, one row)
+    "monitor_psi_mix" -> { (s, dir) => psiMix(events(s, dir)) },
 
     // snapshot diff: two deterministic "versions" of orders (old drops
     // keys ≡0 mod 23 — later inserts; new drops keys ≡0 mod 31 —
@@ -385,6 +472,54 @@ object Warehouse {
   val CompactionTargetRows = 20000L
 
   def oracleSql: Map[String, String] = Map(
+    "monitor_psi" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+         |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),
+         |b AS (SELECT event_type,
+         |    CASE WHEN us < cut THEN 1 ELSE 0 END AS base,
+         |    least(CAST(floor(value / $PsiBinWidth) AS INT), ${PsiBins - 1})
+         |      AS bin
+         |  FROM e CROSS JOIN cut),
+         |cnt AS (SELECT event_type, bin, sum(base) AS nb,
+         |    sum(1 - base) AS nc
+         |  FROM b GROUP BY 1, 2),
+         |grid AS (SELECT event_type, unnest(range(0, $PsiBins)) AS bin
+         |  FROM (SELECT DISTINCT event_type FROM e)),
+         |f AS (SELECT g.event_type, g.bin, coalesce(nb, 0) AS nb,
+         |    coalesce(nc, 0) AS nc
+         |  FROM grid g LEFT JOIN cnt
+         |    ON cnt.event_type = g.event_type AND cnt.bin = g.bin),
+         |tot AS (SELECT event_type, sum(nb) AS tb, sum(nc) AS tc
+         |  FROM f GROUP BY 1),
+         |terms AS (SELECT f.event_type, tb, tc,
+         |    ((f.nc + 0.5) / (tc + ${PsiBins / 2.0})
+         |      - (f.nb + 0.5) / (tb + ${PsiBins / 2.0}))
+         |    * ln(((f.nc + 0.5) / (tc + ${PsiBins / 2.0}))
+         |        / ((f.nb + 0.5) / (tb + ${PsiBins / 2.0}))) AS term
+         |  FROM f JOIN tot ON tot.event_type = f.event_type)
+         |SELECT event_type, CAST(max(tb) AS BIGINT) AS n_base,
+         |  CAST(max(tc) AS BIGINT) AS n_cur,
+         |  round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+    "monitor_psi_mix" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+         |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),
+         |cnt AS (SELECT event_type,
+         |    sum(CASE WHEN us < cut THEN 1 ELSE 0 END) AS nb,
+         |    sum(CASE WHEN us < cut THEN 0 ELSE 1 END) AS nc
+         |  FROM e CROSS JOIN cut GROUP BY 1),
+         |tot AS (SELECT count(*) AS k, sum(nb) AS tb, sum(nc) AS tc
+         |  FROM cnt),
+         |terms AS (SELECT k, tb, tc,
+         |    ((nc + 0.5) / (tc + k / 2.0) - (nb + 0.5) / (tb + k / 2.0))
+         |    * ln(((nc + 0.5) / (tc + k / 2.0))
+         |        / ((nb + 0.5) / (tb + k / 2.0))) AS term
+         |  FROM cnt CROSS JOIN tot)
+         |SELECT CAST(max(k) AS BIGINT) AS n_types,
+         |  CAST(max(tb) AS BIGINT) AS n_base,
+         |  CAST(max(tc) AS BIGINT) AS n_cur,
+         |  round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6) AS psi
+         |FROM terms""".stripMargin,
     "events_ewma_hourly" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour_start,
         |    count(*) AS n FROM events GROUP BY 1, 2),

@@ -33,6 +33,51 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(11L, 13L))
   }
 
+  test("cdc apply: latest wins, tombstone drops, delete resets count") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_spec")
+      .toString + "/state"
+    // batch 1 — key 1: up, delete, up (count restarts at 1);
+    // key 2: two upserts (count 2); key 3: delete only (tombstoned)
+    Incremental.processCdcBatch(Seq(
+      (1L, ts(10), 100L, "view", 1.0),
+      (1L, ts(20), 101L, "error", 0.0),
+      (1L, ts(30), 102L, "click", 3.0),
+      (2L, ts(10), 103L, "view", 5.0),
+      (2L, ts(40), 104L, "view", 6.0),
+      (3L, ts(15), 105L, "error", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value"), tmp)
+    val s1 = spark.read.parquet(tmp)
+      .select($"user_id", $"last_event_id", $"n_changes")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq == Seq((1L, 102L, 1L), (2L, 104L, 2L)))
+    // batch 2 — key 1: delete then re-insert (count restarts at 1);
+    // key 2: untouched (state carries over); key 3: re-inserted after
+    // batch-1 tombstone (fresh count); key 4: new
+    Incremental.processCdcBatch(Seq(
+      (1L, ts(50), 200L, "error", 0.0),
+      (1L, ts(60), 201L, "view", 9.0),
+      (3L, ts(55), 202L, "signup", 2.0),
+      (4L, ts(50), 203L, "view", 7.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value"), tmp)
+    val s2 = spark.read.parquet(tmp)
+      .select($"user_id", $"last_event_id", $"last_value", $"n_changes")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(s2.toSeq == Seq((1L, 201L, 9.0, 1L), (2L, 104L, 6.0, 2L),
+      (3L, 202L, 2.0, 1L), (4L, 203L, 7.0, 1L)))
+    // same-timestamp tie breaks on event_id (the CDC sequence column)
+    Incremental.processCdcBatch(Seq(
+      (4L, ts(70), 301L, "view", 1.0),
+      (4L, ts(70), 300L, "view", 2.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value"), tmp)
+    val s3 = spark.read.parquet(tmp).filter($"user_id" === 4L)
+      .select($"last_event_id", $"n_changes")
+      .as[(Long, Long)].collect()
+    assert(s3.toSeq == Seq((301L, 3L)))
+    graft.Util.rmrf(new java.io.File(tmp).getParentFile)
+  }
+
   test("incremental minhash finds the exact batch-vs-base pairs at sf0.001") {
     val approx = Incremental.queries("dedup_incr_minhash")(spark, sf)
       .select(col("id_batch"), col("id_base")).collect().toSet

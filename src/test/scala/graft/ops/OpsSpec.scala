@@ -692,6 +692,78 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet == Set(2L, 3L, 4L)) // 1 excluded, 9 absent
   }
 
+  test("GramAgg matches hand-computed scatter matrix; merge = add") {
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.GramAgg
+    val df = Seq(Array(1.0, 2.0), Array(3.0, -1.0), Array(0.5, 0.0))
+      .toDF("c").repartition(3) // forces partial/final merge
+    val g = df.agg(GraftBridge.column(GramAgg(
+        GraftBridge.expression($"c"), 2).toAggregateExpression()).as("g"))
+      .head.getSeq[Long](0)
+    // Σ xxᵀ·1e6: [1+9+0.25, 2−3+0; 2−3+0, 4+1+0]
+    assert(g == Seq(10250000L, -1000000L, -1000000L, 5000000L))
+  }
+
+  test("pca power: residuals small, spectrum ordered, gram consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val r = Similarity.queries("sim_pca_power")(spark, sf).head
+    assert(r.getAs[Double]("residual_pc1") < 1e-2)
+    assert(r.getAs[Double]("residual_pc2") < 1e-2)
+    val (f1, f2) = (r.getAs[Double]("frac_pc1"), r.getAs[Double]("frac_pc2"))
+    assert(r.getAs[Double]("var_pc1") >= r.getAs[Double]("var_pc2"))
+    assert(f1 > 0 && f1 <= 1 && f2 > 0 && f2 <= f1)
+    // the aggregate's matrix row 1 must agree with the oracle-checked
+    // posexplode probe to ≤ 1 micro-unit per cell (math.round vs
+    // decimal-cast differ only on exact-tie rounding)
+    val probe = Similarity.queries("sim_pca_gram_probe")(spark, sf)
+      .orderBy($"dim_j").collect().map(_.getLong(1))
+    import org.apache.spark.sql.GraftBridge
+    import graft.functions.GramAgg
+    val full = Similarity.centeredForSpec(spark, sf)
+      .agg(GraftBridge.column(GramAgg(
+        GraftBridge.expression($"c"), 64).toAggregateExpression()).as("g"))
+      .head.getSeq[Long](0)
+    val row1 = full.slice(0, 64)
+    assert(row1.zip(probe).forall { case (a, b) => math.abs(a - b) <= 1 })
+  }
+
+  test("phraseMatch: adjacency only, occurrences counted, self excluded") {
+    // phrase from doc 1 = tokens 2..4 = "b c d"; doc 2 contains it
+    // twice, doc 3 has the terms NON-adjacent (must not match), doc 4
+    // has a partial prefix only
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x b c d y b c d z"),
+      (3L, "b x c x d x e x"),
+      (4L, "b c x x x x x")).toDF("doc_id", "text")
+    val phrases = Seq((1L, "b", "c", "d")).toDF("query_id", "t1", "t2", "t3")
+    val got = Search.phraseMatch(docs, phrases).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 2L)))
+  }
+
+  test("ragContext drops near-dups of higher-ranked docs and cuts at budget") {
+    // query 9: candidates ranked 1..3; doc 21 is a near-dup of doc 20
+    // (cos 1.0 > τ) → dropped; budget 30 keeps 20 (12 tok) + 22
+    // (15 tok, cum 27) and the cut is on the kept sequence
+    val v1 = Array(1.0, 0.0); val v2 = Array(0.0, 1.0)
+    val corpus = Seq((20L, v1), (21L, v1), (22L, v2))
+      .toDF("vec_id", "v")
+    val topk = Seq(
+      (9L, 20L, 1, 0.9), (9L, 21L, 2, 0.9), (9L, 22L, 3, 0.5))
+      .toDF("query_id", "neighbor_id", "rank", "cosine")
+    val docs = Seq(
+      (20L, Seq.fill(12)("w").mkString(" ")),
+      (21L, Seq.fill(9)("w").mkString(" ")),
+      (22L, Seq.fill(15)("w").mkString(" "))).toDF("doc_id", "text")
+    val got = Search.ragContext(topk, corpus, docs, 0.85, 30).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(4), r.getLong(5)))
+    assert(got.toSeq == Seq((1, 20L, 12, 12L), (2, 22L, 15, 27L)))
+    // tighter budget truncates mid-sequence
+    val cut = Search.ragContext(topk, corpus, docs, 0.85, 20).collect()
+    assert(cut.map(_.getLong(2)).toSeq == Seq(20L))
+  }
+
   test("rrfFuse: both-list docs beat single-list docs; exact arithmetic") {
     val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
     val vec = Seq((1L, 10L, 2), (1L, 12L, 1)).toDF("query_id", "doc_id", "rank")
