@@ -149,7 +149,50 @@ object Warehouse {
         max(col("tc")).as("n_cur"), round(dsum(col("term")), 6).as("psi"))
   }
 
+  /** k-anonymity threshold: a quasi-identifier group smaller than this
+    * is a re-identification risk (k = 5 is the conventional floor). */
+  val KAnon = 5
+
+  /** l-diversity floor: risky when a quasi-group carries fewer than
+    * this many distinct sensitive values. */
+  val LDiv = 3
+
+  /** Quasi-identifier projection of the event stream: (type,
+    * hour-of-day, value bucket) — the kind of coarse attributes an
+    * adversary can observe externally. Sensitive attribute = user_id. */
+  private def quasi(e: DataFrame): DataFrame =
+    e.select(col("event_type"), hour(col("ts")).as("hour"),
+      floor(col("value") / lit(50.0)).cast(IntegerType).as("vbin"),
+      col("user_id"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // k-anonymity audit: quasi-identifier groups with fewer than K
+    // members — each is a publishable-data re-identification risk.
+    // One partial+final hash agg over the quasi projection; at 100 TB
+    // the group table is |distinct quasi tuples| rows, never the
+    // stream. Oracle-checked (pure counting).
+    "privacy_k_anon" -> { (s, dir) =>
+      quasi(events(s, dir))
+        .groupBy(col("event_type"), col("hour"), col("vbin"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < KAnon)
+        .orderBy(col("event_type"), col("hour"), col("vbin"))
+    },
+
+    // l-diversity audit: quasi-groups whose sensitive attribute
+    // (user_id) takes fewer than L distinct values — k-anonymous
+    // groups can still leak when everyone in them shares the sensitive
+    // value (Machanavajjhala et al. 2007). Same single-agg shape, one
+    // COUNT DISTINCT per group. Oracle-checked.
+    "privacy_l_diversity" -> { (s, dir) =>
+      quasi(events(s, dir))
+        .groupBy(col("event_type"), col("hour"), col("vbin"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("l_distinct"))
+        .filter(col("l_distinct") < LDiv)
+        .orderBy(col("event_type"), col("hour"), col("vbin"))
+    },
 
     // numeric drift monitor: per-type PSI of the value distribution,
     // first half-period vs second (oracle-checked — counts, divisions,
@@ -472,6 +515,20 @@ object Warehouse {
   val CompactionTargetRows = 20000L
 
   def oracleSql: Map[String, String] = Map(
+    "privacy_k_anon" ->
+      s"""SELECT event_type, hour(ts) AS hour,
+         |  CAST(floor(value / 50.0) AS INT) AS vbin,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2, 3
+         |HAVING count(*) < $KAnon
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "privacy_l_diversity" ->
+      s"""SELECT event_type, hour(ts) AS hour,
+         |  CAST(floor(value / 50.0) AS INT) AS vbin,
+         |  count(*) AS n, count(DISTINCT user_id) AS l_distinct
+         |FROM events GROUP BY 1, 2, 3
+         |HAVING count(DISTINCT user_id) < $LDiv
+         |ORDER BY 1, 2, 3""".stripMargin,
     "monitor_psi" ->
       s"""WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
          |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM e),

@@ -31,6 +31,29 @@ object Sinks {
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
+    // dynamic partition pruning: a partitioned fact joined to a dim
+    // whose filter is on a NON-join column, so the optimizer cannot
+    // prune statically — it must plan a runtime `dynamicpruning`
+    // subquery that reads ONLY the partitions the filtered dim reaches
+    // (PlanSpec locks the plan node). At 100 TB this is the difference
+    // between scanning 5 partitions and 5000: the fact scan waits for
+    // the broadcast dim and prunes on its values. Oracle-checked — the
+    // filter (priority-group row count not divisible by 3) is
+    // deterministic pure counting.
+    "q_dpp_join" -> { (s, dir) =>
+      val out = tmp(dir, "orders_by_pri")
+      t(s, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("pri_cnt"))
+        .filter(col("pri_cnt") % 3 =!= 0)
+        .select(col("o_orderpriority"), col("pri_cnt"))
+      fact.join(broadcast(dim), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
     // codec control: zstd-compressed parquet roundtrip (the 100 TB
     // storage default trade: ~30% smaller than snappy, similar scan cost)
     "sink_zstd_roundtrip" -> { (s, dir) =>
@@ -97,6 +120,15 @@ object Sinks {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dpp_join" ->
+      """WITH dim AS (SELECT o_orderpriority, count(*) AS pri_cnt
+        |  FROM orders GROUP BY 1),
+        |sel AS (SELECT o_orderpriority FROM dim WHERE pri_cnt % 3 <> 0)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS total
+        |FROM orders o JOIN sel USING (o_orderpriority)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sink_partitioned_parquet" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE lang IN ('de', 'es') ORDER BY doc_id""".stripMargin,

@@ -79,6 +79,15 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("q_dpp_join: fact scan carries a runtime dynamicpruning filter") {
+    // the dim filter is on a non-join column, so static constraint
+    // propagation can't prune; the plan must show the partition filter
+    // as a dynamic-pruning subquery on the partitioned fact scan
+    val plan = formatted(q("q_dpp_join"))
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+  }
+
   test("bloom membership filter sits on the fact scan before the join") {
     val plan = formatted(q("q_bloom_pruned_join"))
     assert(plan.contains("graft_bloom_contains"), plan)
