@@ -54,7 +54,14 @@ object Bench {
     // round-7 additions: semantic contamination screen (persisted band
     // index probe — the batch-vs-index join at its production shape)
     // and frontier BFS over the blocked entity graph
-    "text_contamination_semantic", "graph_bfs_hops")
+    "text_contamination_semantic", "graph_bfs_hops",
+    // round-7 additions: RAG context assembly over the ANN candidates
+    // (retrieval + pairwise near-dup drop + budget pack), the
+    // streaming CDC state merge, Kneser-Ney LM scoring (4 corpus-wide
+    // count tables + broadcast joins), single-pass Gram PCA, and the
+    // PSI drift monitor's one-scan reduction
+    "search_rag_context_ann", "stream_cdc_upsert", "text_kneser_ney",
+    "sim_pca_power", "monitor_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
