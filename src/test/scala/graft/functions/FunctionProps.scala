@@ -83,4 +83,27 @@ object FunctionProps extends Properties("functions") {
       val merged = fill(xs).zip(fill(ys)).map { case (p, q) => p + q }
       merged.sameElements(fill(xs ++ ys))
     }
+
+  private val smallVec: Gen[Array[Double]] =
+    Gen.listOfN(3, Gen.choose(-10.0, 10.0)).map(_.toArray)
+
+  property("gram: split-and-merge == single pass == naive outer-product sum") =
+    forAll(Gen.listOf(smallVec), Gen.listOf(smallVec)) { (xs, ys) =>
+      val d = 3
+      def fold(vs: Seq[Array[Double]]): Array[Long] = {
+        val b = new Array[Long](d * d)
+        vs.foreach { v =>
+          for (i <- 0 until d; j <- 0 until d)
+            b(i * d + j) += math.round(v(i) * v(j) * 1e6)
+        }
+        b
+      }
+      val merged = fold(xs).zip(fold(ys)).map { case (p, q) => p + q }
+      val single = fold(xs ++ ys)
+      // merge-order invariance (the TypedImperativeAggregate contract)
+      // and symmetry of every resulting matrix
+      merged.sameElements(single) &&
+        (0 until d).forall(i => (0 until d).forall(j =>
+          single(i * d + j) == single(j * d + i)))
+    }
 }
