@@ -81,6 +81,16 @@ def main(src, out, copies=3):
     stack("customer",
           "SELECT c_custkey + {off} AS c_custkey, c_name, c_nationkey, "
           "c_acctbal, c_mktsegment FROM {src}")
+    # events: key-offset per copy (CDC/privacy keys stay copy-local);
+    # timestamps unchanged -> 3x event density in the same window, the
+    # realistic scale direction for a stream
+    stack("events",
+          "SELECT event_id + {off} AS event_id, ts, "
+          "user_id + {off} AS user_id, event_type, value, props FROM {src}")
+    stack("orders",
+          "SELECT o_orderkey + {off} AS o_orderkey, "
+          "o_custkey + {off} AS o_custkey, o_orderstatus, o_totalprice, "
+          "o_orderdate, o_orderpriority FROM {src}")
     con.execute(
         f"COPY (SELECT * FROM '{src}/nation.parquet') "
         f"TO '{out}/nation.parquet' (FORMAT PARQUET)")
