@@ -61,7 +61,7 @@ object Bench {
     // count tables + broadcast joins), single-pass Gram PCA, and the
     // PSI drift monitor's one-scan reduction
     "search_rag_context_ann", "stream_cdc_upsert", "text_kneser_ney",
-    "sim_pca_power", "monitor_psi")
+    "sim_pca_power", "monitor_psi", "search_phrase_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +86,16 @@ object Bench {
     // can't pressure the next one's executors.
     val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def run(name: String): Unit = SparkEntry.queries(name)(spark, sfDir).count()
-    def clear(): Unit = spark.catalog.clearCache()
+    // clearCache() drops catalog-cached relations but NOT localCheckpoint
+    // RDD blocks, which linger until their RDD is GC'd — the 3× probe's
+    // storage telemetry showed them accumulating to hundreds of MB
+    // across iterative-graph queries and pressuring later ones. Between
+    // bench queries every frame is dead, so force-unpersist is safe.
+    def clear(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // post-query storage telemetry: cached bytes still pinned after
     // clearCache() reveal a leaked persist; total/free executor storage
     // memory contextualizes an anomalous timing (external memory

@@ -322,6 +322,15 @@ object Incremental {
     * rows and vectors to the state tables. Same at-least-once restart
     * semantics as [[processBatch]] (re-appended survivors re-dedup to
     * exact duplicates). */
+  /** NOTE on `bits`: this is the PERSISTED index's band width — it must
+    * stay constant for the index's lifetime (probe buckets must match
+    * resident buckets), so unlike [[nearDupEmbeddingAgainstIndex]] it
+    * cannot be derived per call. Callers size it for the corpus the
+    * index will GROW TO ([[Dedup.adaptiveBits]](5, expectedN, 5000));
+    * the registered replays derive it once from the full replayed
+    * corpus. Left at the 5-bit tuned width past ~5k vectors, bucket
+    * occupancy grows linearly and candidate pairs quadratically — the
+    * 3× probe measured 5.9× runtime before this was exposed. */
   def processEmbeddingBatch(batch: DataFrame, indexDir: String,
       vecDir: String, outDir: String, batchId: Long, threshold: Double,
       tables: Int = 24, bits: Int = 5, dim: Int = 64): Unit = {
@@ -657,10 +666,13 @@ object Incremental {
         .select(col("vec_id").cast(LongType).as("id"),
           graft.functions.Vectors.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
+      // index width sized once for the full replayed corpus (identity
+      // ≤ 5k vectors, so every tuned recall/correctness number holds)
+      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 0),
-        idxDir, vecDir, outDir, 1L, 0.45)
+        idxDir, vecDir, outDir, 1L, 0.45, bits = bits)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 1),
-        idxDir, vecDir, outDir, 2L, 0.45)
+        idxDir, vecDir, outDir, 2L, 0.45, bits = bits)
       val out = s.read.parquet(outDir)
         .select(col("id"), col("batch_id"))
         .orderBy(col("id"))
@@ -723,8 +735,9 @@ object Incremental {
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
       val (b1, b2) = (vecs.filter(col("id") % 2 === 0),
         vecs.filter(col("id") % 2 === 1))
-      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, 0.45)
-      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, 0.45)
+      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
+      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, 0.45, bits = bits)
+      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, 0.45, bits = bits)
       val streamed = s.read.parquet(outDir)
         .select(col("id"), col("batch_id")).localCheckpoint()
       graft.Util.rmrf(new java.io.File(tmp))

@@ -122,15 +122,18 @@ object Multimodal {
     * `maxHamming ≤ bands − 1` the band join is a LOSSLESS candidate
     * filter (recall 1.0 — this query is oracle-checkable, unlike the
     * probabilistic LSH paths) and the exact bit_count verify keeps
-    * precision 1.0. Default 7×9-bit bands / threshold 3: lossless up
-    * to Hamming 6, and the widest bands 63 bits admit at that slack —
-    * 512 buckets/band vs 128 for the 9×7 split, cutting the quadratic
-    * per-bucket fan-out 4× at identical results (the 3× scale probe
-    * showed fixed-width banding is where super-linear cost hides). At
-    * larger corpora still, segment buckets further by cheap exact
-    * metadata (format, size band) — hash bits are capped at 63. */
+    * precision 1.0. Default 4×15-bit bands / threshold 3: losslessness
+    * needs only `threshold + 1` bands (3 flips damage ≤ 3 of 4 bands —
+    * flips landing in the 3 unbanded top bits damage none), so the
+    * minimal band count buys the widest bands: 32768 buckets/band vs
+    * 512 for the earlier 7×9 split — chance collisions effectively
+    * vanish and the banded row count drops 4/7, at identical results
+    * (the 3× scale probes kept showing band fan-out as where
+    * super-linear cost hides: 14.0 s → 5.8 s at 9×7→7×9, 5.9×
+    * growth ratio still at 7×9). At larger corpora still, segment
+    * buckets further by cheap exact metadata (format, size band). */
   def phashBandPairs(hashes: DataFrame, maxHamming: Int = 3,
-      bands: Int = 7): DataFrame = {
+      bands: Int = 4): DataFrame = {
     require(maxHamming <= bands - 1,
       s"band join is only lossless up to Hamming ${bands - 1} with $bands bands")
     val bits = PHashBits / bands
