@@ -101,6 +101,44 @@ object AsOf {
         .select(col("event_id"), col("user_id"), col("purchase_id"),
           col("purchase_ts"))
         .orderBy(col("event_id"))
+    },
+    // NEAREST as-of (sensor-alignment semantics: closest reference in
+    // EITHER direction, ties to the past) — composed from the same
+    // union-and-carry primitive run backward then forward, so it stays
+    // two sorts on the key with no range join; the pick is per-row
+    // arithmetic on the two carried timestamps
+    "q_asof_nearest" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val probe = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("neg_us", -col("us"))
+      val ref = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("pid"))
+        .select(col("user_id"), col("pid"), unix_micros(col("ts")).as("pus"))
+      val back = join(probe,
+        ref.select(col("user_id"), col("pid").as("b_id"),
+          col("pus").as("b_us"), col("pus").as("r_us")),
+        "user_id", "us", "r_us", Seq("b_id", "b_us"))
+      val both = join(back,
+        ref.select(col("user_id"), col("pid").as("f_id"),
+          col("pus").as("f_us"), (-col("pus")).as("r_neg_us")),
+        "user_id", "neg_us", "r_neg_us", Seq("f_id", "f_us"))
+      val dtB = col("us") - col("b_us")
+      val dtF = col("f_us") - col("us")
+      val pickBack = col("b_id").isNotNull &&
+        (col("f_id").isNull || dtB <= dtF)
+      both
+        .withColumn("purchase_id",
+          when(pickBack, col("b_id")).otherwise(col("f_id")))
+        .withColumn("direction",
+          when(col("purchase_id").isNull, lit(null).cast(StringType))
+            .when(pickBack, lit("backward")).otherwise(lit("forward")))
+        .withColumn("delta_us", when(pickBack, dtB).otherwise(dtF))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          col("direction"), col("delta_us"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -127,6 +165,30 @@ object AsOf {
         |SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_ts
         |FROM e ASOF LEFT JOIN p
         |  ON e.user_id = p.user_id AND e.us <= p.us
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH probe AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'error'),
+        |ref AS (
+        |  SELECT user_id, epoch_us(ts) AS pus, max(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT p.event_id, r.pid, abs(p.us - r.pus) AS adt,
+        |    CASE WHEN r.pus <= p.us THEN 0 ELSE 1 END AS fwd
+        |  FROM probe p JOIN ref r USING (user_id)),
+        |best AS (
+        |  SELECT event_id, pid, adt, fwd,
+        |    row_number() OVER (PARTITION BY event_id
+        |      ORDER BY adt, fwd) AS rk
+        |  FROM cand)
+        |SELECT p.event_id, p.user_id, b.pid AS purchase_id,
+        |  CASE WHEN b.pid IS NULL THEN NULL
+        |       WHEN b.fwd = 0 THEN 'backward' ELSE 'forward' END
+        |    AS direction,
+        |  b.adt AS delta_us
+        |FROM probe p LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        |  USING (event_id)
         |ORDER BY event_id""".stripMargin
   )
 }

@@ -194,6 +194,50 @@ object Warehouse {
         .orderBy(col("event_type"), col("hour"), col("vbin"))
     },
 
+    // Poisson-bootstrap confidence interval for the per-type mean —
+    // THE scalable CI recipe (Chamandy et al. 2012, "Estimating
+    // uncertainty for massive data streams"): resample weights are
+    // per-(row, replicate) Poisson(1) draws, so each replicate's mean
+    // is one weighted aggregate and no row ever needs to be sampled
+    // WITH replacement across the cluster. Here the draws are
+    // DETERMINISTIC — a two-hex-char md5 threshold ladder at the
+    // Poisson(1) cdf (0.368/0.736/0.920/0.981/0.996) — so the DuckDB
+    // oracle reproduces every weight and the whole interval is
+    // oracle-checked. B = 32 replicates; bounds = 2nd/31st order
+    // statistics (a ~94% interval). Scale shape: one explode ×32 into
+    // a (type, replicate) hash agg — partial+final, no shuffle beyond
+    // the |types|·B-row aggregate; the order statistics are a window
+    // over B rows per type.
+    "events_bootstrap_ci" -> { (s, dir) =>
+      val B = 32
+      val e = events(s, dir).select(col("event_type"), col("event_id"),
+        col("value"))
+      val drawn = e
+        .select(col("event_type"), col("event_id"), col("value"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("h",
+          substring(md5(concat_ws(":", col("event_id"), col("b"))), 1, 2))
+        .withColumn("w",
+          when(col("h") < "5e", 0).when(col("h") < "bc", 1)
+            .when(col("h") < "eb", 2).when(col("h") < "fb", 3)
+            .when(col("h") < "ff", 4).otherwise(5))
+      val means = drawn.groupBy(col("event_type"), col("b"))
+        .agg((dsum(col("w") * col("value")) /
+          sum(col("w"))).as("mean_b"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("mean_b"), col("b"))
+      val ranked = means.withColumn("rk", row_number().over(w))
+      val bounds = ranked.groupBy(col("event_type"))
+        .agg(round(max(when(col("rk") === 2, col("mean_b"))), 6).as("boot_lo"),
+          round(max(when(col("rk") === B - 1, col("mean_b"))), 6)
+            .as("boot_hi"))
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(davg(col("value")), 6).as("mean_exact"))
+        .join(bounds, "event_type")
+        .orderBy(col("event_type"))
+    },
+
     // numeric drift monitor: per-type PSI of the value distribution,
     // first half-period vs second (oracle-checked — counts, divisions,
     // ln, decimal sum)
@@ -515,6 +559,36 @@ object Warehouse {
   val CompactionTargetRows = 20000L
 
   def oracleSql: Map[String, String] = Map(
+    "events_bootstrap_ci" ->
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |d AS (SELECT event_type, value,
+        |    substr(md5(concat(event_id, ':', b)), 1, 2) AS h, b
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+        |wts AS (SELECT event_type, value, b,
+        |    CASE WHEN h < '5e' THEN 0 WHEN h < 'bc' THEN 1
+        |         WHEN h < 'eb' THEN 2 WHEN h < 'fb' THEN 3
+        |         WHEN h < 'ff' THEN 4 ELSE 5 END AS w
+        |  FROM d),
+        |m AS (SELECT event_type, b,
+        |    CAST(sum(CAST(w * value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / sum(w) AS mean_b
+        |  FROM wts GROUP BY 1, 2),
+        |r AS (SELECT event_type, mean_b,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY mean_b, b) AS rk
+        |  FROM m),
+        |bounds AS (SELECT event_type,
+        |    round(max(CASE WHEN rk = 2 THEN mean_b END), 6) AS boot_lo,
+        |    round(max(CASE WHEN rk = 31 THEN mean_b END), 6) AS boot_hi
+        |  FROM r GROUP BY 1),
+        |ex AS (SELECT event_type, count(*) AS n_events,
+        |    round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(value), 6) AS mean_exact
+        |  FROM e GROUP BY 1)
+        |SELECT ex.event_type, ex.n_events, ex.mean_exact,
+        |  bounds.boot_lo, bounds.boot_hi
+        |FROM ex JOIN bounds USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "privacy_k_anon" ->
       s"""SELECT event_type, hour(ts) AS hour,
          |  CAST(floor(value / 50.0) AS INT) AS vbin,
