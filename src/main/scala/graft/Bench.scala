@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Perf harness: runs the headline queries (the compute-heavy
@@ -61,7 +64,11 @@ object Bench {
     // count tables + broadcast joins), single-pass Gram PCA, and the
     // PSI drift monitor's one-scan reduction
     "search_rag_context_ann", "stream_cdc_upsert", "text_kneser_ney",
-    "sim_pca_power", "monitor_psi", "search_phrase_match")
+    "sim_pca_power", "monitor_psi", "search_phrase_match",
+    // round-7 additions: the one-pass d² moment matrix, the part-keyed
+    // Adamic–Adar wedge join, and PMI collocation mining (explode +
+    // vocab-bounded aggs + broadcast probability join)
+    "q_corr_matrix", "graph_adamic_adar", "text_pmi_bigrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -108,6 +115,23 @@ object Bench {
       val freeMb = st.map(_._2).sum / 1e6
       (math.round((maxMb - freeMb) * 10) / 10.0, math.round(freeMb * 10) / 10.0)
     }
+    // Per-query shuffle/spill telemetry ("measure, don't guess" for the
+    // plan dimension the wall clock hides): task-metric counters
+    // accumulated by a listener, snapshotted around each query's timed
+    // runs. A query whose time looks fine but whose shuffle bytes grew
+    // 10× is a scale regression the timing alone would miss at sf0.1.
+    val shufW = new AtomicLong; val shufR = new AtomicLong
+    val spill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      }
+    })
     // optional comma-separated subset (local iteration / extra scale
     // points — the driver sets only SPARK_GRAFT_SF_DIR)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -119,6 +143,7 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      val (w0, r0, sp0) = (shufW.get, shufR.get, spill.get)
       val times = if (!ok) Seq(-1.0) else {
         (1 to timedRuns).map { _ =>
           clear()
@@ -127,30 +152,40 @@ object Bench {
           math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
         }.sorted
       }
+      // per-timed-run averages so the number is comparable across
+      // timedRuns settings
+      val runs = math.max(timedRuns, 1)
+      val shufMb = math.round((shufW.get - w0) / 1e6 / runs * 10) / 10.0
+      val spillMb = math.round((spill.get - sp0) / 1e6 / runs * 10) / 10.0
       clear()
       val (usedMb, freeMb) = storageMb
       System.err.println(s"[bench] $name times=${times.mkString(",")} " +
+        s"shuffle_write_mb=$shufMb spill_mb=$spillMb " +
         s"storage_used_mb=$usedMb storage_free_mb=$freeMb")
       // a failed query reports -1 so it can never pass as a fast success
-      (name, times, usedMb)
+      (name, times, usedMb, shufMb, spillMb)
     }
-    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + ts(ts.size / 2) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, ts, _, _, _) =>
+      "\"" + k + "\":" + ts(ts.size / 2) }.mkString("{", ",", "}")
     // per-query raw spread [min, median, max] — three numbers that cost
     // nothing and let an anomalous official record self-diagnose
-    val spreads = results.map { case (k, ts, _) =>
+    val spreads = results.map { case (k, ts, _, _, _) =>
       "\"" + k + "\":[" + ts.head + "," + ts(ts.size / 2) + "," + ts.last + "]"
     }.mkString("{", ",", "}")
-    val leaked = results.map { case (k, _, m) => "\"" + k + "\":" + m }
+    val leaked = results.map { case (k, _, m, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, ts, _) => ts(ts.size / 2) }.sum
+    val shuffles = results.map { case (k, _, _, w, _) => "\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val spills = results.map { case (k, _, _, _, sp) => "\"" + k + "\":" + sp }
+      .mkString("{", ",", "}")
+    val total = results.map { case (_, ts, _, _, _) => ts(ts.size / 2) }.sum
     // The driver captures only the last ~2000 chars of this process's
     // output and parses the JSON line from within that window — round
     // 6's line, grown past 2000 chars by the spread and storage maps,
     // fell out of the window and the official record went null. So the
     // stdout line stays in the compact round-5 shape (≈1.4 KB at 41
     // queries) and the full diagnostics go to a repo artifact + stderr.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","spread":$spreads,"storage_used_mb_after":$leaked}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"spill_mb":$spills}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>

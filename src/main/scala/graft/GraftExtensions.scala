@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingleHashes, CharShingles, DotProduct, GramAgg, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
+import graft.functions.{CharShingleHashes, CharShingles, DotProduct, GramAgg, JaroWinkler, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
 
 /** The custom-expression SQL surface, shared by both registration
   * paths: cluster-wide via `--conf spark.sql.extensions=graft.
@@ -79,6 +79,10 @@ object GraftFunctions {
     ("graft_gram", classOf[GramAgg], exprs => {
       two("graft_gram", exprs)
       GramAgg(exprs(0), intArg("graft_gram", exprs, 1))
+    }),
+    ("graft_jaro_winkler", classOf[JaroWinkler], exprs => {
+      two("graft_jaro_winkler", exprs)
+      JaroWinkler(exprs(0), exprs(1))
     }))
 }
 

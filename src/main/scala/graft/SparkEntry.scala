@@ -37,6 +37,7 @@ object SparkEntry {
       graft.ops.Scale.queries ++
       graft.ops.Linkage.queries ++
       graft.ops.Warehouse.queries ++
+      graft.ops.Stats.queries ++
       graft.ops.Typed.queries ++
       graft.sources.Sinks.queries ++
       graft.streaming.EventStream.queries
@@ -61,6 +62,7 @@ object SparkEntry {
       graft.ops.Scale.oracleSql ++
       graft.ops.Linkage.oracleSql ++
       graft.ops.Warehouse.oracleSql ++
+      graft.ops.Stats.oracleSql ++
       graft.ops.Typed.oracleSql ++
       graft.sources.Sinks.oracleSql ++
       graft.streaming.EventStream.oracleSql

@@ -8,8 +8,9 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // optional third arg (local iteration only — the driver passes two):
-    // run just the queries whose name contains the substring
-    val only = args.drop(2).headOption
+    // run just the queries whose name contains any of the
+    // comma-separated substrings
+    val only = args.drop(2).headOption.map(_.split(",").toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +32,7 @@ object Verify {
     // failure, never as silent absence of evidence).
     writeOracles(outDir)
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro–Winkler string similarity (Winkler 1990) as a codegen'd
+  * expression — the record-linkage scorer that grades transpositions
+  * and shared prefixes gently where Levenshtein charges full price
+  * (MARTHA/MARHTA = 0.961 vs edit distance 2). Semantics match
+  * DuckDB's `jaro_winkler_similarity` exactly (empirically pinned —
+  * see JaroSpec): either side empty → 0.0; match window
+  * max(l1,l2)/2 − 1; transpositions = half the mismatched matched
+  * positions; Winkler prefix bonus (≤4 chars, scale 0.1) applied only
+  * when jaro > 0.7. Single pass per pair, two small bitset buffers,
+  * no allocation beyond them — safe in a blocked fuzzy join's inner
+  * loop. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler requires (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinkler.compute(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaroWinkler.compute(" +
+        s"$a.toString(), $b.toString());")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinkler {
+  final val PrefixScale = 0.1
+  final val BoostThreshold = 0.7
+  final val MaxPrefix = 4
+
+  def compute(s1: String, s2: String): Double = {
+    val l1 = s1.length
+    val l2 = s2.length
+    if (l1 == 0 || l2 == 0) return 0.0
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val matched1 = new Array[Boolean](l1)
+    val matched2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(l2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched1(i) = true; matched2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: walk both matched sequences in order
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (matched1(i)) {
+        while (!matched2(j)) j += 1
+        if (s1.charAt(i) != s2.charAt(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / l1 + md / l2 + (md - t / 2) / md) / 3.0
+    if (jaro <= BoostThreshold) return jaro
+    var p = 0
+    val maxP = math.min(MaxPrefix, math.min(l1, l2))
+    while (p < maxP && s1.charAt(p) == s2.charAt(p)) p += 1
+    jaro + p * PrefixScale * (1.0 - jaro)
+  }
+}

@@ -60,6 +60,11 @@ object Corpus {
        |  (instr('0123456789abcdef', substring(md5($g), 4, 1)) - 1))
        |  * 2654435761 % 2001 - 1000)""".stripMargin
 
+  /** Minimum bigram support for PMI collocations — kills the
+    * low-count pairs whose PMI is pure noise (PMI's classic failure
+    * mode: a 1-count pair of two 1-count words maxes the score). */
+  val PmiMinCount = 5L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // fastText-style linear quality classifier INFERENCE: hashed
@@ -369,6 +374,44 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
+    // PMI collocation mining (Church & Hanks 1990): the top bigrams by
+    // pointwise mutual information ln(p(ab)/(p(a)p(b))) with a min-count
+    // support filter — the phrase-vocabulary step ("new york", "machine
+    // learning") a tokenizer-building pipeline runs before BPE. Shape:
+    // one token explode feeding two vocab-bounded hash aggs (unigram +
+    // bigram counts); the probability join is bigram-table-sized with
+    // the unigram side broadcast; top-50 by rounded PMI with full
+    // tie-break → TakeOrderedAndProject. Counts are integers, PMI is a
+    // single per-row ln over their ratios.
+    "text_pmi_bigrams" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+      val uni = toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val uniTot = uni.agg(sum(col("c")).as("nt"))
+      val pairs = toks.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val big = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_ab")).filter(col("c_ab") >= PmiMinCount)
+      val bigTot = pairs.agg(count(lit(1)).as("nb"))
+      big.crossJoin(broadcast(bigTot))
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_a"))),
+          "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_b"))),
+          "w2")
+        .crossJoin(broadcast(uniTot))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round(log((col("c_ab").cast(DoubleType) / col("nb")) /
+            ((col("c_a").cast(DoubleType) / col("nt")) *
+             (col("c_b").cast(DoubleType) / col("nt")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+
     // per-source quota downsampling: cap each source at its 10 best docs
     // by distinct-token ratio (over-represented-domain rebalancing).
     // One shuffle on source + a bounded window — no global sort.
@@ -606,6 +649,28 @@ object Corpus {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_pmi_bigrams" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |uni AS (SELECT unnest(toks) AS w FROM d),
+         |cu AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         |nt AS (SELECT count(*) AS nt FROM uni),
+         |p0 AS (SELECT toks, unnest(range(1, len(toks))) AS i
+         |  FROM d WHERE len(toks) >= 2),
+         |p AS (SELECT toks[i] AS w1, toks[i+1] AS w2 FROM p0),
+         |cb AS (SELECT w1, w2, count(*) AS c_ab FROM p
+         |  GROUP BY 1, 2 HAVING count(*) >= $PmiMinCount),
+         |nb AS (SELECT count(*) AS nb FROM p)
+         |SELECT w1, w2, c_ab,
+         |  round(ln((CAST(c_ab AS DOUBLE) / nb) /
+         |    ((CAST(ca.c AS DOUBLE) / nt) * (CAST(cbc.c AS DOUBLE) / nt))),
+         |    6) AS pmi
+         |FROM cb CROSS JOIN nb
+         |  JOIN cu ca ON ca.w = cb.w1
+         |  JOIN cu cbc ON cbc.w = cb.w2
+         |  CROSS JOIN nt
+         |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "text_quality_classifier" -> {
       val w =
         """(((instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1) * 4096 +

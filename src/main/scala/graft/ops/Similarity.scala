@@ -532,6 +532,46 @@ object Similarity {
       bruteForceTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
     },
+    // Matryoshka truncation eval (Kusupati et al. 2022): how much
+    // top-1 retrieval quality survives keeping only the first k of 64
+    // dims — the measurement that licenses shipping 8× cheaper vectors.
+    // Per probe × k ∈ {8,16,32,64}: the truncated-metric argmax
+    // neighbor, its agreement with the full-metric pick, and its
+    // FULL-metric cosine (the honest quality of the cheap pick). Runs
+    // on the bounded probe sample by design (eval, not serving):
+    // probes broadcast against one corpus scan, the per-(probe, k)
+    // argmax is a bounded window, output is |k| rows. Strict-fold
+    // cosines on both engines → identical doubles → identical argmax
+    // with the (cos DESC, id) tie-break.
+    "sim_matryoshka_eval" -> { (s, dir) =>
+      val c = corpus(s, dir)
+      val base = c.crossJoin(broadcast(probes(c)))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos_full", Vectors.cosine(col("qv"), col("v")))
+      val exploded = base.select(col("query_id"), col("vec_id"),
+          col("cos_full"), col("qv"), col("v"),
+          explode(array(Seq(8, 16, 32, 64).map(lit): _*)).as("k"))
+        .withColumn("cos_k", Vectors.cosine(
+          slice(col("qv"), lit(1), col("k")),
+          slice(col("v"), lit(1), col("k"))))
+      val w = Window.partitionBy(col("query_id"), col("k"))
+        .orderBy(col("cos_k").desc, col("vec_id"))
+      val picks = exploded.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("k"), col("vec_id").as("pick_id"),
+          col("cos_full").as("pick_cos_full"))
+      val full = picks.filter(col("k") === 64)
+        .select(col("query_id"), col("pick_id").as("full_pick"))
+      picks.join(full, "query_id")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_probes"),
+          round(sum((col("pick_id") === col("full_pick"))
+            .cast(IntegerType)).cast(DoubleType) / count(lit(1)), 6)
+            .as("top1_agreement"),
+          round(davg(col("pick_cos_full")), 6).as("mean_full_cosine"))
+        .orderBy(col("k"))
+    },
+
     // ANN via random-hyperplane LSH + exact re-rank (recall < 1 by
     // design → not oracle-expressible; rows-only check)
     "sim_topk_lsh" -> { (s, dir) =>
@@ -906,6 +946,37 @@ object Similarity {
         |FROM s
         |QUALIFY rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "sim_matryoshka_eval" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |base AS (
+        |  SELECT query_id, vec_id, qv, v,
+        |    list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(v)+1), i -> v[i]*v[i]), (x,y) -> x+y))) AS cos_full
+        |  FROM q JOIN e ON vec_id <> query_id),
+        |ex AS (
+        |  SELECT query_id, vec_id, cos_full, k,
+        |    list_reduce(list_transform(range(1, k+1), i -> qv[i]*v[i]), (x,y) -> x+y)
+        |    / (sqrt(list_reduce(list_transform(range(1, k+1), i -> qv[i]*qv[i]), (x,y) -> x+y))
+        |     * sqrt(list_reduce(list_transform(range(1, k+1), i -> v[i]*v[i]), (x,y) -> x+y))) AS cos_k
+        |  FROM base CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS k)),
+        |picks AS (
+        |  SELECT query_id, k, vec_id AS pick_id, cos_full AS pick_cos_full
+        |  FROM ex
+        |  QUALIFY row_number() OVER (PARTITION BY query_id, k
+        |    ORDER BY cos_k DESC, vec_id) = 1),
+        |fullpick AS (SELECT query_id, pick_id AS full_pick FROM picks
+        |  WHERE k = 64)
+        |SELECT k, count(*) AS n_probes,
+        |  round(CAST(sum(CASE WHEN pick_id = full_pick THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS top1_agreement,
+        |  round(CAST(sum(CAST(pick_cos_full AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(pick_cos_full), 6) AS mean_full_cosine
+        |FROM picks JOIN fullpick USING (query_id)
+        |GROUP BY k ORDER BY k""".stripMargin,
     "sim_knn_label_acc" ->
       """WITH e AS (SELECT vec_id, label,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

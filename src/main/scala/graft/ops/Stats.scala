@@ -1,0 +1,353 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Q._
+
+/** Experimentation & statistical-inference queries: the A/B-test
+  * readout, distribution-independence and correlation diagnostics, and
+  * classical time-series statistics (autocorrelation, CUSUM changepoint,
+  * seasonal-naive backtest) over the event stream.
+  *
+  * The reference engine (a 642-line ingest tool) has none of this —
+  * these extend the analytics surface a warehouse user expects next to
+  * the drift monitors (monitor_psi) and anomaly flags
+  * (events_anomaly_zscore) already registered.
+  *
+  * Determinism contract (shared with the rest of the surface): every
+  * data-sized reduction goes through integer counts or the
+  * DECIMAL(18,6) order-independent sum ([[Q.dsum]]); doubles appear
+  * only in per-row arithmetic or in post-aggregate formulas over
+  * already-exact sums, evaluated by the same expression tree in the
+  * DuckDB oracle; results round to 6 dp with a trailing unique-key
+  * orderBy.
+  *
+  * 100 TB shapes: every query here reduces the stream to a bounded
+  * frame (per-(type, arm) moments, per-(type, hour) counts, a 15-cell
+  * moment vector) in ONE partial+final hash aggregate before any
+  * window/join runs — the windows and self-joins only ever touch
+  * metadata-sized tables (|types|, |hours|, |lags| rows).
+  */
+object Stats {
+
+  /** Hourly event counts per type — the shared one-shuffle reduction. */
+  private def hourlyByType(e: DataFrame): DataFrame =
+    e.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A/B experiment readout: users split into two arms by id parity
+    // (the deterministic stand-in for an assignment hash), Welch's
+    // unequal-variance t statistic + Welch–Satterthwaite df on the
+    // value metric per event type. One partial+final agg over
+    // (type, arm) — n, Σv, Σv² in exact decimals — then a 2-row pivot
+    // per type; at 100 TB nothing after the first agg sees data rows.
+    // Variance via the sum-of-squares identity (single pass, no second
+    // scan), divisions and sqrt in DOUBLE over the exact sums, same
+    // expression tree in the oracle.
+    "ab_welch_ttest" -> { (s, dir) =>
+      val moments = events(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("vr",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      def arm(i: Int, c: String) = max(when(col("arm") === i, col(c)))
+      moments.groupBy(col("event_type"))
+        .agg(arm(0, "n").as("n_a"), arm(1, "n").as("n_b"),
+          arm(0, "mean").as("m_a"), arm(1, "mean").as("m_b"),
+          arm(0, "vr").as("v_a"), arm(1, "vr").as("v_b"))
+        .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("m_a"), 6).as("mean_a"),
+          round(col("m_b"), 6).as("mean_b"),
+          round((col("m_a") - col("m_b")) / sqrt(col("se2")), 6).as("t_stat"),
+          round(col("se2") * col("se2") /
+            (col("v_a") * col("v_a") / (col("n_a") * col("n_a") *
+              (col("n_a") - 1)) +
+             col("v_b") * col("v_b") / (col("n_b") * col("n_b") *
+              (col("n_b") - 1))), 6).as("welch_df"))
+        .orderBy(col("event_type"))
+    },
+
+    // Chi-square test of independence between assignment arm and event
+    // type mix (the guardrail check that an experiment's traffic split
+    // is unbiased): observed counts from one hash agg, expected from
+    // the margins, χ² = Σ(o−e)²/e over the |types|×2 grid. Counts are
+    // integers, each cell's contribution is per-row double arithmetic
+    // decimal-cast before the final (grid-sized) sum.
+    "ab_chi_square" -> { (s, dir) =>
+      val cells = events(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("o"))
+      val wT = Window.partitionBy(col("event_type"))
+      val wA = Window.partitionBy(col("arm"))
+      cells
+        .withColumn("row_tot", sum(col("o")).over(wT))
+        .withColumn("col_tot", sum(col("o")).over(wA))
+        .withColumn("tot", sum(col("o")).over(Window.partitionBy()))
+        .withColumn("e",
+          col("row_tot").cast(DoubleType) * col("col_tot") / col("tot"))
+        .agg(count(lit(1)).as("n_cells"),
+          (countDistinct(col("event_type")) - 1).as("dof"),
+          round(dsum((col("o") - col("e")) * (col("o") - col("e")) /
+            col("e")), 6).as("chi2"))
+    },
+
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns in ONE aggregate pass: 4 sums + 4 sums-of-squares +
+    // 6 cross-products, all exact decimals, then the 6 coefficients
+    // unpacked by explode over an inline array — the d² moment vector
+    // is one row, so at 100 TB this is a single partial+final agg and
+    // nothing else. Covariance form (sp/n − m_i·m_j) keeps magnitudes
+    // small enough that the DOUBLE arithmetic is exact-sum-derived on
+    // both engines.
+    "q_corr_matrix" -> { (s, dir) =>
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = t(s, dir, "lineitem")
+      val aggs =
+        cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+        (for { i <- cols.indices; j <- cols.indices if i < j }
+          yield dsum(col(cols(i)) * col(cols(j)))
+            .as(s"sp_${cols(i)}_${cols(j)}"))
+      val m = li.agg(count(lit(1)).as("n"), aggs: _*)
+      val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield {
+          val (a, b) = (cols(i), cols(j))
+          val n = col("n").cast(DoubleType)
+          val (ma, mb) = (col(s"s_$a") / n, col(s"s_$b") / n)
+          val cov = col(s"sp_${a}_$b") / n - ma * mb
+          val va = col(s"ss_$a") / n - ma * ma
+          val vb = col(s"ss_$b") / n - mb * mb
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            round(cov / sqrt(va * vb), 6).as("corr"))
+        }
+      m.select(col("n"), explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_a"), col("p.col_b"), col("p.corr"), col("n"))
+        .orderBy(col("col_a"), col("col_b"))
+    },
+
+    // Autocorrelation of the global hourly event-count series at lags
+    // 1..12 — the periodicity diagnostic that motivates the seasonal
+    // models. The stream reduces to |hours| rows first; the lag join is
+    // an integer equi-join on epoch hours (robust to gaps — a missing
+    // hour drops its pairs instead of silently shifting the series);
+    // ACF_k is assembled from INTEGER pair sums (Σx_t·x_{t+k}, Σx_t,
+    // Σx_{t+k}, c_k) and the full-series moments, so the only doubles
+    // are the final per-lag formula, identical cross-engine.
+    "events_acf_hourly" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"))
+        .select((unix_timestamp(col("hour_start")) / 3600L)
+          .cast(LongType).as("h"), col("n"))
+      val base = hourly.agg(count(lit(1)).as("nh"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      val lagged = hourly
+        .select(col("h"), col("n"), explode(sequence(lit(1), lit(12)))
+          .as("lag"))
+        .join(hourly.select(col("h").as("h2"), col("n").as("n2")),
+          col("h2") === col("h") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("c_k"), sum(col("n") * col("n2")).as("sxy"),
+          sum(col("n")).as("sx"), sum(col("n2")).as("sy"))
+      lagged.crossJoin(broadcast(base))
+        .withColumn("mu", col("s").cast(DoubleType) / col("nh"))
+        .withColumn("den",
+          col("ss").cast(DoubleType) - col("s").cast(DoubleType) *
+            col("s") / col("nh"))
+        .select(col("lag"), col("c_k").as("n_pairs"),
+          round((col("sxy") - col("mu") * (col("sx") + col("sy")) +
+            col("c_k") * col("mu") * col("mu")) / col("den"), 6).as("acf"))
+        .orderBy(col("lag"))
+    },
+
+    // CUSUM mean-shift changepoint per event type (Page 1954): the
+    // cumulative sum of deviations S_k = Σ_{i≤k} n_i − k·μ over the
+    // hourly series, changepoint = argmax |S_k| (earliest hour on
+    // ties). The integer prefix sum Σn_i comes from a window over the
+    // already-aggregated |hours|-sized series, μ = T/H from exact
+    // totals — S_k is integer-minus-double, fully order-independent.
+    // before/after means from the same prefix sums.
+    "events_cusum_changepoint" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      val scored = hourlyByType(events(s, dir))
+        .withColumn("k", row_number().over(w))
+        .withColumn("cum", sum(col("n")).over(w))
+        .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("nh", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .withColumn("s_abs", abs(col("cum").cast(DoubleType) -
+          col("k") * col("tot").cast(DoubleType) / col("nh")))
+      val pick = Window.partitionBy(col("event_type"))
+        .orderBy(col("s_abs").desc, col("hour_start"))
+      scored.withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1 && col("k") < col("nh"))
+        .select(col("event_type"), col("hour_start").as("cp_hour"),
+          col("nh").as("n_hours"), round(col("s_abs"), 6).as("cusum_abs"),
+          round(col("cum").cast(DoubleType) / col("k"), 6).as("mean_before"),
+          round((col("tot") - col("cum")).cast(DoubleType) /
+            (col("nh") - col("k")), 6).as("mean_after"))
+        .orderBy(col("event_type"))
+    },
+
+    // Seasonal-naive forecast backtest per event type: forecast(t) =
+    // count(t − 24 h) vs the persistence baseline forecast(t) =
+    // count(t − 1 h), scored by MAPE and sMAPE over every hour whose
+    // reference hour exists (integer epoch-hour equi-joins — gaps drop
+    // pairs, never shift them). The per-type series is bounded by the
+    // time window, so both joins and the final agg are metadata-sized;
+    // per-row APE is double, means via the decimal sum.
+    "events_seasonal_naive_eval" -> { (s, dir) =>
+      val hourly = hourlyByType(events(s, dir))
+        .select(col("event_type"),
+          (unix_timestamp(col("hour_start")) / 3600L).cast(LongType).as("h"),
+          col("n"))
+      val horizons = hourly
+        .select(col("event_type"), col("h"), col("n"),
+          explode(array(lit(1), lit(24))).as("horizon"))
+      horizons
+        .join(hourly.select(col("event_type"), col("h").as("h2"),
+          col("n").as("f")),
+          Seq("event_type"), "inner")
+        .filter(col("h2") === col("h") - col("horizon"))
+        .groupBy(col("event_type"), col("horizon"))
+        .agg(count(lit(1)).as("n_eval"),
+          round(davg(abs(col("n") - col("f")).cast(DoubleType) / col("n")), 6)
+            .as("mape"),
+          round(davg(abs(col("n") - col("f")).cast(DoubleType) * 2 /
+            (col("n") + col("f"))), 6).as("smape"))
+        .orderBy(col("event_type"), col("horizon"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ab_welch_ttest" ->
+      """WITH m AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (SELECT event_type, arm, n, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS vr FROM m),
+        |p AS (SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 0 THEN mean END) AS m_a,
+        |    max(CASE WHEN arm = 1 THEN mean END) AS m_b,
+        |    max(CASE WHEN arm = 0 THEN vr END) AS v_a,
+        |    max(CASE WHEN arm = 1 THEN vr END) AS v_b
+        |  FROM mv GROUP BY 1),
+        |se AS (SELECT *, v_a / n_a + v_b / n_b AS se2 FROM p)
+        |SELECT event_type, n_a, n_b, round(m_a, 6) AS mean_a,
+        |  round(m_b, 6) AS mean_b,
+        |  round((m_a - m_b) / sqrt(se2), 6) AS t_stat,
+        |  round(se2 * se2 /
+        |    (v_a * v_a / (n_a * n_a * (n_a - 1)) +
+        |     v_b * v_b / (n_b * n_b * (n_b - 1))), 6) AS welch_df
+        |FROM se ORDER BY event_type""".stripMargin,
+    "ab_chi_square" ->
+      """WITH c AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT *,
+        |    sum(o) OVER (PARTITION BY event_type) AS row_tot,
+        |    sum(o) OVER (PARTITION BY arm) AS col_tot,
+        |    sum(o) OVER () AS tot
+        |  FROM c),
+        |e AS (SELECT o, CAST(row_tot AS DOUBLE) * col_tot / tot AS e,
+        |    event_type FROM g)
+        |SELECT count(*) AS n_cells,
+        |  count(DISTINCT event_type) - 1 AS dof,
+        |  round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(18,6)))
+        |    AS DOUBLE), 6) AS chi2
+        |FROM e""".stripMargin,
+    "q_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def ds(e: String) =
+        s"CAST(sum(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+      val moments =
+        cols.map(c => s"${ds(c)} AS s_$c") ++
+        cols.map(c => s"${ds(s"$c * $c")} AS ss_$c") ++
+        (for { i <- cols.indices; j <- cols.indices if i < j }
+          yield s"${ds(s"${cols(i)} * ${cols(j)}")} AS sp_${cols(i)}_${cols(j)}")
+      val arms = (for { i <- cols.indices; j <- cols.indices if i < j } yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  round((sp_${a}_$b / n - (s_$a / n) * (s_$b / n)) /
+           |    sqrt((ss_$a / n - (s_$a / n) * (s_$a / n)) *
+           |         (ss_$b / n - (s_$b / n) * (s_$b / n))), 6) AS corr,
+           |  n FROM m""".stripMargin
+      }).mkString("\n UNION ALL\n")
+      s"""WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${moments.mkString(",\n  ")}
+         |  FROM lineitem)
+         |SELECT col_a, col_b, corr, n FROM (
+         |$arms
+         |) ORDER BY col_a, col_b""".stripMargin
+    },
+    "events_acf_hourly" ->
+      """WITH hourly AS (SELECT
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |base AS (SELECT count(*) AS nh, sum(n) AS s, sum(n * n) AS ss
+        |  FROM hourly),
+        |lagged AS (SELECT lag, count(*) AS c_k, sum(a.n * b.n) AS sxy,
+        |    sum(a.n) AS sx, sum(b.n) AS sy
+        |  FROM hourly a
+        |  CROSS JOIN (SELECT unnest(range(1, 13)) AS lag)
+        |  JOIN hourly b ON b.h = a.h + lag
+        |  GROUP BY lag)
+        |SELECT lag, c_k AS n_pairs,
+        |  round((sxy - (CAST(s AS DOUBLE) / nh) * (sx + sy) +
+        |    c_k * (CAST(s AS DOUBLE) / nh) * (CAST(s AS DOUBLE) / nh)) /
+        |    (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / nh), 6) AS acf
+        |FROM lagged CROSS JOIN base ORDER BY lag""".stripMargin,
+    "events_cusum_changepoint" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts)
+        |    AS hour_start, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY hour_start) AS k,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY hour_start
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS tot,
+        |    count(*) OVER (PARTITION BY event_type) AS nh
+        |  FROM hourly),
+        |sc AS (SELECT *, abs(CAST(cum AS DOUBLE) -
+        |    k * CAST(tot AS DOUBLE) / nh) AS s_abs FROM s),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY s_abs DESC, hour_start) AS rk FROM sc)
+        |SELECT event_type, hour_start AS cp_hour, nh AS n_hours,
+        |  round(s_abs, 6) AS cusum_abs,
+        |  round(CAST(cum AS DOUBLE) / k, 6) AS mean_before,
+        |  round(CAST(tot - cum AS DOUBLE) / (nh - k), 6) AS mean_after
+        |FROM r WHERE rk = 1 AND k < nh ORDER BY event_type""".stripMargin,
+    "events_seasonal_naive_eval" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |joined AS (SELECT a.event_type, horizon, a.n, b.n AS f
+        |  FROM hourly a
+        |  CROSS JOIN (SELECT unnest([1, 24]) AS horizon)
+        |  JOIN hourly b ON b.event_type = a.event_type
+        |    AND b.h = a.h - horizon)
+        |SELECT event_type, horizon, count(*) AS n_eval,
+        |  round(CAST(sum(CAST(CAST(abs(n - f) AS DOUBLE) / n
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mape,
+        |  round(CAST(sum(CAST(CAST(abs(n - f) AS DOUBLE) * 2 / (n + f)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS smape
+        |FROM joined GROUP BY 1, 2 ORDER BY event_type, horizon""".stripMargin
+  )
+}

@@ -149,6 +149,11 @@ object Warehouse {
         max(col("tc")).as("n_cur"), round(dsum(col("term")), 6).as("psi"))
   }
 
+  /** Minimum co-purchase support: pairs seen in fewer baskets are
+    * noise under lift (a 1-basket pair of two 1-basket parts maxes
+    * the score — same failure mode PMI's min-count kills). */
+  val CoPurchaseMinSupport = 2L
+
   /** k-anonymity threshold: a quasi-identifier group smaller than this
     * is a re-identification risk (k = 5 is the conventional floor). */
   val KAnon = 5
@@ -238,6 +243,66 @@ object Warehouse {
         .orderBy(col("event_type"))
     },
 
+    // Data-quality expectations suite (the dbt-test / Deequ-style
+    // constraint report a pipeline runs before publishing a table):
+    // five rule families — not-null, uniqueness, accepted values,
+    // numeric range, referential integrity — each one scan-shaped agg
+    // (uniqueness = count minus count-distinct, never a self-join;
+    // referential = left-anti count, the shape a bloom-filter side
+    // channel accelerates at 100 TB), unioned into a 5-row report.
+    "quality_expectations" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      def report(rule: String, checked: DataFrame, violations: DataFrame) = {
+        val n = checked.agg(count(lit(1)).as("n_checked"))
+        val v = violations.agg(count(lit(1)).as("n_violations"))
+        n.crossJoin(v).select(lit(rule).as("rule"), col("n_checked"),
+          col("n_violations"), (col("n_violations") === 0).as("pass"))
+      }
+      val notNull = report("orders.o_custkey.not_null", o,
+        o.filter(col("o_custkey").isNull))
+      val unique = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_violations"))
+        .select(lit("orders.o_orderkey.unique").as("rule"),
+          col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+      val accepted = report("orders.o_orderstatus.accepted_values", o,
+        o.filter(!col("o_orderstatus").isin("O", "F", "P")))
+      val range = report("lineitem.l_discount.range_0_0.1", li,
+        li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.1))
+      val referential = report("lineitem.l_orderkey.references_orders", li,
+        li.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      notNull.unionAll(unique).unionAll(accepted).unionAll(range)
+        .unionAll(referential)
+        .orderBy(col("rule"))
+    },
+
+    // Differentially-private release of the per-type event counts
+    // (Dwork et al. 2006, Laplace mechanism, sensitivity 1, ε = 0.05 →
+    // b = 20): noise = −b·sgn(u−½)·ln(1−2|u−½|) with u derived from a
+    // SEEDED hash of the group key, so the release is reproducible and
+    // the oracle replays the exact noise — the determinism a release
+    // audit needs (real deployments rotate the seed per release).
+    // One hash agg; noise is per-GROUP arithmetic over |types| rows.
+    "privacy_dp_counts" -> { (s, dir) =>
+      val b = 20.0
+      events(s, dir).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("h",
+          conv(substring(md5(concat(lit("dp_seed_1:"), col("event_type"))),
+            1, 6), 16, 10).cast(LongType))
+        .withColumn("u", (col("h") + 0.5) / 16777216.0)
+        .withColumn("noise", -lit(b) * signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+        .select(col("event_type"),
+          round(col("n_true") + col("noise"), 6).as("n_released"),
+          round(col("noise"), 6).as("noise"))
+        .orderBy(col("event_type"))
+    },
+
     // numeric drift monitor: per-type PSI of the value distribution,
     // first half-period vs second (oracle-checked — counts, divisions,
     // ln, decimal sum)
@@ -246,6 +311,72 @@ object Warehouse {
     // categorical drift monitor: PSI of the event-type mix (oracle-
     // checked, one row)
     "monitor_psi_mix" -> { (s, dir) => psiMix(events(s, dir)) },
+
+    // Jensen–Shannon divergence of the event-type mix, first
+    // half-period vs second — the bounded (≤ ln 2), symmetric
+    // complement to PSI that stays finite when a category appears or
+    // dies out entirely. Same one-scan reduction as psiMix (counts per
+    // (type, period)); Laplace smoothing over the shared type grid so
+    // both engines smooth identical cells; JSD = ½KL(p‖m) + ½KL(q‖m),
+    // per-type terms decimal-summed.
+    "monitor_jsd_mix" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val cut = ev.agg(((min(col("us")) + max(col("us"))) / lit(2L))
+        .cast(LongType).as("cut"))
+      val cnt = ev.crossJoin(broadcast(cut))
+        .withColumn("base", when(col("us") < col("cut"), 1).otherwise(0))
+        .groupBy(col("event_type"))
+        .agg(sum(col("base")).as("nb"), sum(lit(1) - col("base")).as("nc"))
+      val tot = cnt.agg(count(lit(1)).as("k"), sum(col("nb")).as("tb"),
+        sum(col("nc")).as("tc"))
+      val p = (col("nb") + lit(0.5)) / (col("tb") + col("k") / lit(2.0))
+      val q = (col("nc") + lit(0.5)) / (col("tc") + col("k") / lit(2.0))
+      val m = (p + q) / lit(2.0)
+      cnt.crossJoin(broadcast(tot))
+        .withColumn("term",
+          (p * log(p / m) + q * log(q / m)) / lit(2.0))
+        .groupBy()
+        .agg(max(col("k")).as("n_types"),
+          round(dsum(col("term")), 6).as("jsd"))
+    },
+
+    // Market-basket co-purchase lift (the association-rule screen a
+    // merchandising / recommender pipeline runs): part pairs appearing
+    // in the same order, scored by lift = N·c(ab)/(c(a)·c(b)) with a
+    // minimum-support floor. The pair source is the order-keyed
+    // self-join over DISTINCT (order, part) rows — work is
+    // Σ_o |items(o)|² (basket-bounded, ~7 items for this schema),
+    // never all part pairs; per-part counts join back broadcast
+    // (|parts| rows). Counts are integers, lift is one double ratio;
+    // top-50 by rounded lift with full tie-break →
+    // TakeOrderedAndProject.
+    "rec_copurchase_lift" -> { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val nOrders = items.select(col("okey")).distinct()
+        .agg(count(lit(1)).as("n_orders"))
+      val partCnt = items.groupBy(col("part"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = items.alias("x")
+        .join(items.alias("y"),
+          col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
+        .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= CoPurchaseMinSupport)
+      pairs
+        .join(broadcast(partCnt.select(col("part").as("part_a"),
+          col("c").as("c_a"))), "part_a")
+        .join(broadcast(partCnt.select(col("part").as("part_b"),
+          col("c").as("c_b"))), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("c_ab"),
+          round(col("c_ab").cast(DoubleType) * col("n_orders") /
+            (col("c_a") * col("c_b")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+        .limit(50)
+    },
 
     // snapshot diff: two deterministic "versions" of orders (old drops
     // keys ≡0 mod 23 — later inserts; new drops keys ≡0 mod 31 —
@@ -559,6 +690,100 @@ object Warehouse {
   val CompactionTargetRows = 20000L
 
   def oracleSql: Map[String, String] = Map(
+    "quality_expectations" ->
+      """SELECT 'lineitem.l_discount.range_0_0.1' AS rule,
+        |  (SELECT count(*) FROM lineitem) AS n_checked,
+        |  (SELECT count(*) FROM lineitem
+        |     WHERE l_discount < 0.0 OR l_discount > 0.1) AS n_violations,
+        |  (SELECT count(*) FROM lineitem
+        |     WHERE l_discount < 0.0 OR l_discount > 0.1) = 0 AS pass
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey.references_orders',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |       WHERE o.o_orderkey = l.l_orderkey)),
+        |  (SELECT count(*) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |       WHERE o.o_orderkey = l.l_orderkey)) = 0
+        |UNION ALL
+        |SELECT 'orders.o_custkey.not_null',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+        |UNION ALL
+        |SELECT 'orders.o_orderkey.unique',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders),
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) = 0
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus.accepted_values',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+        |  (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+        |ORDER BY rule""".stripMargin,
+    "monitor_jsd_mix" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |cut AS (SELECT (min(us) + max(us)) // 2 AS cut FROM ev),
+        |cnt AS (SELECT event_type,
+        |    sum(CASE WHEN us < cut THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN us < cut THEN 0 ELSE 1 END) AS nc
+        |  FROM ev CROSS JOIN cut GROUP BY 1),
+        |tot AS (SELECT count(*) AS k, sum(nb) AS tb, sum(nc) AS tc
+        |  FROM cnt),
+        |terms AS (SELECT k,
+        |    ((nb + 0.5) / (tb + k / 2.0)) AS p,
+        |    ((nc + 0.5) / (tc + k / 2.0)) AS q
+        |  FROM cnt CROSS JOIN tot),
+        |t2 AS (SELECT k,
+        |    (p * ln(p / ((p + q) / 2.0)) +
+        |     q * ln(q / ((p + q) / 2.0))) / 2.0 AS term
+        |  FROM terms)
+        |SELECT max(k) AS n_types,
+        |  round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS jsd
+        |FROM t2""".stripMargin,
+    "rec_copurchase_lift" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey,
+         |    l_partkey AS part FROM lineitem),
+         |n AS (SELECT count(DISTINCT okey) AS n_orders FROM items),
+         |pc AS (SELECT part, count(*) AS c FROM items GROUP BY part),
+         |pairs AS (SELECT x.part AS part_a, y.part AS part_b,
+         |    count(*) AS c_ab
+         |  FROM items x JOIN items y
+         |    ON x.okey = y.okey AND x.part < y.part
+         |  GROUP BY 1, 2 HAVING count(*) >= ${CoPurchaseMinSupport})
+         |SELECT part_a, part_b, c_ab,
+         |  round(CAST(c_ab AS DOUBLE) * n_orders / (ca.c * cb.c), 6)
+         |    AS lift
+         |FROM pairs CROSS JOIN n
+         |  JOIN pc ca ON ca.part = pairs.part_a
+         |  JOIN pc cb ON cb.part = pairs.part_b
+         |ORDER BY lift DESC, part_a, part_b LIMIT 50""".stripMargin,
+    "privacy_dp_counts" ->
+      """WITH c AS (SELECT event_type, count(*) AS n_true FROM events
+        |  GROUP BY 1),
+        |hx AS (SELECT event_type, n_true,
+        |    md5('dp_seed_1:' || event_type) AS m FROM c),
+        |hv AS (SELECT event_type, n_true,
+        |    CAST((instr('0123456789abcdef', substring(m, 1, 1)) - 1)
+        |      * 1048576 +
+        |    (instr('0123456789abcdef', substring(m, 2, 1)) - 1) * 65536 +
+        |    (instr('0123456789abcdef', substring(m, 3, 1)) - 1) * 4096 +
+        |    (instr('0123456789abcdef', substring(m, 4, 1)) - 1) * 256 +
+        |    (instr('0123456789abcdef', substring(m, 5, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substring(m, 6, 1)) - 1)
+        |      AS BIGINT) AS h
+        |  FROM hx),
+        |nz AS (SELECT event_type, n_true,
+        |    -20.0 * sign((h + 0.5) / 16777216.0 - 0.5) *
+        |      ln(1.0 - 2.0 * abs((h + 0.5) / 16777216.0 - 0.5)) AS noise
+        |  FROM hv)
+        |SELECT event_type, round(n_true + noise, 6) AS n_released,
+        |  round(noise, 6) AS noise
+        |FROM nz ORDER BY event_type""".stripMargin,
     "events_bootstrap_ci" ->
       """WITH e AS (SELECT event_type, event_id, value FROM events),
         |d AS (SELECT event_type, value,

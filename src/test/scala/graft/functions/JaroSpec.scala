@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer + edge cases for JaroWinkler, pinned to DuckDB's
+  * jaro_winkler_similarity (the oracle engine) — including the
+  * empirically-probed semantics: empty→0, window max/2−1 (no floor
+  * clamp above 0), integer-halved transpositions, bonus only above
+  * jaro 0.7. */
+class JaroSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse_test")
+    .getOrCreate()
+
+  private def jw(a: String, b: String): Double = JaroWinkler.compute(a, b)
+
+  test("known values match DuckDB jaro_winkler_similarity") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("aaaa", "aaaab") - 0.96) < 1e-12)
+    // below the 0.7 boost threshold the prefix bonus must NOT apply
+    assert(jw("abqqqqqq", "abzzzzzz") == 0.5)
+    // odd mismatch count: DuckDB floors the transposition half
+    // (abcdef/bcadef → m=6, 3 mismatches, t=1 → 0.944…)
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-12)
+  }
+
+  test("edges: empties are 0, window 0 blocks adjacent swaps, identity is 1") {
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("ab", "ba") == 0.0) // window max(2,2)/2-1 = 0
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "a") == 1.0)
+  }
+
+  test("symmetric, bounded, and SQL-registered") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val a = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(12)).mkString
+      val x = jw(a, b); val y = jw(b, a)
+      assert(x == y, s"asymmetric on ($a, $b)")
+      assert(x >= 0.0 && x <= 1.0, s"out of range on ($a, $b)")
+    }
+    graft.ops.Scale.registerSqlFunctions(spark)
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw").head.getDouble(0)
+    assert(math.abs(r - 0.9611111111111111) < 1e-12)
+  }
+}

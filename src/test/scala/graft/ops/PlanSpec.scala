@@ -140,6 +140,33 @@ class PlanSpec extends AnyFunSuite {
       s"k-core peel fell back to a nested loop:\n$plan")
   }
 
+  test("adamic-adar wedge join is part-keyed; top-50 has no global sort") {
+    val plan = formatted(q("graph_adamic_adar"))
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge join fell back to all-pairs:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 planned as a global sort:\n$plan")
+  }
+
+  test("pmi top-50 avoids a global sort; unigram join is broadcast") {
+    val plan = formatted(q("text_pmi_bigrams"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 planned as a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-bounded unigram side not broadcast:\n$plan")
+  }
+
+  test("stats reductions are one partial+final agg before any window/join") {
+    // corr matrix: a single scan-side partial HashAggregate carries all
+    // 15 moments; no shuffle before it
+    val plan = formatted(q("q_corr_matrix"))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // welch: partial+final agg over (type, arm)
+    val welch = formatted(q("ab_welch_ttest"))
+    assert(welch.contains("HashAggregate"), welch)
+  }
+
   test("semantic contamination probe plans with equi-joins only") {
     val plan = formatted(q("text_contamination_semantic"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&

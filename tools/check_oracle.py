@@ -31,7 +31,15 @@ def main(sf_dir, out_dir, skip=()):
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # local-iteration filter: a skip entry "only:a,b" restricts the run
+    # to queries whose name contains one of the substrings instead
+    only = None
+    for s in skip:
+        if s.startswith("only:"):
+            only = s[5:].split(",")
     for name, sql in sorted(oracle.items()):
+        if only is not None and not any(sub in name for sub in only):
+            continue
         if name in skip:
             print(f"SKIP {name}")
             continue
@@ -65,5 +73,8 @@ def main(sf_dir, out_dir, skip=()):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3].split(","))
-                  if len(sys.argv) > 3 else ()))
+    arg3 = sys.argv[3] if len(sys.argv) > 3 else ""
+    # an "only:a,b" arg is one filter spec, not a comma list of skips
+    skips = {arg3} if arg3.startswith("only:") else \
+        set(arg3.split(",")) if arg3 else ()
+    sys.exit(main(sys.argv[1], sys.argv[2], skips))
