@@ -199,6 +199,143 @@ object Stats {
         .orderBy(col("event_type"))
     },
 
+    // Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier
+    // 1958) — the churn-analysis estimator that handles censoring
+    // correctly, where a naive mean-lifetime over observed spans is
+    // biased low. Lifetime = hours between a user's first and last
+    // event; users still active in the final 24 h of the stream are
+    // CENSORED (they contribute at-risk time, not a death). Shape: one
+    // shuffle to per-user spans (the only data-sized step), then a
+    // duration-bucket table bounded by the time window; n_at_risk is a
+    // descending-duration prefix sum, S(t) = exp(Σ ln(1 − d/n)) with
+    // per-term DECIMAL(18,6) rounding so the running product is
+    // order-independent and bit-identical cross-engine. The
+    // everyone-dies-at-the-max-duration edge (ln 0) is explicit: that
+    // row — necessarily the last — reports survival 0.
+    "events_kaplan_meier" -> { (s, dir) =>
+      val e = events(s, dir)
+      val horizon = e.agg(max(unix_micros(col("ts"))).as("t_end"))
+      val users = e.groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          floor((col("t1") - col("t0")) / 3600000000L).as("dur_h"),
+          (col("t1") < col("t_end") - 86400000000L).cast(IntegerType)
+            .as("dead"))
+      val buckets = users.groupBy(col("dur_h"))
+        .agg(count(lit(1)).as("n_all"), sum(col("dead")).as("n_deaths"))
+      val wRisk = Window.orderBy(col("dur_h").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wS = Window.orderBy(col("dur_h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets
+        .withColumn("n_risk", sum(col("n_all")).over(wRisk))
+        .filter(col("n_deaths") > 0)
+        .withColumn("term", when(col("n_deaths") < col("n_risk"),
+          log(lit(1.0) - col("n_deaths").cast(DoubleType) / col("n_risk"))))
+        .withColumn("survival",
+          when(col("n_deaths") === col("n_risk"), lit(0.0))
+            .otherwise(round(exp(dsumOver(col("term"), wS)), 6)))
+        .select(col("dur_h"), col("n_risk"), col("n_deaths"),
+          col("survival"))
+        .orderBy(col("dur_h"))
+    },
+
+    // Split-conformal prediction interval for the hourly persistence
+    // forecast (Vovk et al. 2005; the distribution-free coverage
+    // guarantee): calibration = first 80% of each type's scored hours,
+    // q̂ = the ⌈0.9(n_cal+1)⌉-th smallest |residual| (the finite-sample
+    // correction that makes coverage ≥ 90% MARGINAL, not asymptotic),
+    // then held-out coverage measured on the remaining 20%. Residuals
+    // are integer count differences, the quantile is an integer order
+    // statistic — everything after the hourly reduction is exact
+    // integer arithmetic over a bounded series.
+    "events_conformal_interval" -> { (s, dir) =>
+      val hourly = hourlyByType(events(s, dir))
+        .select(col("event_type"),
+          (unix_timestamp(col("hour_start")) / 3600L).cast(LongType).as("h"),
+          col("n"))
+      val scored = hourly
+        .join(hourly.select(col("event_type"), (col("h") + 1).as("h"),
+          col("n").as("f")), Seq("event_type", "h"))
+        .withColumn("resid", abs(col("n") - col("f")))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val wType = Window.partitionBy(col("event_type"))
+      val split = scored
+        .withColumn("rk", row_number().over(wOrd))
+        .withColumn("n_rows", count(lit(1)).over(wType))
+        .withColumn("n_cal", floor(col("n_rows") * 0.8).cast(LongType))
+        .withColumn("is_cal", col("rk") <= col("n_cal"))
+      val wResid = Window.partitionBy(col("event_type"))
+        .orderBy(col("resid"), col("h"))
+      val qhat = split.filter(col("is_cal"))
+        .withColumn("rr", row_number().over(wResid))
+        .withColumn("k", ceil((col("n_cal") + 1) * 0.9).cast(LongType))
+        .filter(col("rr") === col("k"))
+        .select(col("event_type"), col("resid").as("qhat"))
+      split.filter(!col("is_cal"))
+        .join(broadcast(qhat), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("n_cal")).as("n_cal"), count(lit(1)).as("n_test"),
+          max(col("qhat")).as("qhat"),
+          round(sum((col("resid") <= col("qhat")).cast(IntegerType))
+            .cast(DoubleType) / count(lit(1)), 6).as("coverage"))
+        .orderBy(col("event_type"))
+    },
+
+    // Benford first-digit audit over order totals (the fraud /
+    // fabricated-data screen): observed first-significant-digit mix vs
+    // the Benford expectation log₁₀(1+1/d). Digit extraction is string
+    // arithmetic on the floored integer part (no log10 — its double
+    // edge at exact powers of ten flips digits cross-engine); one hash
+    // agg to 9 rows.
+    "audit_benford" -> { (s, dir) =>
+      val digits = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 1.0)
+        .select(substring(floor(col("o_totalprice")).cast(LongType)
+          .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum(col("n_obs")).as("n"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("p_obs", col("n_obs").cast(DoubleType) / col("n"))
+        .withColumn("p_benford",
+          log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+        .select(col("digit"), col("n_obs"), round(col("p_obs"), 6)
+          .as("p_obs"), round(col("p_benford"), 6).as("p_benford"),
+          round((col("p_obs") - col("p_benford")) *
+            (col("p_obs") - col("p_benford")) / col("p_benford"), 6)
+            .as("chi2_term"))
+        .orderBy(col("digit"))
+    },
+
+    // Gini coefficient of revenue concentration across customers (the
+    // inequality summary a marketplace health dashboard tracks):
+    // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over rank-ordered
+    // per-customer revenue. One shuffle to per-customer sums (exact
+    // decimals), the rank window runs over |customers| rows, and
+    // Σ i·x₍ᵢ₎ stays in DECIMAL(28,6) (rank × revenue exceeds the
+    // (18,6) integer range) — the only doubles are the final ratio.
+    "q_gini_revenue" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("x"))
+      val w = Window.orderBy(col("x"), col("o_custkey"))
+      rev.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("x").cast(DecimalType(28, 6))).as("sx"),
+          sum((col("i") * col("x")).cast(DecimalType(28, 6))).as("six"))
+        .select(col("n_customers"),
+          round(col("sx").cast(DoubleType), 2).as("total_revenue"),
+          round((lit(2.0) * col("six").cast(DoubleType) -
+            (col("n_customers") + 1) * col("sx").cast(DoubleType)) /
+            (col("n_customers") * col("sx").cast(DoubleType)), 6)
+            .as("gini"))
+    },
+
     // Seasonal-naive forecast backtest per event type: forecast(t) =
     // count(t − 24 h) vs the persistence baseline forecast(t) =
     // count(t − 1 h), scored by MAPE and sMAPE over every hour whose
@@ -333,6 +470,87 @@ object Stats {
         |  round(CAST(cum AS DOUBLE) / k, 6) AS mean_before,
         |  round(CAST(tot - cum AS DOUBLE) / (nh - k), 6) AS mean_after
         |FROM r WHERE rk = 1 AND k < nh ORDER BY event_type""".stripMargin,
+    "events_conformal_interval" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (SELECT a.event_type, a.h, a.n, b.n AS f,
+        |    abs(a.n - b.n) AS resid
+        |  FROM hourly a JOIN hourly b
+        |    ON b.event_type = a.event_type AND b.h = a.h - 1),
+        |split AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_rows
+        |  FROM scored),
+        |s2 AS (SELECT *,
+        |    CAST(floor(n_rows * 0.8) AS BIGINT) AS n_cal FROM split),
+        |cal AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY resid, h) AS rr,
+        |    CAST(ceil((n_cal + 1) * 0.9) AS BIGINT) AS k
+        |  FROM s2 WHERE rk <= n_cal),
+        |qhat AS (SELECT event_type, resid AS qhat FROM cal WHERE rr = k)
+        |SELECT event_type, max(n_cal) AS n_cal, count(*) AS n_test,
+        |  max(qhat) AS qhat,
+        |  round(CAST(sum(CASE WHEN resid <= qhat THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS coverage
+        |FROM s2 JOIN qhat USING (event_type)
+        |WHERE rk > n_cal
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "audit_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1.0),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS n FROM c)
+        |SELECT digit, n_obs,
+        |  round(CAST(n_obs AS DOUBLE) / n, 6) AS p_obs,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS p_benford,
+        |  round((CAST(n_obs AS DOUBLE) / n - log10(1.0 + 1.0 / digit))
+        |    * (CAST(n_obs AS DOUBLE) / n - log10(1.0 + 1.0 / digit))
+        |    / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+    "q_gini_revenue" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS x
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+        |  FROM rev)
+        |SELECT count(*) AS n_customers,
+        |  round(CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE), 2)
+        |    AS total_revenue,
+        |  round((2.0 * CAST(sum(CAST(i * x AS DECIMAL(28,6))) AS DOUBLE)
+        |    - (count(*) + 1) * CAST(sum(CAST(x AS DECIMAL(28,6)))
+        |      AS DOUBLE))
+        |    / (count(*) * CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)),
+        |    6) AS gini
+        |FROM r""".stripMargin,
+    "events_kaplan_meier" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |hz AS (SELECT max(us) AS t_end FROM e),
+        |users AS (SELECT
+        |    CAST(floor((max(us) - min(us)) / 3600000000.0) AS BIGINT)
+        |      AS dur_h,
+        |    CASE WHEN max(us) < t_end - 86400000000 THEN 1 ELSE 0 END
+        |      AS dead
+        |  FROM e CROSS JOIN hz GROUP BY user_id, t_end),
+        |b AS (SELECT dur_h, count(*) AS n_all,
+        |    CAST(sum(dead) AS BIGINT) AS n_deaths
+        |  FROM users GROUP BY 1),
+        |r AS (SELECT *, CAST(sum(n_all) OVER (ORDER BY dur_h DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk FROM b),
+        |d AS (SELECT dur_h, n_risk, n_deaths,
+        |    CASE WHEN n_deaths < n_risk THEN
+        |      CAST(ln(1.0 - CAST(n_deaths AS DOUBLE) / n_risk)
+        |        AS DECIMAL(18,6)) END AS term
+        |  FROM r WHERE n_deaths > 0)
+        |SELECT dur_h, n_risk, n_deaths,
+        |  CASE WHEN n_deaths = n_risk THEN 0.0
+        |    ELSE round(exp(CAST(sum(term) OVER (ORDER BY dur_h
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) END AS survival
+        |FROM d ORDER BY dur_h""".stripMargin,
     "events_seasonal_naive_eval" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,

@@ -658,6 +658,41 @@ object Warehouse {
         .orderBy(col("event_type"))
     },
 
+    // Holt double-exponential smoothing (level + trend) per event type
+    // — the forecast EWMA cannot make: EWMA lags any trending series by
+    // construction; Holt tracks the slope. Same distributed recursion
+    // shape as events_ewma_hourly: one shuffle to (type, hour) counts,
+    // each type's BOUNDED series collected and folded per row with a
+    // TWO-field struct accumulator (level, trend) — keys parallel, the
+    // recursion never crosses rows. First element initializes
+    // (l=x₀, b=0), each step rounds both fields to 6 dp so the coupled
+    // recursion is bit-identical to DuckDB's struct list_reduce.
+    "events_holt_hourly" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          array_sort(collect_list(struct(col("hour_start"), col("n"))))
+            .as("series"))
+        .withColumn("st", expr(
+          """aggregate(series,
+            |  named_struct('l', CAST(NULL AS DOUBLE), 'b', CAST(0 AS DOUBLE)),
+            |  (acc, x) -> CASE WHEN acc.l IS NULL
+            |    THEN named_struct('l', CAST(x.n AS DOUBLE),
+            |      'b', CAST(0 AS DOUBLE))
+            |    ELSE named_struct(
+            |      'l', round(0.3 * x.n + 0.7 * (acc.l + acc.b), 6),
+            |      'b', round(0.3 * (round(0.3 * x.n + 0.7 * (acc.l + acc.b), 6)
+            |        - acc.l) + 0.7 * acc.b, 6)) END)""".stripMargin))
+        .select(col("event_type"), col("n_hours"),
+          element_at(col("series"), -1).getField("n").as("last_n"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          round(col("st.l") + col("st.b"), 6).as("forecast_next"))
+        .orderBy(col("event_type"))
+    },
+
     // Small-file compaction plan (the OPTIMIZE/bin-packing pass every
     // 100 TB lakehouse table needs): coalesce ADJACENT time-partition
     // files into ~target-row bins, preserving the time clustering that
@@ -889,6 +924,31 @@ object Warehouse {
         |SELECT event_type, n_hours, CAST(ns[-1] AS BIGINT) AS last_n,
         |  ewma, round(ewma - ns[-1], 6) AS trend_gap
         |FROM e ORDER BY event_type""".stripMargin,
+    // the recursion as an explicit per-index recursive CTE — DuckDB's
+    // struct-accumulator list_reduce mis-resolves cross-field acc
+    // references (probed: acc.l inside the 'b' field sees the current
+    // step's OUTPUT), so the coupled fold can't share the EWMA oracle's
+    // lambda shape
+    "events_holt_hourly" ->
+      """WITH RECURSIVE h AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS hour_start, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, count(*) AS n_hours,
+        |    list(CAST(n AS DOUBLE) ORDER BY hour_start) AS ns
+        |  FROM h GROUP BY 1),
+        |st(event_type, i, l, b) AS (
+        |  SELECT event_type, 1, ns[1], CAST(0 AS DOUBLE) FROM l
+        |  UNION ALL
+        |  SELECT s.event_type, i + 1,
+        |    round(0.3 * ll.ns[i+1] + 0.7 * (s.l + s.b), 6),
+        |    round(0.3 * (round(0.3 * ll.ns[i+1]
+        |        + 0.7 * (s.l + s.b), 6) - s.l) + 0.7 * s.b, 6)
+        |  FROM st s JOIN l ll USING (event_type) WHERE i < ll.n_hours)
+        |SELECT st.event_type, n_hours, CAST(ns[-1] AS BIGINT) AS last_n,
+        |  st.l AS level, st.b AS trend,
+        |  round(st.l + st.b, 6) AS forecast_next
+        |FROM st JOIN l USING (event_type) WHERE i = n_hours
+        |ORDER BY event_type""".stripMargin,
     "q_compaction_plan" ->
       s"""WITH f AS (
          |  SELECT date_trunc('month', l_shipdate) AS month,

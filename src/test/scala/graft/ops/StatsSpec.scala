@@ -98,6 +98,80 @@ class StatsSpec extends AnyFunSuite {
     assert(top.getAs[Long]("cum") == 400L)
   }
 
+  test("kaplan-meier: hand-computed curve on a 5-user cohort") {
+    import spark.implicits._
+    // durations 1,2,2,3,4; the 4 is censored (no death) →
+    // S(1)=4/5, S(2)=4/5·(1−2/4)=0.4, S(3)=0.4·(1−1/2)=0.2
+    val users = Seq((1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 0))
+      .zip(Seq(1L, 2L, 2L, 3L, 4L))
+      .map { case ((u, dead), d) => (u, d, dead) }
+      .toDF("user_id", "dur_h", "dead")
+    val buckets = users.groupBy($"dur_h")
+      .agg(count(lit(1)).as("n_all"), sum($"dead").as("n_deaths"))
+    val wRisk = org.apache.spark.sql.expressions.Window
+      .orderBy($"dur_h".desc)
+      .rowsBetween(Long.MinValue, 0)
+    val wS = org.apache.spark.sql.expressions.Window.orderBy($"dur_h")
+      .rowsBetween(Long.MinValue, 0)
+    val km = buckets
+      .withColumn("n_risk", sum($"n_all").over(wRisk))
+      .filter($"n_deaths" > 0)
+      .withColumn("term", when($"n_deaths" < $"n_risk",
+        log(lit(1.0) - $"n_deaths".cast("double") / $"n_risk")))
+      .withColumn("survival", when($"n_deaths" === $"n_risk", lit(0.0))
+        .otherwise(round(exp(Q.dsumOver($"term", wS)), 6)))
+      .orderBy($"dur_h")
+      .select($"dur_h", $"survival").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(km(1L) - 0.8) < 1e-4)
+    assert(math.abs(km(2L) - 0.4) < 1e-4)
+    assert(math.abs(km(3L) - 0.2) < 1e-4)
+  }
+
+  test("holt tracks a linear trend that ewma lags") {
+    // x_t = 10 + 2t: Holt's forecast converges to the true next value;
+    // plain EWMA converges to a LAGGED value (~x_t − 2·(1−α)/α)
+    var (l, b) = (12.0, 0.0)
+    var ewma = 12.0
+    for (t <- 2 to 60) {
+      val x = 10.0 + 2 * t
+      val nl = 0.3 * x + 0.7 * (l + b)
+      b = 0.3 * (nl - l) + 0.7 * b
+      l = nl
+      ewma = 0.3 * x + 0.7 * ewma
+    }
+    val nextTrue = 10.0 + 2 * 61
+    assert(math.abs((l + b) - nextTrue) < 1.0, s"holt forecast ${l + b}")
+    assert(nextTrue - ewma > 5.0, s"ewma should lag, got $ewma")
+  }
+
+  test("gini: 0 for equal shares, (n-1)/n for total concentration") {
+    import spark.implicits._
+    def gini(xs: Seq[Double]): Double = {
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+        .toDF("id", "x")
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"x", $"id")
+      df.withColumn("i", row_number().over(w))
+        .agg(((lit(2.0) * sum($"i" * $"x") - (count(lit(1)) + 1) *
+          sum($"x")) / (count(lit(1)) * sum($"x"))).as("g"))
+        .head.getDouble(0)
+    }
+    assert(math.abs(gini(Seq(5.0, 5.0, 5.0, 5.0))) < 1e-9)
+    assert(math.abs(gini(Seq(0.0, 0.0, 0.0, 20.0)) - 0.75) < 1e-9)
+  }
+
+  test("benford expectation is a distribution; conformal output is sane") {
+    val b = Stats.queries("audit_benford")(spark, sf).collect()
+    assert(b.map(_.getAs[Double]("p_benford")).sum > 0.999)
+    assert(b.map(_.getAs[Double]("p_obs")).sum > 0.999)
+    val c = Stats.queries("events_conformal_interval")(spark, sf).collect()
+    c.foreach { r =>
+      assert(r.getAs[Long]("qhat") >= 0)
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+  }
+
   test("registered stats queries return sane shapes on sf0.001") {
     val corr = Stats.queries("q_corr_matrix")(spark, sf).collect()
     assert(corr.length == 6)
