@@ -68,7 +68,10 @@ object Bench {
     // round-7 additions: the one-pass d² moment matrix, the part-keyed
     // Adamic–Adar wedge join, and PMI collocation mining (explode +
     // vocab-bounded aggs + broadcast probability join)
-    "q_corr_matrix", "graph_adamic_adar", "text_pmi_bigrams")
+    "q_corr_matrix", "graph_adamic_adar", "text_pmi_bigrams",
+    // basket-bounded co-purchase association join and the blocked
+    // Jaro–Winkler fuzzy join (codegen expression in the inner loop)
+    "rec_copurchase_lift", "link_jaro_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

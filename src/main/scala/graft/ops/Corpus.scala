@@ -412,6 +412,40 @@ object Corpus {
         .limit(50)
     },
 
+    // Dataset card / datasheet (Gebru et al. 2021): the one-page
+    // statistics block a corpus release publishes — sizes, language and
+    // source spread, token volume, duplication rate — as a (metric,
+    // value) table. Every metric is a scan-shaped aggregate (the dup
+    // rate reuses the md5 token fingerprint, counted not joined);
+    // the union is |metrics| rows.
+    "pipeline_dataset_card" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+      val m = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(col("toks"))).as("total_tokens"),
+        countDistinct(md5(concat_ws(" ", col("toks")))).as("n_distinct"))
+      def metric(name: String, v: org.apache.spark.sql.Column) =
+        struct(lit(name).as("metric"),
+          coalesce(v.cast(DoubleType), lit(0.0)).as("value"))
+      m.select(explode(array(
+          metric("n_docs", col("n_docs")),
+          metric("n_langs", col("n_langs")),
+          metric("n_sources", col("n_sources")),
+          metric("total_chars", col("total_chars")),
+          metric("total_tokens", col("total_tokens")),
+          metric("mean_chars_per_doc",
+            round(col("total_chars").cast(DoubleType) / col("n_docs"), 6)),
+          metric("exact_dup_rate",
+            round(lit(1.0) - col("n_distinct").cast(DoubleType) /
+              col("n_docs"), 6)))).as("m"))
+        .select(col("m.metric").as("metric"), col("m.value").as("value"))
+        .orderBy(col("metric"))
+    },
+
     // per-source quota downsampling: cap each source at its 10 best docs
     // by distinct-token ratio (over-represented-domain rebalancing).
     // One shuffle on source + a bounded window — no global sort.
@@ -649,6 +683,32 @@ object Corpus {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_dataset_card" ->
+      """WITH d AS (SELECT *,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT count(*) AS n_docs,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    sum(n_chars) AS total_chars,
+        |    sum(len(toks)) AS total_tokens,
+        |    count(DISTINCT md5(list_aggregate(toks, 'string_agg', ' ')))
+        |      AS n_distinct
+        |  FROM d)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+        |    FROM m
+        |  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM m
+        |  UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE)
+        |    FROM m
+        |  UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE)
+        |    FROM m
+        |  UNION ALL SELECT 'mean_chars_per_doc',
+        |    round(CAST(total_chars AS DOUBLE) / n_docs, 6) FROM m
+        |  UNION ALL SELECT 'exact_dup_rate',
+        |    round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) FROM m)
+        |ORDER BY metric""".stripMargin,
     "text_pmi_bigrams" ->
       s"""WITH d AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -102,6 +102,28 @@ object Linkage {
         .select(col("id").as("p_partkey"), col("comp").as("entity"),
           (col("comp") === col("id")).as("canonical"))
         .orderBy(col("p_partkey"))
+    },
+
+    // golden-record construction (the MDM survivorship step after
+    // clustering): per multi-member entity, field-wise survivorship —
+    // id = min member, name = longest (lexicographic tie-break),
+    // price = mean over members — so downstream joins see ONE record
+    // per real-world entity. One |parts|-sized join of the cluster
+    // labels back to attributes + a per-entity agg; the argmax name
+    // rides a (length, name) struct max, no window needed.
+    "link_golden_record" -> { (s, dir) =>
+      val p = t(s, dir, "part")
+      val pairs = fuzzyPairs(p, "p_partkey", "p_name", "p_brand", 2)
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+      p.join(comp, col("p_partkey") === col("id"), "inner")
+        .groupBy(col("comp").as("entity"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("p_partkey")).as("canonical_id"),
+          max(struct(length(col("p_name")).as("len"),
+            col("p_name").as("name"))).getField("name").as("golden_name"),
+          round(davg(col("p_retailprice")), 6).as("mean_price"))
+        .filter(col("n_members") >= 2)
+        .orderBy(col("entity"))
     }
   )
 
@@ -123,6 +145,36 @@ object Linkage {
          |WHERE jaro_winkler_similarity(a.p_name, b.p_name)
          |  >= $JaroThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+    // same closure + field-wise survivorship per multi-member entity
+    "link_golden_record" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |lab AS (SELECT src AS p_partkey, min(dst) AS entity
+        |  FROM reach GROUP BY src),
+        |mem AS (SELECT l.entity, pt.p_partkey, pt.p_name, pt.p_retailprice
+        |  FROM part pt JOIN lab l USING (p_partkey)),
+        |best AS (SELECT entity, p_name,
+        |    row_number() OVER (PARTITION BY entity
+        |      ORDER BY length(p_name) DESC, p_name DESC) AS rn
+        |  FROM mem)
+        |SELECT m.entity, count(*) AS n_members,
+        |  min(m.p_partkey) AS canonical_id,
+        |  max(b.p_name) AS golden_name,
+        |  round(CAST(sum(CAST(m.p_retailprice AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(m.p_retailprice), 6) AS mean_price
+        |FROM mem m JOIN best b ON b.entity = m.entity AND b.rn = 1
+        |GROUP BY m.entity HAVING count(*) >= 2
+        |ORDER BY m.entity""".stripMargin,
     // reachability closure over the fuzzy match graph (recursive CTE),
     // entity = min reachable id — mirrors the dedup_components oracle
     "link_fuzzy_clusters" ->

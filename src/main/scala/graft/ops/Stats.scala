@@ -199,6 +199,42 @@ object Stats {
         .orderBy(col("event_type"))
     },
 
+    // Feature scaling for ML training (standardize + min-max in ONE
+    // stats pass): per-column exact-decimal moments and min/max from a
+    // single partial+final agg, broadcast back over the transform scan
+    // — the two-pass shape every feature pipeline needs, with the
+    // stats frame one row. Output restricted to a deterministic key
+    // slice (mod 97) so the verify artifact stays bounded; the
+    // transform itself is full-scan shaped.
+    "ml_feature_scaling" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val stats = li.agg(
+        davg(col("l_quantity")).as("m_q"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sq_q"),
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).as("lo_q"), max(col("l_quantity")).as("hi_q"),
+        davg(col("l_extendedprice")).as("m_p"),
+        dsum(col("l_extendedprice") * col("l_extendedprice")).as("sq_p"),
+        min(col("l_extendedprice")).as("lo_p"),
+        max(col("l_extendedprice")).as("hi_p"))
+        .withColumn("sd_q",
+          sqrt(col("sq_q") / col("n") - col("m_q") * col("m_q")))
+        .withColumn("sd_p",
+          sqrt(col("sq_p") / col("n") - col("m_p") * col("m_p")))
+      li.filter(col("l_orderkey") % 97 === 0)
+        .crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round((col("l_quantity") - col("m_q")) / col("sd_q"), 6)
+            .as("z_quantity"),
+          round((col("l_extendedprice") - col("m_p")) / col("sd_p"), 6)
+            .as("z_price"),
+          round((col("l_quantity") - col("lo_q")) /
+            (col("hi_q") - col("lo_q")), 6).as("mm_quantity"),
+          round((col("l_extendedprice") - col("lo_p")) /
+            (col("hi_p") - col("lo_p")), 6).as("mm_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
     // Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier
     // 1958) — the churn-analysis estimator that handles censoring
     // correctly, where a naive mean-lifetime over observed spans is
@@ -470,6 +506,29 @@ object Stats {
         |  round(CAST(cum AS DOUBLE) / k, 6) AS mean_before,
         |  round(CAST(tot - cum AS DOUBLE) / (nh - k), 6) AS mean_after
         |FROM r WHERE rk = 1 AND k < nh ORDER BY event_type""".stripMargin,
+    "ml_feature_scaling" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(l_quantity) AS m_q,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6)))
+        |      AS DOUBLE) AS sq_q,
+        |    min(l_quantity) AS lo_q, max(l_quantity) AS hi_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(l_extendedprice) AS m_p,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS sq_p,
+        |    min(l_extendedprice) AS lo_p, max(l_extendedprice) AS hi_p
+        |  FROM lineitem),
+        |s2 AS (SELECT *, sqrt(sq_q / n - m_q * m_q) AS sd_q,
+        |    sqrt(sq_p / n - m_p * m_p) AS sd_p FROM s)
+        |SELECT l_orderkey, l_linenumber,
+        |  round((l_quantity - m_q) / sd_q, 6) AS z_quantity,
+        |  round((l_extendedprice - m_p) / sd_p, 6) AS z_price,
+        |  round((l_quantity - lo_q) / (hi_q - lo_q), 6) AS mm_quantity,
+        |  round((l_extendedprice - lo_p) / (hi_p - lo_p), 6) AS mm_price
+        |FROM lineitem CROSS JOIN s2
+        |WHERE l_orderkey % 97 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "events_conformal_interval" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
