@@ -53,6 +53,46 @@ object IngestQueries {
         .orderBy("id")
     },
 
+    // Schema-drift report between two ingests of "the same" feed — the
+    // day-2 operation every ingest pipeline needs when yesterday's int
+    // column starts carrying decimals or a date column goes dirty. Both
+    // versions run the full inference (ONE sampling agg each); the diff
+    // is a per-column type comparison over the bounded schema frames.
+    // Inputs are literal (deterministic at any SF) so the expected
+    // report is a VALUES oracle.
+    "ingest_schema_diff" -> { (s, dir) =>
+      import s.implicits._
+      val v1 = Seq(
+        ("1", "10", "2024-01-02", "3.5"),
+        ("2", "20", "2024-02-03", "4.5"),
+        ("3", "30", "2024-03-04", "5.5"))
+        .toDF("id", "n_items", "event_day", "score")
+      val v2 = Seq(
+        ("1", "10", "2024-01-02", "3.5"),
+        ("2", "20.5", "2024-02-03", "4.5"),
+        ("3", "30", "not-a-date", "5.5"))
+        .toDF("id", "n_items", "event_day", "score")
+      def inferTypes(df: DataFrame, name: String): Seq[(String, String)] = {
+        val out = tmpDir(dir, name)
+        exportCsv(df, "id", out)
+        Collimate.read(s, s"$out/*.csv") match { case raw =>
+          TypeInference.infer(raw, parseDates = true).fields
+            .map(f => f.name -> f.dataType.simpleString)
+        }
+      }
+      val t1 = inferTypes(v1, "schema_diff_v1").toMap
+      val t2 = inferTypes(v2, "schema_diff_v2").toMap
+      val rows = t1.keys.toSeq.sorted.map { c =>
+        Row(c, t1(c), t2(c), t1(c) != t2(c))
+      }
+      s.createDataFrame(rows.asJava, StructType(Seq(
+          StructField("column", StringType, false),
+          StructField("type_v1", StringType, false),
+          StructField("type_v2", StringType, false),
+          StructField("changed", BooleanType, false))))
+        .orderBy("column")
+    },
+
     "ingest_nulls" -> { (s, _) =>
       val tokens = Seq("null", "na", "n/a", "none", "", "-",
         "NULL", "NA", "x", "0")
@@ -180,6 +220,14 @@ object IngestQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ingest_schema_diff" ->
+      """SELECT * FROM (VALUES
+        | ('event_day', 'date', 'string', true),
+        | ('id', 'int', 'int', false),
+        | ('n_items', 'int', 'double', true),
+        | ('score', 'double', 'double', false))
+        | t("column", type_v1, type_v2, changed)
+        |ORDER BY "column"""".stripMargin,
     "ingest_sanitize" -> {
       val vals = sanitizeInputs.zipWithIndex.map { case (n, i) =>
         s"(${i + 1}, '${n.replace("'", "''")}', '${Sanitize(n)}')"

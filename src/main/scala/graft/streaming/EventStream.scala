@@ -15,6 +15,23 @@ import graft.ops.Q._
   */
 object EventStream {
 
+  /** The customer → nation dimension frame for stream-static
+    * enrichment (key = custkey, the event stream's user id space). */
+  def staticDim(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+
+  /** Stream-static enrichment + aggregate: identical transform in
+    * batch and streaming (stream-static inner joins need no
+    * watermark). `dim` is dimension-sized — broadcast. */
+  def enrichByNation(ev: DataFrame, dim: DataFrame): DataFrame =
+    ev.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(davg(col("value")), 6).as("mean_value"))
+
   /** Tumbling 1-hour window aggregation. In streaming mode, attach
     * `withWatermark("ts", ...)` upstream; the groupBy(window(...)) is
     * identical in both modes. */
@@ -207,6 +224,18 @@ object EventStream {
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
     },
+    // stream-static enrichment — THE most common streaming pattern:
+    // each microbatch joins a slowly-changing dimension (customer →
+    // nation) before aggregating. Structured Streaming supports
+    // stream-static inner joins natively with no watermark, and the
+    // transform is identical in batch (this registered oracle-checked
+    // form) and under MemoryStream (StreamingSpec proves batch≡stream
+    // on the final counts). Dim side broadcast (dimension-sized); at
+    // a scale where it isn't, the same join shuffles on the key.
+    "stream_static_enrich" -> { (s, dir) =>
+      enrichByNation(events(s, dir), staticDim(s, dir))
+        .orderBy(col("n_name"), col("event_type"))
+    },
     "stream_dedup_bucket" -> { (s, dir) =>
       dedupByMinute(events(s, dir)).orderBy(col("event_id"))
     },
@@ -359,6 +388,14 @@ object EventStream {
         |  PARTITION BY user_id, epoch_us(ts) // 60000000
         |  ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    "stream_static_enrich" ->
+      """SELECT n_name, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(value), 6) AS mean_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_hourly_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |  count(*) AS n,

@@ -52,6 +52,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrich: streaming join to a static dim == batch") {
+    val dim = Seq((1L, "FRANCE"), (2L, "KENYA"))
+      .toDF("c_custkey", "n_name")
+    val input = MemoryStream[Ev](spark)
+    input.addData(sample: _*)
+    val q = EventStream.enrichByNation(input.toDF(), dim)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .orderBy($"n_name", $"event_type").collect().toSeq
+      val batch = EventStream.enrichByNation(sample.toDF(), dim)
+        .orderBy($"n_name", $"event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_.getLong(2)).sum == sample.size)
+    } finally q.stop()
+  }
+
   test("stateful streaming: running per-user count via mapGroupsWithState") {
     val input = MemoryStream[Ev](spark)
     val counts = input.toDS()
