@@ -370,7 +370,10 @@ object Corpus {
         .withColumn("lp", -log(pkn))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
-          round(davg(col("lp")), 6).as("mean_neg_logprob"))
+          // q6, not round: the decimal-sum/count mean lands within 1
+          // ulp of a .5 boundary on real data (~1 doc in 15k at sf0.1)
+          // and round() there differs cross-engine — see Q.q6
+          q6(davg(col("lp"))).as("mean_neg_logprob"))
         .orderBy(col("doc_id"))
     },
 
@@ -937,7 +940,8 @@ object Corpus {
         |  FROM p JOIN cb USING (w1, w2) JOIN cu USING (w1)
         |    JOIN f1 USING (w1) JOIN p1 USING (w2) CROSS JOIN bt)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp), 6)
+        |  floor(CAST(sum(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(lp)
+        |    * 1000000.0 + 0.5) / 1000000.0
         |    AS mean_neg_logprob
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_source_quota" ->

@@ -49,6 +49,17 @@ object Q {
     * (decimal division scales differ between Spark and DuckDB). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Cross-engine-safe 6-dp quantization: floor(x·1e6 + 0.5)/1e6.
+    * `round(x, 6)` differs between Spark (decimal-exact HALF_UP on the
+    * binary value) and DuckDB (float multiply + nearbyint) within ~1
+    * ulp of a .5 boundary — a divergence window that real data DOES
+    * hit (~1 row in 15k for a decimal-sum/count mean at sf0.1). The
+    * floor form is the same IEEE multiply/add/floor on both engines,
+    * so there is no window at all. Use for rounded DIVISION results
+    * (means) and recursions; plain round stays fine for values already
+    * exact at 6 dp (decimal sums). */
+  def q6(c: Column): Column = floor(c * 1000000.0 + lit(0.5)) / 1000000.0
+
   /** Same trick for running/windowed sums. */
   def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     sum(c.cast(DecimalType(18, 6))).over(w).cast(DoubleType)

@@ -253,30 +253,38 @@ object Warehouse {
     "quality_expectations" -> { (s, dir) =>
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      def report(rule: String, checked: DataFrame, violations: DataFrame) = {
-        val n = checked.agg(count(lit(1)).as("n_checked"))
-        val v = violations.agg(count(lit(1)).as("n_violations"))
-        n.crossJoin(v).select(lit(rule).as("rule"), col("n_checked"),
-          col("n_violations"), (col("n_violations") === 0).as("pass"))
-      }
-      val notNull = report("orders.o_custkey.not_null", o,
-        o.filter(col("o_custkey").isNull))
-      val unique = t(s, dir, "orders")
-        .agg(count(lit(1)).as("n_checked"),
-          (count(lit(1)) - countDistinct(col("o_orderkey")))
-            .as("n_violations"))
-        .select(lit("orders.o_orderkey.unique").as("rule"),
-          col("n_checked"), col("n_violations"),
-          (col("n_violations") === 0).as("pass"))
-      val accepted = report("orders.o_orderstatus.accepted_values", o,
-        o.filter(!col("o_orderstatus").isin("O", "F", "P")))
-      val range = report("lineitem.l_discount.range_0_0.1", li,
-        li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.1))
-      val referential = report("lineitem.l_orderkey.references_orders", li,
-        li.join(o.select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_anti"))
-      notNull.unionAll(unique).unionAll(accepted).unionAll(range)
-        .unionAll(referential)
+      def row(rule: String, checked: org.apache.spark.sql.Column,
+          viol: org.apache.spark.sql.Column) =
+        struct(lit(rule).as("rule"), checked.as("n_checked"),
+          viol.as("n_violations"), (viol === 0).as("pass"))
+      // all same-table rules share ONE scan/agg (at 100 TB, 3 rules =
+      // 3 conditional aggregates in one pass, never 3 table scans);
+      // only the cross-table referential check is its own (anti-)join
+      val ordersRules = o.agg(count(lit(1)).as("n"),
+          sum(col("o_custkey").isNull.cast(LongType)).as("v_null"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+          sum((!col("o_orderstatus").isin("O", "F", "P"))
+            .cast(LongType)).as("v_acc"))
+        .select(explode(array(
+          row("orders.o_custkey.not_null", col("n"), col("v_null")),
+          row("orders.o_orderkey.unique", col("n"), col("v_uniq")),
+          row("orders.o_orderstatus.accepted_values", col("n"),
+            col("v_acc")))).as("r"))
+      val lineitemRules = li.agg(count(lit(1)).as("n"),
+          sum((col("l_discount") < 0.0 || col("l_discount") > 0.1)
+            .cast(LongType)).as("v_rng"))
+        .select(explode(array(
+          row("lineitem.l_discount.range_0_0.1", col("n"),
+            col("v_rng")))).as("r"))
+      val referential = li.agg(count(lit(1)).as("n"))
+        .crossJoin(li.join(o.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("v")))
+        .select(row("lineitem.l_orderkey.references_orders",
+          col("n"), col("v")).as("r"))
+      ordersRules.unionAll(lineitemRules).unionAll(referential)
+        .select(col("r.rule").as("rule"), col("r.n_checked").as("n_checked"),
+          col("r.n_violations").as("n_violations"), col("r.pass").as("pass"))
         .orderBy(col("rule"))
     },
 
@@ -646,11 +654,18 @@ object Warehouse {
         .agg(count(lit(1)).as("n_hours"),
           array_sort(collect_list(struct(col("hour_start"), col("n"))))
             .as("series"))
+        // 0.3D not 0.3: a bare decimal literal makes Spark compute
+        // 0.3*x decimal-EXACT while DuckDB multiplies binary doubles —
+        // different pre-quantization values each step (caught by the
+        // Holt query at sf0.1; same hazard here). floor-quantization
+        // per step, not round, for the same cross-engine reason (Q.q6).
         .withColumn("ewma", expr(
-          """round(aggregate(series, CAST(NULL AS DOUBLE),
-            |  (acc, x) -> round(CASE WHEN acc IS NULL
+          """floor(aggregate(series, CAST(NULL AS DOUBLE),
+            |  (acc, x) -> CASE WHEN acc IS NULL
             |    THEN CAST(x.n AS DOUBLE)
-            |    ELSE 0.3 * x.n + 0.7 * acc END, 6)), 6)""".stripMargin))
+            |    ELSE floor((0.3D * x.n + 0.7D * acc)
+            |      * 1000000.0 + 0.5) / 1000000.0 END)
+            |  * 1000000.0 + 0.5) / 1000000.0""".stripMargin))
         .withColumn("last_n", element_at(col("series"), -1).getField("n"))
         .select(col("event_type"), col("n_hours"), col("last_n"),
           col("ewma"),
@@ -676,6 +691,10 @@ object Warehouse {
         .agg(count(lit(1)).as("n_hours"),
           array_sort(collect_list(struct(col("hour_start"), col("n"))))
             .as("series"))
+        // per-step quantization uses floor(v·1e6+0.5)/1e6, NOT round:
+        // over ~3600 steps at sf0.1 the recursion hits round()'s
+        // 1-ulp cross-engine divergence window — the floor form is the
+        // same IEEE ops on both engines (see Q.q6)
         .withColumn("st", expr(
           """aggregate(series,
             |  named_struct('l', CAST(NULL AS DOUBLE), 'b', CAST(0 AS DOUBLE)),
@@ -683,13 +702,16 @@ object Warehouse {
             |    THEN named_struct('l', CAST(x.n AS DOUBLE),
             |      'b', CAST(0 AS DOUBLE))
             |    ELSE named_struct(
-            |      'l', round(0.3 * x.n + 0.7 * (acc.l + acc.b), 6),
-            |      'b', round(0.3 * (round(0.3 * x.n + 0.7 * (acc.l + acc.b), 6)
-            |        - acc.l) + 0.7 * acc.b, 6)) END)""".stripMargin))
+            |      'l', floor((0.3D * x.n + 0.7D * (acc.l + acc.b))
+            |        * 1000000.0 + 0.5) / 1000000.0,
+            |      'b', floor((0.3D * (floor((0.3D * x.n + 0.7D * (acc.l + acc.b))
+            |          * 1000000.0 + 0.5) / 1000000.0 - acc.l)
+            |        + 0.7D * acc.b) * 1000000.0 + 0.5) / 1000000.0) END)"""
+            .stripMargin))
         .select(col("event_type"), col("n_hours"),
           element_at(col("series"), -1).getField("n").as("last_n"),
           col("st.l").as("level"), col("st.b").as("trend"),
-          round(col("st.l") + col("st.b"), 6).as("forecast_next"))
+          q6(col("st.l") + col("st.b")).as("forecast_next"))
         .orderBy(col("event_type"))
     },
 
@@ -918,8 +940,10 @@ object Warehouse {
         |    list(CAST(n AS DOUBLE) ORDER BY hour_start) AS ns
         |  FROM h GROUP BY 1),
         |e AS (SELECT event_type, n_hours, ns,
-        |    round(list_reduce(ns,
-        |      (acc, x) -> round(0.3 * x + 0.7 * acc, 6)), 6) AS ewma
+        |    floor(list_reduce(ns,
+        |      (acc, x) -> floor((0.3 * x + 0.7 * acc)
+        |        * 1000000.0 + 0.5) / 1000000.0)
+        |      * 1000000.0 + 0.5) / 1000000.0 AS ewma
         |  FROM l)
         |SELECT event_type, n_hours, CAST(ns[-1] AS BIGINT) AS last_n,
         |  ewma, round(ewma - ns[-1], 6) AS trend_gap
@@ -940,13 +964,16 @@ object Warehouse {
         |  SELECT event_type, 1, ns[1], CAST(0 AS DOUBLE) FROM l
         |  UNION ALL
         |  SELECT s.event_type, i + 1,
-        |    round(0.3 * ll.ns[i+1] + 0.7 * (s.l + s.b), 6),
-        |    round(0.3 * (round(0.3 * ll.ns[i+1]
-        |        + 0.7 * (s.l + s.b), 6) - s.l) + 0.7 * s.b, 6)
+        |    floor((0.3 * ll.ns[i+1] + 0.7 * (s.l + s.b))
+        |      * 1000000.0 + 0.5) / 1000000.0,
+        |    floor((0.3 * (floor((0.3 * ll.ns[i+1] + 0.7 * (s.l + s.b))
+        |        * 1000000.0 + 0.5) / 1000000.0 - s.l)
+        |      + 0.7 * s.b) * 1000000.0 + 0.5) / 1000000.0
         |  FROM st s JOIN l ll USING (event_type) WHERE i < ll.n_hours)
         |SELECT st.event_type, n_hours, CAST(ns[-1] AS BIGINT) AS last_n,
         |  st.l AS level, st.b AS trend,
-        |  round(st.l + st.b, 6) AS forecast_next
+        |  floor((st.l + st.b) * 1000000.0 + 0.5) / 1000000.0
+        |    AS forecast_next
         |FROM st JOIN l USING (event_type) WHERE i = n_hours
         |ORDER BY event_type""".stripMargin,
     "q_compaction_plan" ->
