@@ -110,6 +110,29 @@ object TextStats {
       scored.withColumn("pred_lang", predictLang(scores))
         .orderBy(col("doc_id"))
     },
+    // language-ID confusion matrix + per-class recall — the EVAL that
+    // turns the classifier into a monitored component (which languages
+    // leak into which). Same scoring as text_langid, then one
+    // |langs|²-bounded agg; recall via a per-true-class window over
+    // that bounded grid.
+    "text_langid_confusion" -> { (s, dir) =>
+      val withToks = t(s, dir, "documents")
+        .withColumn("toks", Text.tokens(col("text")))
+      val scored = withToks.select(
+        (Seq(col("doc_id"), col("lang").as("declared_lang")) ++
+          LangOrder.map(l =>
+            stopwordCount(col("toks"), l).as(s"s_$l"))): _*)
+      val scores = LangOrder.map(l => l -> col(s"s_$l")).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("declared_lang"))
+      scored.withColumn("pred_lang", predictLang(scores))
+        .groupBy(col("declared_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall",
+          round(col("n").cast(DoubleType) / sum(col("n")).over(w), 6))
+        .orderBy(col("declared_lang"), col("pred_lang"))
+    },
+
     // language id, n-gram flavor: distinct char-3-gram overlap with
     // per-language trigram profiles + the same argmax precedence
     "text_langid_ngram" -> { (s, dir) =>
@@ -607,6 +630,30 @@ object TextStats {
          |    WHEN s_es >= s_fr THEN 'es'
          |    ELSE 'fr' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+    "text_langid_confusion" -> {
+      val scoreCols = LangOrder.map(l =>
+        s"len(list_filter(toks, x -> x IN ${duckStop(l)})) AS s_$l")
+        .mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |sc AS (SELECT doc_id, lang AS declared_lang,
+         |  $scoreCols
+         |FROM d),
+         |p AS (SELECT declared_lang,
+         |  CASE
+         |    WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |    WHEN s_es >= s_fr THEN 'es'
+         |    ELSE 'fr' END AS pred_lang
+         |FROM sc),
+         |c AS (SELECT declared_lang, pred_lang, count(*) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT declared_lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE) / sum(n)
+         |    OVER (PARTITION BY declared_lang), 6) AS recall
+         |FROM c ORDER BY declared_lang, pred_lang""".stripMargin
     },
     "text_langid_ngram" -> {
       val scoreCols = LangOrder.map(l =>

@@ -224,6 +224,40 @@ object EventStream {
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
     },
+    // linear multi-touch attribution: each purchase's value is split
+    // EQUALLY across the user's clicks in the preceding hour (the
+    // multi-touch answer to last-touch purchaseAttribution's
+    // single-credit model), then attributed revenue rolls up by click
+    // hour-of-day — "which hours' clicks drive purchases". Shape: one
+    // user-keyed equi-join with a time-band predicate (per-user event
+    // lists are bounded), per-purchase click count from a window over
+    // the joined pairs, one 24-row agg. Splits are per-row doubles
+    // over exact counts; totals go through the decimal sum.
+    "events_attribution_linear" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"), unix_micros(col("ts")).as("us"),
+          hour(col("ts")).as("hod"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("value").as("buy_value"), col("us").as("buy_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("click_us"), col("hod"))
+      val touched = buys.join(clicks, Seq("user_id"))
+        .filter(col("click_us") >= col("buy_us") - lit(3600000000L) &&
+          col("click_us") <= col("buy_us"))
+      val wBuy = Window.partitionBy(col("buy_id"))
+      touched
+        .withColumn("k", count(lit(1)).over(wBuy))
+        .withColumn("credit", col("buy_value") / col("k"))
+        .groupBy(col("hod"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("buy_id")).as("n_purchases"),
+          round(dsum(col("credit")), 6).as("attributed_value"))
+        .orderBy(col("hod"))
+    },
+
     // stream-static enrichment — THE most common streaming pattern:
     // each microbatch joins a slowly-changing dimension (customer →
     // nation) before aggregating. Structured Streaming supports
@@ -388,6 +422,24 @@ object EventStream {
         |  PARTITION BY user_id, epoch_us(ts) // 60000000
         |  ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    "events_attribution_linear" ->
+      """WITH e AS (SELECT user_id, event_type, value, event_id,
+        |    epoch_us(ts) AS us, hour(ts) AS hod FROM events),
+        |buys AS (SELECT user_id, event_id AS buy_id, value AS buy_value,
+        |    us AS buy_us FROM e WHERE event_type = 'purchase'),
+        |clicks AS (SELECT user_id, event_id AS click_id, us AS click_us,
+        |    hod FROM e WHERE event_type = 'click'),
+        |touched AS (SELECT b.buy_id, b.buy_value, c.hod
+        |  FROM buys b JOIN clicks c ON c.user_id = b.user_id
+        |    AND c.click_us >= b.buy_us - 3600000000
+        |    AND c.click_us <= b.buy_us),
+        |k AS (SELECT *, count(*) OVER (PARTITION BY buy_id) AS k
+        |  FROM touched)
+        |SELECT hod, count(*) AS n_touches,
+        |  count(DISTINCT buy_id) AS n_purchases,
+        |  round(CAST(sum(CAST(buy_value / k AS DECIMAL(18,6)))
+        |    AS DOUBLE), 6) AS attributed_value
+        |FROM k GROUP BY hod ORDER BY hod""".stripMargin,
     "stream_static_enrich" ->
       """SELECT n_name, event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
