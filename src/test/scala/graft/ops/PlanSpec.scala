@@ -167,6 +167,22 @@ class PlanSpec extends AnyFunSuite {
     assert(welch.contains("HashAggregate"), welch)
   }
 
+  test("quality expectations: same-table rules share one scan") {
+    val plan = formatted(q("quality_expectations"))
+    // 3 orders rules → 1 agg scan (+1 for the referential anti-join's
+    // build side); 1 lineitem range rule + n_checked + anti-join probe.
+    // Formatted plans list each scan in the tree AND the detail
+    // section — count only the numbered detail entries.
+    val scans = plan.linesIterator
+      .count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+    assert(scans <= 5, s"expectations suite re-scans tables: $scans scans\n$plan")
+  }
+
+  test("stream-static enrich: dimension side is broadcast") {
+    val plan = formatted(q("stream_static_enrich"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("semantic contamination probe plans with equi-joins only") {
     val plan = formatted(q("text_contamination_semantic"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
