@@ -224,6 +224,40 @@ object EventStream {
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
     },
+    // time-to-convert distribution (first view → first subsequent
+    // purchase, in whole minutes): the product-analytics latency
+    // metric next to the funnel's step counts. Integer-minute deltas
+    // + exact rank-based percentiles (⌈n·q⌉-th order statistic — no
+    // float interpolation to diverge cross-engine) over the
+    // |converted-users|-bounded frame; one user_id shuffle total.
+    "events_time_to_convert" -> { (s, dir) =>
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id")
+        .filter(col("us") >= col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("us")).as("t_buy"))
+        .select(col("user_id"),
+          floor((col("t_buy") - col("t_view")) / 60000000L).as("mins"))
+      val w = Window.orderBy(col("mins"), col("user_id"))
+      val wAll = Window.partitionBy()
+      p.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("k50", ceil(col("n") * 0.5).cast(LongType))
+        .withColumn("k90", ceil(col("n") * 0.9).cast(LongType))
+        .groupBy()
+        .agg(max(col("n")).as("n_converted"),
+          max(when(col("rk") === col("k50"), col("mins")))
+            .as("median_minutes"),
+          max(when(col("rk") === col("k90"), col("mins")))
+            .as("p90_minutes"),
+          q6(davg(col("mins"))).as("mean_minutes"))
+    },
+
     // linear multi-touch attribution: each purchase's value is split
     // EQUALLY across the user's clicks in the preceding hour (the
     // multi-touch answer to last-touch purchaseAttribution's
@@ -422,6 +456,30 @@ object EventStream {
         |  PARTITION BY user_id, epoch_us(ts) // 60000000
         |  ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    "events_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id,
+        |    CAST(floor((min(e.us) - v.t_view) / 60000000.0) AS BIGINT)
+        |      AS mins
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us >= v.t_view
+        |  GROUP BY e.user_id, v.t_view),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY mins, user_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM p),
+        |k AS (SELECT *, CAST(ceil(n * 0.5) AS BIGINT) AS k50,
+        |    CAST(ceil(n * 0.9) AS BIGINT) AS k90 FROM r)
+        |SELECT max(n) AS n_converted,
+        |  max(CASE WHEN rk = k50 THEN mins END) AS median_minutes,
+        |  max(CASE WHEN rk = k90 THEN mins END) AS p90_minutes,
+        |  floor(CAST(sum(CAST(mins AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(mins) * 1000000.0 + 0.5) / 1000000.0
+        |    AS mean_minutes
+        |FROM k""".stripMargin,
     "events_attribution_linear" ->
       """WITH e AS (SELECT user_id, event_type, value, event_id,
         |    epoch_us(ts) AS us, hour(ts) AS hod FROM events),
