@@ -156,7 +156,63 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Audio-codec STUB =========================================
+    * Real audio feature extraction decodes frames then computes
+    * windowed energy; the codec is stubbed (no audio libs in this
+    * container), so the SAME windowed-energy pass runs on the payload
+    * bytes as 8-bit PCM centered at 128. All-integer arithmetic
+    * (sum of squared deviations per 64-sample window) so the DuckDB
+    * oracle reproduces every value. */
+  val AudioWindow = 64
+
+  /** Per-doc windowed energy profile: window count, total energy,
+    * peak window (argmax energy, earliest on ties), and silence
+    * ratio (windows under an RMS≈16 threshold). One mapPartitions
+    * pass — per-partition codec init point, like decodeBatch. */
+  def audioEnergy(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id").cast(LongType), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // val codec = AudioCodec.open()  // per-partition init (STUB)
+        it.flatMap { case (id, bytes) =>
+          val nw = bytes.length / AudioWindow
+          if (nw == 0) Iterator.empty
+          else {
+            var total = 0L; var peak = Long.MinValue; var peakIdx = -1
+            var silent = 0L
+            var w = 0
+            while (w < nw) {
+              var ss = 0L
+              var i = w * AudioWindow
+              val end = i + AudioWindow
+              while (i < end) {
+                val s = (bytes(i) & 0xff) - 128
+                ss += s.toLong * s
+                i += 1
+              }
+              total += ss
+              if (ss > peak) { peak = ss; peakIdx = w }
+              if (ss < AudioWindow.toLong * 16 * 16) silent += 1
+              w += 1
+            }
+            Iterator((id, nw.toLong, total, peak, peakIdx.toLong, silent))
+          }
+        }
+      }
+      .toDF("doc_id", "n_windows", "total_energy", "peak_energy",
+        "peak_window", "silent_windows")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // audio energy profile over stubbed PCM payloads — all-integer,
+    // fully oracle-checked; the mapPartitions shape is where codec
+    // state lives in a real deployment
+    "mm_audio_energy" -> { (s, dir) =>
+      audioEnergy(payloads(s, dir)).orderBy(col("doc_id"))
+    },
     // binary column plumbing: payload sizes + hashes (oracle-checked —
     // DuckDB sees the identical UTF-8 bytes via CAST(text AS BLOB))
     "mm_binary_meta" -> { (s, dir) =>
@@ -257,6 +313,31 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_audio_energy" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS L
+         |  FROM documents WHERE length(text) >= $AudioWindow),
+         |cp AS (SELECT doc_id, L // $AudioWindow AS nw,
+         |    list_transform(range(1, L+1),
+         |      i -> ord(substr(text, i, 1))) AS b
+         |  FROM d),
+         |wi AS (SELECT doc_id, nw, b,
+         |    unnest(range(0, nw)) AS wi FROM cp),
+         |w AS (SELECT doc_id, nw, wi,
+         |    CAST(list_sum(list_transform(
+         |      b[wi * $AudioWindow + 1 : (wi + 1) * $AudioWindow],
+         |      x -> (x - 128) * (x - 128))) AS BIGINT) AS ss
+         |  FROM wi),
+         |pk AS (SELECT doc_id, ss AS peak_energy, wi AS peak_window
+         |  FROM w QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY ss DESC, wi) = 1)
+         |SELECT w.doc_id, CAST(max(nw) AS BIGINT) AS n_windows,
+         |  CAST(sum(ss) AS BIGINT) AS total_energy,
+         |  max(pk.peak_energy) AS peak_energy,
+         |  max(pk.peak_window) AS peak_window,
+         |  CAST(sum(CASE WHEN ss < ${AudioWindow * 16 * 16}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS silent_windows
+         |FROM w JOIN pk ON pk.doc_id = w.doc_id
+         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "mm_coverage_report" ->
       """SELECT COALESCE(d.source, '_orphan_vec') AS source,
         |  count(d.doc_id) AS n_docs,

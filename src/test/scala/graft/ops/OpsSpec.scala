@@ -552,6 +552,21 @@ class OpsSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("audio energy: planted silence and peak land where constructed") {
+    // 3 windows of 64 "samples": silent (all 128 → energy 0), loud
+    // (alternating ±100 → 64·10000), mild (all 128±8 → 64·64)
+    val bytes = (Array.fill(64)(128.toByte)
+      ++ Array.tabulate(64)(i => if (i % 2 == 0) 228.toByte else 28.toByte)
+      ++ Array.fill(64)(136.toByte))
+    val rows = Seq((1L, bytes)).toDF("doc_id", "payload")
+    val r = Multimodal.audioEnergy(rows).head
+    assert(r.getAs[Long]("n_windows") == 3)
+    assert(r.getAs[Long]("peak_energy") == 64L * 100 * 100)
+    assert(r.getAs[Long]("peak_window") == 1)
+    assert(r.getAs[Long]("silent_windows") == 2) // 0 and 64·64 < 16384
+    assert(r.getAs[Long]("total_energy") == 64L * 100 * 100 + 64L * 64)
+  }
+
   test("phash band join finds planted byte-flipped payload dups losslessly") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(4096)(rnd.nextInt().toByte)
