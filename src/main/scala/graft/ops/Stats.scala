@@ -235,6 +235,35 @@ object Stats {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
+    // Median absolute deviation per event type — the robust dispersion
+    // number that outliers can't poison (the z-score/winsorize family's
+    // missing companion). Exact ⌈n/2⌉ rank order statistics for both
+    // the median and the deviation median (no float interpolation);
+    // two type-keyed windows over the value column. At 100 TB the
+    // KLL-sketch quantile rollup (q_kll_rollup) is the approximate
+    // twin; this is the exact anchor.
+    "q_mad_by_type" -> { (s, dir) =>
+      val e = events(s, dir).select(col("event_type"), col("value"),
+        col("event_id"))
+      val wMed = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val wT = Window.partitionBy(col("event_type"))
+      val med = e
+        .withColumn("rk", row_number().over(wMed))
+        .withColumn("n", count(lit(1)).over(wT))
+        .filter(col("rk") === ceil(col("n") / lit(2.0)).cast(LongType))
+        .select(col("event_type"), col("value").as("median"), col("n"))
+      val wDev = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev"), col("event_id"))
+      e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("median")))
+        .withColumn("rk", row_number().over(wDev))
+        .filter(col("rk") === ceil(col("n") / lit(2.0)).cast(LongType))
+        .select(col("event_type"), col("n"), q6(col("median")).as("median"),
+          q6(col("dev")).as("mad"))
+        .orderBy(col("event_type"))
+    },
+
     // Kaplan–Meier survival curve over user lifetimes (Kaplan & Meier
     // 1958) — the churn-analysis estimator that handles censoring
     // correctly, where a naive mean-lifetime over observed spans is
@@ -586,6 +615,27 @@ object Stats {
         |    / (count(*) * CAST(sum(CAST(x AS DECIMAL(28,6))) AS DOUBLE)),
         |    6) AS gini
         |FROM r""".stripMargin,
+    "q_mad_by_type" ->
+      """WITH e AS (SELECT event_type, value, event_id FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |med AS (SELECT event_type, value AS median, n FROM r
+        |  WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)),
+        |d AS (SELECT e.event_type, med.n, med.median,
+        |    abs(e.value - med.median) AS dev, e.event_id
+        |  FROM e JOIN med USING (event_type)),
+        |dr AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rk
+        |  FROM d)
+        |SELECT event_type, n,
+        |  floor(median * 1000000.0 + 0.5) / 1000000.0 AS median,
+        |  floor(dev * 1000000.0 + 0.5) / 1000000.0 AS mad
+        |FROM dr WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)
+        |ORDER BY event_type""".stripMargin,
     "events_kaplan_meier" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |hz AS (SELECT max(us) AS t_end FROM e),

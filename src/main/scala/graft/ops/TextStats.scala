@@ -110,6 +110,27 @@ object TextStats {
       scored.withColumn("pred_lang", predictLang(scores))
         .orderBy(col("doc_id"))
     },
+    // per-doc character-distribution Shannon entropy — the
+    // compressibility proxy quality filters use next to the repetition
+    // rules (binary blobs and keyboard-mash score far from prose's
+    // ~4.1 bits/char; here in nats). One char explode (n_chars rows)
+    // → per-(doc, char) counts → per-doc decimal-summed −Σp·ln p;
+    // vocabulary is char-bounded so the second agg is tiny.
+    "text_char_entropy" -> { (s, dir) =>
+      val chars = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).as("len"),
+          explode(split(col("text"), "")).as("ch"))
+      chars.groupBy(col("doc_id"), col("len"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("p", col("c").cast(DoubleType) / col("len"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("len")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          q6(dsum(-col("p") * log(col("p")))).as("entropy_nats"))
+        .orderBy(col("doc_id"))
+    },
+
     // language-ID confusion matrix + per-class recall — the EVAL that
     // turns the classifier into a monitored component (which languages
     // leak into which). Same scoring as text_langid, then one
@@ -631,6 +652,20 @@ object TextStats {
          |    ELSE 'fr' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin
     },
+    "text_char_entropy" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+        |    list_transform(range(1, length(text)+1),
+        |      i -> substr(text, i, 1)) AS cs
+        |  FROM documents WHERE length(text) > 0),
+        |ch AS (SELECT doc_id, len, unnest(cs) AS ch FROM d),
+        |c AS (SELECT doc_id, len, ch, count(*) AS c
+        |  FROM ch GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, len, CAST(c AS DOUBLE) / len AS p FROM c)
+        |SELECT doc_id, CAST(max(len) AS BIGINT) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  floor(CAST(sum(CAST(-p * ln(p) AS DECIMAL(18,6))) AS DOUBLE)
+        |    * 1000000.0 + 0.5) / 1000000.0 AS entropy_nats
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_langid_confusion" -> {
       val scoreCols = LangOrder.map(l =>
         s"len(list_filter(toks, x -> x IN ${duckStop(l)})) AS s_$l")
