@@ -77,6 +77,38 @@ object Stats {
         .orderBy(col("event_type"))
     },
 
+    // A/B power analysis: the minimum detectable effect at the CURRENT
+    // sample sizes (α = 0.05 two-sided, power 0.8 → z-sum 2.8016) —
+    // the design-phase number that belongs next to the Welch readout
+    // (an experiment whose observed lift is under its MDE was never
+    // powered to conclude anything). Same one-agg moment reduction as
+    // ab_welch_ttest; MDE = 2.8016·√(v_a/n_a + v_b/n_b).
+    "ab_power_mde" -> { (s, dir) =>
+      val moments = events(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("vr",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      def arm(i: Int, c: String) = max(when(col("arm") === i, col(c)))
+      moments.groupBy(col("event_type"))
+        .agg(arm(0, "n").as("n_a"), arm(1, "n").as("n_b"),
+          arm(0, "mean").as("m_a"), arm(1, "mean").as("m_b"),
+          arm(0, "vr").as("v_a"), arm(1, "vr").as("v_b"))
+        .withColumn("se",
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+        .withColumn("pooled_mean",
+          (col("m_a") * col("n_a") + col("m_b") * col("n_b")) /
+            (col("n_a") + col("n_b")))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          q6(col("se")).as("se"),
+          q6(lit(2.8016) * col("se")).as("mde_abs"),
+          q6(lit(2.8016) * col("se") / col("pooled_mean")).as("mde_rel"))
+        .orderBy(col("event_type"))
+    },
+
     // Chi-square test of independence between assignment arm and event
     // type mix (the guardrail check that an experiment's traffic split
     // is unbiased): observed counts from one hash agg, expected from
@@ -455,6 +487,31 @@ object Stats {
         |  round(se2 * se2 /
         |    (v_a * v_a / (n_a * n_a * (n_a - 1)) +
         |     v_b * v_b / (n_b * n_b * (n_b - 1))), 6) AS welch_df
+        |FROM se ORDER BY event_type""".stripMargin,
+    "ab_power_mde" ->
+      """WITH m AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (SELECT event_type, arm, n, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS vr FROM m),
+        |p AS (SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 0 THEN mean END) AS m_a,
+        |    max(CASE WHEN arm = 1 THEN mean END) AS m_b,
+        |    max(CASE WHEN arm = 0 THEN vr END) AS v_a,
+        |    max(CASE WHEN arm = 1 THEN vr END) AS v_b
+        |  FROM mv GROUP BY 1),
+        |se AS (SELECT *, sqrt(v_a / n_a + v_b / n_b) AS se,
+        |    (m_a * n_a + m_b * n_b) / (n_a + n_b) AS pooled_mean
+        |  FROM p)
+        |SELECT event_type, n_a, n_b,
+        |  floor(se * 1000000.0 + 0.5) / 1000000.0 AS se,
+        |  floor(2.8016 * se * 1000000.0 + 0.5) / 1000000.0 AS mde_abs,
+        |  floor(2.8016 * se / pooled_mean * 1000000.0 + 0.5) / 1000000.0
+        |    AS mde_rel
         |FROM se ORDER BY event_type""".stripMargin,
     "ab_chi_square" ->
       """WITH c AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,

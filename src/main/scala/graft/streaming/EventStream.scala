@@ -224,6 +224,31 @@ object EventStream {
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
     },
+    // session behavior summary over the sessionize output: session
+    // count, bounce rate (single-event sessions — THE engagement KPI
+    // sessionization exists to feed), events/session, median session
+    // duration in seconds (exact rank). The session table is
+    // |sessions|-sized, so everything after sessionize is bounded.
+    "events_session_stats" -> { (s, dir) =>
+      val sess = sessionize(events(s, dir))
+        .withColumn("dur_s",
+          floor((unix_micros(col("session_end")) -
+            unix_micros(col("session_start"))) / 1000000L))
+      val w = Window.orderBy(col("dur_s"), col("user_id"),
+        col("session_id"))
+      val wAll = Window.partitionBy()
+      sess
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .groupBy()
+        .agg(max(col("n")).as("n_sessions"),
+          round(sum((col("n_events") === 1).cast(IntegerType))
+            .cast(DoubleType) / max(col("n")), 6).as("bounce_rate"),
+          q6(davg(col("n_events"))).as("mean_events_per_session"),
+          max(when(col("rk") === ceil(col("n") / lit(2.0)).cast(LongType),
+            col("dur_s"))).as("median_duration_s"))
+    },
+
     // time-to-convert distribution (first view → first subsequent
     // purchase, in whole minutes): the product-analytics latency
     // metric next to the funnel's step counts. Integer-minute deltas
@@ -456,6 +481,39 @@ object EventStream {
         |  PARTITION BY user_id, epoch_us(ts) // 60000000
         |  ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    "events_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1
+        |         WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM g),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |    CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts)))
+        |      / 1000000.0) AS BIGINT) AS dur_s
+        |  FROM s GROUP BY user_id, session_id),
+        |r AS (SELECT *,
+        |    row_number() OVER (ORDER BY dur_s, user_id, session_id) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM sess)
+        |SELECT max(n) AS n_sessions,
+        |  round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / max(n), 6) AS bounce_rate,
+        |  floor(CAST(sum(CAST(n_events AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(n_events) * 1000000.0 + 0.5) / 1000000.0
+        |    AS mean_events_per_session,
+        |  max(CASE WHEN rk = CAST(ceil(n / 2.0) AS BIGINT)
+        |    THEN dur_s END) AS median_duration_s
+        |FROM r""".stripMargin,
     "events_time_to_convert" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
         |  FROM events),
