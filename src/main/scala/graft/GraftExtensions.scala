@@ -91,9 +91,16 @@ object GraftFunctions {
   * custom Catalyst expressions callable from SQL on every session of a
   * cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, cls, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), builder))
     }
+    // domain rewrites + the custom physical operator, so the
+    // cluster-wide extensions path carries the FULL surface (the
+    // in-session path is Scale.registerSqlFunctions +
+    // plans.TopKPerKey.register)
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinPigeonhole)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }

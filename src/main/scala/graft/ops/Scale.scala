@@ -56,6 +56,15 @@ object Scale {
       GraftBridge.registerFunction(spark, name, builder)
     }
 
+  /** In-session registration of the domain optimizer rules (the
+    * extensions path injects them cluster-wide). Idempotent. */
+  def registerOptimizerRules(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinPigeonhole))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.LevenshteinPigeonhole
+
   /** Write both fact tables bucketed+sorted on the join key, then join
     * the bucketed tables. With matching bucket counts the sort-merge
     * join needs NO Exchange on either side — at 100 TB this is the

@@ -167,6 +167,34 @@ class PlanSpec extends AnyFunSuite {
     assert(welch.contains("HashAggregate"), welch)
   }
 
+  test("levenshtein pigeonhole rule: guard injected, idempotent, lossless") {
+    import spark.implicits._
+    Scale.registerOptimizerRules(spark)
+    Scale.registerOptimizerRules(spark) // registration idempotence
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.plans.LevenshteinPigeonhole) == 1)
+    // parquet-backed frame: a local Seq would be constant-folded into
+    // a LocalRelation before the plan can be inspected
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val filtered = docs.filter(
+      org.apache.spark.sql.functions.levenshtein($"lang", $"source") <= 2)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    // the injected guard survives optimization exactly once
+    assert(opt.contains("abs((length(lang"),
+      s"length guard not injected:\n$opt")
+    assert("abs\\(".r.findAllIn(opt).size == 1,
+      s"guard duplicated (rule not idempotent under fixpoint):\n$opt")
+    // semantics unchanged on a hand-checkable frame: kitten→sitting is
+    // distance 3 — the guard passes it (length diff 1) but the real
+    // filter must still drop it
+    val df = Seq(("ab", "abc"), ("abcdef", "a"), ("same", "same"),
+      ("kitten", "sitting")).toDF("x", "y")
+    val kept = df.filter(
+      org.apache.spark.sql.functions.levenshtein($"x", $"y") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept == Set(("ab", "abc"), ("same", "same")))
+  }
+
   test("quality expectations: same-table rules share one scan") {
     val plan = formatted(q("quality_expectations"))
     // 3 orders rules → 1 agg scan (+1 for the referential anti-join's
