@@ -242,6 +242,71 @@ object Incremental {
       processCdcBatch(b, stateDir)
     }
 
+  /** Incremental Holt (level, trend) state maintenance — the streaming
+    * form of `events_holt_hourly`: each microbatch's per-(type, hour)
+    * counts are folded INTO the persisted two-field state instead of
+    * re-running the whole series. The recursion is sequential per key,
+    * so the contract matches CDC's: batches arrive time-ordered (and
+    * must not split an hour — align microbatch boundaries to the
+    * window, as any hourly trigger does). Because each step's
+    * arithmetic is the identical IEEE floor-quantized expression, the
+    * replayed state is BIT-EQUAL to the one-shot batch fold — the
+    * registered two-batch replay shares events_holt_hourly's oracle
+    * verbatim. Overwrite keeps restarts exactly-once-equivalent. */
+  def processHoltBatch(batch: DataFrame, stateDir: String): Unit = {
+    val sp = batch.sparkSession
+    val hourly = batch
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour_start"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("b_hours"),
+        array_sort(collect_list(struct(col("hour_start"), col("n"))))
+          .as("series"))
+    val stateSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n_hours", LongType), StructField("last_n", LongType),
+      StructField("level", DoubleType), StructField("trend", DoubleType)))
+    val state =
+      if (new java.io.File(stateDir).exists) sp.read.parquet(stateDir)
+      else sp.createDataFrame(
+        sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    val merged = hourly.join(
+        state.select(col("event_type"), col("n_hours").as("s_hours"),
+          col("last_n").as("s_last"), col("level").as("s_l"),
+          col("trend").as("s_b")),
+        Seq("event_type"), "full_outer")
+      // seed the fold with the persisted state; fresh types initialize
+      // from their first element via the NULL branch — the exact batch
+      // expression with a different zero
+      .withColumn("st", expr(
+        """aggregate(coalesce(series, array()),
+          |  named_struct('l', s_l, 'b', coalesce(s_b, CAST(0 AS DOUBLE))),
+          |  (acc, x) -> CASE WHEN acc.l IS NULL
+          |    THEN named_struct('l', CAST(x.n AS DOUBLE),
+          |      'b', CAST(0 AS DOUBLE))
+          |    ELSE named_struct(
+          |      'l', floor((0.3D * x.n + 0.7D * (acc.l + acc.b))
+          |        * 1000000.0 + 0.5) / 1000000.0,
+          |      'b', floor((0.3D * (floor((0.3D * x.n + 0.7D * (acc.l + acc.b))
+          |          * 1000000.0 + 0.5) / 1000000.0 - acc.l)
+          |        + 0.7D * acc.b) * 1000000.0 + 0.5) / 1000000.0) END)"""
+          .stripMargin))
+      .select(col("event_type"),
+        (coalesce(col("s_hours"), lit(0L)) +
+          coalesce(col("b_hours"), lit(0L))).as("n_hours"),
+        coalesce(element_at(col("series"), -1).getField("n"),
+          col("s_last")).as("last_n"),
+        col("st.l").as("level"), col("st.b").as("trend"))
+    merged.localCheckpoint().write.mode("overwrite").parquet(stateDir)
+  }
+
+  /** Streaming wrapper: maintain the Holt state per microbatch. */
+  def holtStream(stream: DataFrame, stateDir: String) =
+    stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      processHoltBatch(b, stateDir)
+    }
+
   /** LshBuckets band index over base-corpus EMBEDDINGS: (tb, bk, id) —
     * the persisted semantic-dedup analogue of [[bandIndex]]. In
     * production this parquet table is maintained across runs (append
@@ -633,6 +698,31 @@ object Incremental {
       out
     },
 
+    // deterministic 2-batch replay of the incremental Holt handler:
+    // events split at an HOUR boundary (the handler contract) arrive
+    // as two microbatches folding into the persisted (level, trend)
+    // state; the result must be BIT-EQUAL to the one-shot batch fold,
+    // so this shares events_holt_hourly's oracle verbatim.
+    "stream_holt_state" -> { (s, dir) =>
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_holt_stream").toString
+      val stateDir = s"$tmp/state"
+      val e = events(s, dir)
+      val hourOf = floor(unix_micros(col("ts")) / 3600000000L)
+      val cut = e.agg(((min(hourOf) + max(hourOf)) / lit(2L))
+        .cast(LongType)).head.getLong(0)
+      processHoltBatch(e.filter(hourOf < cut), stateDir)
+      processHoltBatch(e.filter(hourOf >= cut), stateDir)
+      val out = s.read.parquet(stateDir)
+        .select(col("event_type"), col("n_hours"), col("last_n"),
+          col("level"), col("trend"),
+          q6(col("level") + col("trend")).as("forecast_next"))
+        .orderBy(col("event_type"))
+        .localCheckpoint()
+      graft.Util.rmrf(new java.io.File(tmp))
+      out
+    },
+
     // all-pairs anchor for semantic incremental dedup (batch×base
     // only); τ = 0.45 matches the corpus-wide exact anchor family
     "dedup_incr_embedding_exact" -> { (s, dir) =>
@@ -840,6 +930,9 @@ object Incremental {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // bit-equal to the one-shot fold by construction → same oracle
+    "stream_holt_state" ->
+      graft.ops.Warehouse.oracleSql("events_holt_hourly"),
     "incr_embedding_drift" ->
       """WITH e AS (
         |  SELECT substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'd' AS is_base,

@@ -18,6 +18,39 @@ class IncrementalSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("incremental holt: 3-batch replay bit-equals the one-shot fold") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_holt_spec").toString
+    val stateDir = s"$tmp/state"
+    val e = Q.events(spark, sf)
+    val hourOf = floor(unix_micros(col("ts")) / 3600000000L)
+    val bounds = e.agg(min(hourOf).cast("long"), max(hourOf).cast("long"))
+      .head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    Incremental.processHoltBatch(e.filter(hourOf < c1), stateDir)
+    Incremental.processHoltBatch(
+      e.filter(hourOf >= c1 && hourOf < c2), stateDir)
+    Incremental.processHoltBatch(e.filter(hourOf >= c2), stateDir)
+    val streamed = spark.read.parquet(stateDir)
+      .select(col("event_type"), col("n_hours"), col("last_n"),
+        col("level"), col("trend"))
+      .orderBy(col("event_type")).collect().toSeq
+    val batch = Warehouse.queries("events_holt_hourly")(spark, sf)
+      .select(col("event_type"), col("n_hours"), col("last_n"),
+        col("level"), col("trend"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(streamed == batch)
+    // an empty microbatch is a no-op on the state
+    Incremental.processHoltBatch(e.filter(lit(false)), stateDir)
+    val after = spark.read.parquet(stateDir)
+      .select(col("event_type"), col("n_hours"), col("last_n"),
+        col("level"), col("trend"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(after == streamed)
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
   test("incremental exact: survivors are novel vs index and unique in batch") {
     import spark.implicits._
     val base = Seq((1L, "a b c"), (2L, "d e f")).toDF("id", "text")
