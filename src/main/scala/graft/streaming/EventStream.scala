@@ -224,6 +224,32 @@ object EventStream {
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
     },
+    // full cohort-retention curve (the triangle chart behind
+    // events_cohort_retention's single w→w+1 column): for each cohort
+    // week, the fraction of its users active k ∈ 0..3 weeks later.
+    // Distinct (user, week) first (one shuffle — the only data-sized
+    // step), then a user-keyed self-join exploded over the bounded
+    // offset list; output is |weeks|×4 rows.
+    "events_retention_curve" -> { (s, dir) =>
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("w"))
+        .distinct()
+      val cohort = uw.groupBy(col("w"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      uw.alias("a")
+        .join(uw.alias("b"), col("a.user_id") === col("b.user_id"))
+        .filter(col("b.w") >= col("a.w") && col("b.w") <= col("a.w") + 3)
+        .groupBy(col("a.w").as("w"), (col("b.w") - col("a.w")).as("k"))
+        .agg(count(lit(1)).as("retained"))
+        .join(broadcast(cohort), "w")
+        .withColumn("retention",
+          round(col("retained").cast(DoubleType) / col("cohort_size"), 6))
+        .select(col("w"), col("k"), col("cohort_size"), col("retained"),
+          col("retention"))
+        .orderBy(col("w"), col("k"))
+    },
+
     // session behavior summary over the sessionize output: session
     // count, bounce rate (single-event sessions — THE engagement KPI
     // sessionization exists to feed), events/session, median session
@@ -481,6 +507,19 @@ object EventStream {
         |  PARTITION BY user_id, epoch_us(ts) // 60000000
         |  ORDER BY event_id) = 1
         |ORDER BY event_id""".stripMargin,
+    "events_retention_curve" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS w FROM events),
+        |cohort AS (SELECT w, count(DISTINCT user_id) AS cohort_size
+        |  FROM uw GROUP BY 1),
+        |r AS (SELECT a.w AS w, b.w - a.w AS k, count(*) AS retained
+        |  FROM uw a JOIN uw b ON a.user_id = b.user_id
+        |  WHERE b.w >= a.w AND b.w <= a.w + 3
+        |  GROUP BY 1, 2)
+        |SELECT r.w, r.k, cohort_size, retained,
+        |  round(CAST(retained AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM r JOIN cohort ON cohort.w = r.w
+        |ORDER BY r.w, r.k""".stripMargin,
     "events_session_stats" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
