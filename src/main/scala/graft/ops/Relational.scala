@@ -195,6 +195,36 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     },
 
+    // share-of-parent hierarchy analytics: each nation's revenue share
+    // within its region and each region's share of the total — the
+    // drill-down companion to the rollup totals. One fact aggregate to
+    // (region, nation) rows; both share windows run over the bounded
+    // dimension grid, never data.
+    "q_rollup_share" -> { (s, dir) =>
+      val rev = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"))
+      val wReg = Window.partitionBy(col("r_name"))
+      val wAll = Window.partitionBy()
+      rev
+        .withColumn("region_rev",
+          sum(col("revenue").cast(DecimalType(28, 6))).over(wReg)
+            .cast(DoubleType))
+        .withColumn("total_rev",
+          sum(col("revenue").cast(DecimalType(28, 6))).over(wAll)
+            .cast(DoubleType))
+        .select(col("r_name"), col("n_name"),
+          round(col("revenue"), 2).as("revenue"),
+          round(col("revenue") / col("region_rev"), 6)
+            .as("share_of_region"),
+          round(col("region_rev") / col("total_rev"), 6)
+            .as("region_share_of_total"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
     // cube: all grouping combinations
     "q_cube_lineitem" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -444,6 +474,25 @@ object Relational {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST,
         |         o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_rollup_share" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS revenue
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT *,
+        |    CAST(sum(CAST(revenue AS DECIMAL(28,6)))
+        |      OVER (PARTITION BY r_name) AS DOUBLE) AS region_rev,
+        |    CAST(sum(CAST(revenue AS DECIMAL(28,6)))
+        |      OVER () AS DOUBLE) AS total_rev
+        |  FROM rev)
+        |SELECT r_name, n_name, round(revenue, 2) AS revenue,
+        |  round(revenue / region_rev, 6) AS share_of_region,
+        |  round(region_rev / total_rev, 6) AS region_share_of_total
+        |FROM sh ORDER BY r_name, n_name""".stripMargin,
     "q_cube_lineitem" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         |  count(*) AS n
