@@ -146,6 +146,10 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+      // drain the async listener bus before each counter snapshot —
+      // task-end events delivered late would attribute the warm-up's
+      // (or the previous query's) shuffle/spill bytes to this query
+      org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
       val (w0, r0, sp0) = (shufW.get, shufR.get, spill.get)
       val times = if (!ok) Seq(-1.0) else {
         (1 to timedRuns).map { _ =>
@@ -158,37 +162,42 @@ object Bench {
       // per-timed-run averages so the number is comparable across
       // timedRuns settings
       val runs = math.max(timedRuns, 1)
+      org.apache.spark.sql.GraftBridge.flushListenerBus(spark)
       val shufMb = math.round((shufW.get - w0) / 1e6 / runs * 10) / 10.0
+      val shufRdMb = math.round((shufR.get - r0) / 1e6 / runs * 10) / 10.0
       val spillMb = math.round((spill.get - sp0) / 1e6 / runs * 10) / 10.0
       clear()
       val (usedMb, freeMb) = storageMb
       System.err.println(s"[bench] $name times=${times.mkString(",")} " +
-        s"shuffle_write_mb=$shufMb spill_mb=$spillMb " +
+        s"shuffle_write_mb=$shufMb shuffle_read_mb=$shufRdMb " +
+        s"spill_mb=$spillMb " +
         s"storage_used_mb=$usedMb storage_free_mb=$freeMb")
       // a failed query reports -1 so it can never pass as a fast success
-      (name, times, usedMb, shufMb, spillMb)
+      (name, times, usedMb, shufMb, shufRdMb, spillMb)
     }
-    val qs = results.map { case (k, ts, _, _, _) =>
+    val qs = results.map { case (k, ts, _, _, _, _) =>
       "\"" + k + "\":" + ts(ts.size / 2) }.mkString("{", ",", "}")
     // per-query raw spread [min, median, max] — three numbers that cost
     // nothing and let an anomalous official record self-diagnose
-    val spreads = results.map { case (k, ts, _, _, _) =>
+    val spreads = results.map { case (k, ts, _, _, _, _) =>
       "\"" + k + "\":[" + ts.head + "," + ts(ts.size / 2) + "," + ts.last + "]"
     }.mkString("{", ",", "}")
-    val leaked = results.map { case (k, _, m, _, _) => "\"" + k + "\":" + m }
+    val leaked = results.map { case (k, _, m, _, _, _) => "\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val shuffles = results.map { case (k, _, _, w, _) => "\"" + k + "\":" + w }
+    val shuffles = results.map { case (k, _, _, w, _, _) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val spills = results.map { case (k, _, _, _, sp) => "\"" + k + "\":" + sp }
+    val shuffleReads = results.map { case (k, _, _, _, r, _) =>
+      "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val spills = results.map { case (k, _, _, _, _, sp) => "\"" + k + "\":" + sp }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, ts, _, _, _) => ts(ts.size / 2) }.sum
+    val total = results.map { case (_, ts, _, _, _, _) => ts(ts.size / 2) }.sum
     // The driver captures only the last ~2000 chars of this process's
     // output and parses the JSON line from within that window — round
     // 6's line, grown past 2000 chars by the spread and storage maps,
     // fell out of the window and the official record went null. So the
     // stdout line stays in the compact round-5 shape (≈1.4 KB at 41
     // queries) and the full diagnostics go to a repo artifact + stderr.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"spill_mb":$spills}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable =>

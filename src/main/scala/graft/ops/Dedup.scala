@@ -282,6 +282,48 @@ object Dedup {
     else base + (64 - java.lang.Long.numberOfLeadingZeros(
       (n + refN - 1) / refN - 1)).toInt
 
+  /** Density-governing similarity threshold — the τ analogue of
+    * [[adaptiveBits]]. At a fixed loose τ the similarity graph's edge
+    * count grows ~quadratically with corpus size because the ANSWER
+    * does (3× probe: label-prop 6.4×, k-core 5.8×, incr-embedding
+    * 7.3×): adaptiveBits bounded candidate generation; this bounds the
+    * answer itself. Past `refN`, τ rises to the empirical cosine
+    * quantile that keeps the expected neighborhood at `targetDegree`:
+    * P* = targetDegree/(n−1), τ* = the (1−P*) quantile of pair cosines
+    * over a deterministic hash sample of ~4096 vectors (~8.4M sampled
+    * pairs — resolves P* down to ~10⁻⁵, i.e. corpora to ~10⁶ vectors;
+    * past that the sample must grow ~√n — raise the 4096). Identity at
+    * n ≤ refN, so every tuned correctness/recall/agreement number is
+    * unchanged. Above refN the ANN path AND its exact audit anchor
+    * must be handed the SAME effective τ — that is why this is a
+    * shared function, not a per-operator knob. τ* is floor-quantized
+    * to 4 decimals for stability across approxQuantile's sketch
+    * wobble, and never drops below `base`: the analyst's threshold is
+    * a floor; the policy only tightens. */
+  def adaptiveTau(emb: DataFrame, idCol: String, vecCol: String,
+      base: Double, n: Long, refN: Long, targetDegree: Int = 16): Double = {
+    if (n <= refN) base
+    else {
+      import graft.functions.Vectors
+      val every = math.max(1L, n / 4096L)
+      val s = emb
+        .filter(pmod(xxhash64(col(idCol)), lit(every)) === 0)
+        .select(col(idCol).cast(LongType).as("id"),
+          Vectors.toDouble(col(vecCol)).as("v"))
+      // bounded broadcast cross: ≤ ~4k sampled vectors on the build
+      // side; the probe side is the same sample — ~8.4M cosine rows,
+      // never corpus-sized
+      val pairs = s.as("a").crossJoin(broadcast(s.as("b")))
+        .filter(col("a.id") < col("b.id"))
+        .select(Vectors.cosine(col("a.v"), col("b.v")).as("cos"))
+      val pStar = math.min(1.0,
+        targetDegree.toDouble / math.max(1L, n - 1L))
+      val tau = pairs.stat
+        .approxQuantile("cos", Array(1.0 - pStar), 1e-4).head
+      math.max(base, math.floor(tau * 10000) / 10000)
+    }
+  }
+
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 48, bits: Int = 5,
       dim: Int = 64, multiprobe: Boolean = false): DataFrame = {

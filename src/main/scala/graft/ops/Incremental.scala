@@ -472,6 +472,20 @@ object Incremental {
 
   /** Embedding frames for the md5 batch/base split (same 81/19 split as
     * the document queries, keyed on vec_id). */
+  /** Effective τ for the incremental-embedding family: the tuned 0.45
+    * below the reference corpus size, density-governed above it
+    * ([[Dedup.adaptiveTau]] — the r7 3× probe measured 7.3× growth at
+    * fixed τ because the ANSWER is quadratic in corpus size at fixed
+    * τ). Shared by the index probes and their exact audit anchors so
+    * recall/agreement stay apples-to-apples at every scale point; the
+    * oracle-checked anchor `dedup_incr_embedding_exact` keeps the
+    * fixed 0.45 its DuckDB SQL hard-codes. */
+  private def incrEmbTau(s: SparkSession, dir: String): Double = {
+    val emb = t(s, dir, "embeddings")
+    Dedup.adaptiveTau(emb, "vec_id", "embedding", 0.45,
+      emb.count(), 5000L)
+  }
+
   private def vecSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {
     import graft.functions.Vectors
@@ -738,7 +752,7 @@ object Incremental {
     // dedup_embedding_ann_tight is the right sizing.
     "dedup_incr_embedding" -> { (s, dir) =>
       nearDupEmbeddingAgainstIndex(vecSets(s, dir, base = false),
-        vecSets(s, dir, base = true), 0.45)
+        vecSets(s, dir, base = true), incrEmbTau(s, dir))
         .orderBy(col("id_batch"), col("id_base"))
     },
 
@@ -759,10 +773,11 @@ object Incremental {
       // index width sized once for the full replayed corpus (identity
       // ≤ 5k vectors, so every tuned recall/correctness number holds)
       val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
+      val tau = incrEmbTau(s, dir)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 0),
-        idxDir, vecDir, outDir, 1L, 0.45, bits = bits)
+        idxDir, vecDir, outDir, 1L, tau, bits = bits)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 1),
-        idxDir, vecDir, outDir, 2L, 0.45, bits = bits)
+        idxDir, vecDir, outDir, 2L, tau, bits = bits)
       val out = s.read.parquet(outDir)
         .select(col("id"), col("batch_id"))
         .orderBy(col("id"))
@@ -826,12 +841,13 @@ object Incremental {
       val (b1, b2) = (vecs.filter(col("id") % 2 === 0),
         vecs.filter(col("id") % 2 === 1))
       val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
-      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, 0.45, bits = bits)
-      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, 0.45, bits = bits)
+      val tau = incrEmbTau(s, dir)
+      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau, bits = bits)
+      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau, bits = bits)
       val streamed = s.read.parquet(outDir)
         .select(col("id"), col("batch_id")).localCheckpoint()
       graft.Util.rmrf(new java.io.File(tmp))
-      val exact = exactEmbeddingFold(b1, b2, 0.45)
+      val exact = exactEmbeddingFold(b1, b2, tau)
       val diff = streamed.select(col("id"), col("batch_id"))
         .unionAll(exact)
         .groupBy(col("id"), col("batch_id")).agg(count(lit(1)).as("n"))
@@ -897,10 +913,11 @@ object Incremental {
     },
 
     "audit_incr_embedding_recall" -> { (s, dir) =>
+      val tau = incrEmbTau(s, dir)
       val approx = nearDupEmbeddingAgainstIndex(
-        vecSets(s, dir, base = false), vecSets(s, dir, base = true), 0.45)
+        vecSets(s, dir, base = false), vecSets(s, dir, base = true), tau)
         .select(col("id_batch").as("id_a"), col("id_base").as("id_b"))
-      val exact = exactIncrEmbPairs(s, dir, 0.45)
+      val exact = exactIncrEmbPairs(s, dir, tau)
         .select(col("id_batch").as("id_a"), col("id_base").as("id_b"))
       val matched = approx.join(exact, Seq("id_a", "id_b"), "left_semi")
         .agg(count(lit(1)).as("n_matched"))

@@ -313,9 +313,20 @@ object Multimodal {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // BYTE semantics, self-guarding: the Spark side iterates UTF-8
+    // payload bytes, and this DuckDB build (v1.0) cannot index BLOB
+    // bytes — so L is the true byte length (octet_length over encode)
+    // and byte values come from ord(char), valid ONLY while text is
+    // pure ASCII. The error() guard makes that precondition loud: any
+    // non-ASCII doc aborts the oracle instead of silently comparing
+    // char semantics against byte semantics.
     "mm_audio_energy" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS L
-         |  FROM documents WHERE length(text) >= $AudioWindow),
+      s"""WITH d AS (SELECT doc_id, text,
+         |    CASE WHEN length(text) <> octet_length(encode(text))
+         |      THEN error('mm_audio_energy oracle requires ASCII text')
+         |      ELSE octet_length(encode(text)) END AS L
+         |  FROM documents
+         |  WHERE octet_length(encode(text)) >= $AudioWindow),
          |cp AS (SELECT doc_id, L // $AudioWindow AS nw,
          |    list_transform(range(1, L+1),
          |      i -> ord(substr(text, i, 1))) AS b

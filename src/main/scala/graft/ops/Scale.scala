@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import Q._
 
@@ -16,6 +16,33 @@ import Q._
   * the plan shape is what changes — verified via Explain/specs.
   */
 object Scale {
+
+  /** Degree budget for wedge-generating self-joins (Adamic–Adar
+    * wedges, co-purchase baskets). A key with degree d contributes d²
+    * pair rows, all produced inside the single task that owns the key
+    * — one power-law key at 100 TB is an unboundable task. 2048 keeps
+    * every key's pair volume ≤ ~2M rows (well inside a task) while
+    * sitting far above any degree the TPC-H-shaped test data produces,
+    * so the small-SF oracles are bit-identical with the governor on. */
+  val WedgeDegreeCap = 2048
+
+  /** Hot-key governor predicate for wedge joins: keeps every
+    * contributor of a key whose degree is within `cap`, and for hotter
+    * keys keeps a deterministic ~cap-sized hash sample of contributors
+    * (row kept iff pmod(hash(key, contributor), deg) < cap — each
+    * contributor's hash is a uniform draw in [0, deg), so ~cap of deg
+    * survive, reproducibly). Entirely map-side: the degree is already
+    * on the row (from the broadcast degree join or a basket-size
+    * window), so the governor is one xxhash64 + pmod per row with NO
+    * extra shuffle — unlike a row_number() cap, which would force a
+    * per-key sort of exactly the hot keys it exists to protect.
+    * `audit_wedge_cap` reports what the governor would truncate;
+    * OpsSpec plants a hot key to prove the bound and the bit-identity
+    * of cold keys. */
+  def wedgeGovernor(key: Column, contributor: Column, deg: Column,
+      cap: Int = WedgeDegreeCap): Column =
+    deg <= cap ||
+      pmod(xxhash64(key, contributor), deg.cast(LongType)) < lit(cap.toLong)
 
   /** Salted equi-join for skew: the fact side adds a deterministic salt
     * in [0, n); the dim side is exploded ×n so every (key, salt) bucket

@@ -367,8 +367,21 @@ object Warehouse {
         .agg(count(lit(1)).as("n_orders"))
       val partCnt = items.groupBy(col("part"))
         .agg(count(lit(1)).as("c"))
-      val pairs = items.alias("x")
-        .join(items.alias("y"),
+      // wedge governor on the basket self-join: a 100 TB "basket" can
+      // be a crawler artifact with 10⁶ items → 10¹² pairs in one task.
+      // Basket size arrives via a sort-free count window partitioned on
+      // the SAME key the self-join shuffles on (one exchange, reused by
+      // both join sides); baskets within the cap — all of them at test
+      // SFs — are untouched, so the oracle is unchanged. Per-part
+      // counts and n_orders stay computed from the UNgoverned items:
+      // the governor bounds pair generation, never the true marginals.
+      val governed = items
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("okey"))))
+        .filter(Scale.wedgeGovernor(col("okey"), col("part"), col("bsz")))
+        .drop("bsz")
+      val pairs = governed.alias("x")
+        .join(governed.alias("y"),
           col("x.okey") === col("y.okey") && col("x.part") < col("y.part"))
         .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
         .agg(count(lit(1)).as("c_ab"))
@@ -659,13 +672,19 @@ object Warehouse {
         // different pre-quantization values each step (caught by the
         // Holt query at sf0.1; same hazard here). floor-quantization
         // per step, not round, for the same cross-engine reason (Q.q6).
+        // 1000000.0D not 1000000.0 on BOTH quantization literals: the
+        // bare form parses as DECIMAL, and floor(double) is BIGINT, so
+        // BIGINT / DECIMAL re-types the whole column DECIMAL(,9) —
+        // values identical to the oracle's DOUBLE but rendering
+        // "2.205204000" vs "2.205204", which fails the driver's
+        // rendered-value hash (the round-7 red row).
         .withColumn("ewma", expr(
           """floor(aggregate(series, CAST(NULL AS DOUBLE),
             |  (acc, x) -> CASE WHEN acc IS NULL
             |    THEN CAST(x.n AS DOUBLE)
             |    ELSE floor((0.3D * x.n + 0.7D * acc)
-            |      * 1000000.0 + 0.5) / 1000000.0 END)
-            |  * 1000000.0 + 0.5) / 1000000.0""".stripMargin))
+            |      * 1000000.0D + 0.5D) / 1000000.0D END)
+            |  * 1000000.0D + 0.5D) / 1000000.0D""".stripMargin))
         .withColumn("last_n", element_at(col("series"), -1).getField("n"))
         .select(col("event_type"), col("n_hours"), col("last_n"),
           col("ewma"),
@@ -727,8 +746,14 @@ object Warehouse {
     "q_compaction_plan" -> { (s, dir) =>
       val w = Window.orderBy(col("month"))
       val wb = Window.partitionBy(col("bin"))
+      // cast to DATE: Spark's date_trunc returns TIMESTAMP while the
+      // DuckDB oracle's date_trunc over a DATE column returns DATE —
+      // identical values, but "1995-01-01 00:00:00" vs "1995-01-01"
+      // under the driver's rendered-value hash (the decimal-literal
+      // hazard's calendar cousin, caught by the r8 strict comparator)
       t(s, dir, "lineitem")
-        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType)
+          .as("month"))
         .agg(count(lit(1)).as("n_rows"))
         .withColumn("rows_before",
           coalesce(sum(col("n_rows")).over(

@@ -32,13 +32,21 @@ object LevenshteinPigeonhole extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val guards = conjuncts.flatMap {
+        // Only the UN-thresholded levenshtein(a, b) form is rewritten.
+        // The 3-arg form levenshtein(a, b, t) returns -1 when the
+        // distance exceeds t, so `levenshtein(a, b, t) <= k` keeps
+        // every over-threshold row (-1 <= k) regardless of its length
+        // gap — the pigeonhole guard is NOT implied and conjoining it
+        // would drop rows the filter keeps. (No threshold value makes
+        // it safe: rows with distance > t pass the filter via -1 with
+        // arbitrary length difference.)
         // lev <= k and lev < k both imply the <= k length bound
-        case LessThanOrEqual(Levenshtein(a, b, _),
+        case LessThanOrEqual(Levenshtein(a, b, None),
             k @ Literal(_, IntegerType)) => Some(guardFor(a, b, k))
-        case LessThan(Levenshtein(a, b, _),
+        case LessThan(Levenshtein(a, b, None),
             k @ Literal(_, IntegerType)) => Some(guardFor(a, b, k))
         case GreaterThanOrEqual(k @ Literal(_, IntegerType),
-            Levenshtein(a, b, _)) => Some(guardFor(a, b, k))
+            Levenshtein(a, b, None)) => Some(guardFor(a, b, k))
         case _ => None
       }.distinct
         .filterNot(g => conjuncts.exists(_.semanticEquals(g)))

@@ -224,12 +224,17 @@ object EventStream {
       purchaseAttribution(events(s, dir))
         .orderBy(col("buy_id"), col("click_id"))
     },
-    // full cohort-retention curve (the triangle chart behind
-    // events_cohort_retention's single w→w+1 column): for each cohort
-    // week, the fraction of its users active k ∈ 0..3 weeks later.
-    // Distinct (user, week) first (one shuffle — the only data-sized
-    // step), then a user-keyed self-join exploded over the bounded
-    // offset list; output is |weeks|×4 rows.
+    // ROLLING activity-retention curve (the triangle chart behind
+    // events_cohort_retention's single w→w+1 column): for each week w,
+    // of the users ACTIVE in w, the fraction also active k ∈ 0..3
+    // weeks later. Note this is rolling retention — every active week
+    // anchors a row for a user, so later weeks include returning
+    // users — not the first-seen-week cohort triangle (that variant
+    // would derive cohort = min(w) per user before the offset join;
+    // both conventions are standard, this one answers "of this week's
+    // actives, who sticks"). Distinct (user, week) first (one shuffle
+    // — the only data-sized step), then a user-keyed self-join
+    // exploded over the bounded offset list; output is |weeks|×4 rows.
     "events_retention_curve" -> { (s, dir) =>
       val uw = events(s, dir)
         .select(col("user_id"),

@@ -37,6 +37,13 @@ object GraftBridge {
       case _ => ()
     }
 
+  /** Block until every queued SparkListener event has been delivered
+    * (`listenerBus` is `private[spark]`). Task-end metrics arrive on
+    * the async bus; a telemetry snapshot taken without draining it can
+    * attribute one query's shuffle/spill bytes to the next. */
+  def flushListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a custom expression under a SQL-callable name
     * (`sessionState` is also `private[sql]`). Idempotent. */
   def registerFunction(spark: SparkSession, name: String,

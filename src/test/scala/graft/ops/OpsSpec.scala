@@ -360,6 +360,63 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("adaptiveTau: identity under refN; bounds similarity-graph degree past it") {
+    val n = 2000
+    val vecs = (0 until n).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      (i.toLong, Array.fill(8)(rnd.nextGaussian()))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    // at or below the tuned size the analyst's τ passes through
+    // untouched (and no sampling job runs)
+    assert(Dedup.adaptiveTau(df, "vec_id", "embedding", 0.2,
+      400L, 5000L) == 0.2)
+    // past refN the policy tightens τ to hold expected degree ≈ 16
+    val tau = Dedup.adaptiveTau(df, "vec_id", "embedding", 0.2,
+      n.toLong, 500L, targetDegree = 16)
+    assert(tau > 0.2, s"tau not raised: $tau")
+    val withN = df.select($"vec_id",
+      Vectors.toDouble($"embedding").as("v"))
+    val edges = withN.as("a")
+      .crossJoin(broadcast(withN.as("b")))
+      .filter($"a.vec_id" < $"b.vec_id" &&
+        Vectors.cosine($"a.v", $"b.v") >= tau)
+      .count()
+    // expected n·targetDegree/2 = 16 000 edges; the sampled quantile
+    // plus 4-dp floor-quantization lands within a factor of 2
+    assert(edges > n * 16 / 4 && edges < n * 16,
+      s"edge budget missed: $edges edges at tau=$tau")
+  }
+
+  test("wedge governor: planted hot key bounded, cold keys bit-identical, deterministic") {
+    // one hot part with 300 suppliers (45 150 ungoverned wedge pairs)
+    // among 20 cold parts of degree 4 — the power-law shape the
+    // governor exists for, planted far above the test cap of 16
+    val hot = (1 to 300).map(i => (i.toLong, 9999L))
+    val cold = for (p <- 1 to 20; i <- 1 to 4)
+      yield ((1000L + p * 10 + i, p.toLong))
+    val edges = (hot ++ cold).toDF("l_suppkey", "l_partkey")
+    val governed = Graph.adamicAdar(edges, "l_suppkey", "l_partkey",
+      cap = 16, topK = 1000000).collect()
+    val full = Graph.adamicAdar(edges, "l_suppkey", "l_partkey",
+      cap = 1000000, topK = 1000000).collect()
+    // hot pairs: suppliers 1..300 — the ~Binomial(300, 16/300) sample
+    // (mean 16, sd 3.9) keeps k suppliers → C(k,2) pairs; k ≤ 48
+    // (mean + 8σ) bounds them at C(48,2) ≪ the ungoverned 45 150
+    def isHot(r: org.apache.spark.sql.Row) = r.getLong(0) <= 300
+    val hotPairs = governed.count(isHot)
+    assert(full.count(isHot) == 300 * 299 / 2)
+    assert(hotPairs > 0 && hotPairs <= 48 * 47 / 2,
+      s"hot-key pair volume not governed: $hotPairs")
+    // cold keys (degree 4 ≤ cap) must be BIT-identical to ungoverned,
+    // including scores — the governor may only touch over-cap keys
+    assert(governed.filterNot(isHot).toSet == full.filterNot(isHot).toSet)
+    // deterministic: same sample both runs
+    val again = Graph.adamicAdar(edges, "l_suppkey", "l_partkey",
+      cap = 16, topK = 1000000).collect()
+    assert(governed.toSet == again.toSet)
+  }
+
   test("salted join equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.ops.Q.events(spark, dir)

@@ -193,6 +193,20 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.levenshtein($"x", $"y") <= 2)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(kept == Set(("ab", "abc"), ("same", "same")))
+    // the 3-arg thresholded form must NOT be rewritten: it returns -1
+    // when distance > threshold, so ("abcdef","a") (distance 5, length
+    // gap 5) passes `levenshtein(x, y, 1) <= 2` via -1 — the length
+    // guard is not implied and would wrongly drop that row
+    val optT = docs.filter(
+      org.apache.spark.sql.functions.levenshtein($"lang", $"source", 1) <= 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!optT.contains("abs("),
+      s"thresholded levenshtein must not get the pigeonhole guard:\n$optT")
+    val keptT = df.filter(
+      org.apache.spark.sql.functions.levenshtein($"x", $"y", 1) <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keptT == Set(("ab", "abc"), ("abcdef", "a"), ("same", "same"),
+      ("kitten", "sitting")))
   }
 
   test("quality expectations: same-table rules share one scan") {

@@ -18,8 +18,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(rel):
-    df = rel.df()
-    df = df[sorted(df.columns)]
+    # Render every column to VARCHAR inside DuckDB BEFORE converting to
+    # pandas. rel.df() coerces DECIMAL to float64, which hid the round-7
+    # events_ewma_hourly divergence (Spark wrote DECIMAL(,9) that the
+    # driver's rendered-value hash saw as "2.205204000" while the oracle
+    # DOUBLE rendered "2.205204" — numerically equal, hash-unequal).
+    # Casting to VARCHAR first keeps the rendered form type-faithful, so
+    # a green local check now predicts a green driver gate.
+    proj = ", ".join(f'"{c}"::VARCHAR AS "{c}"' for c in sorted(rel.columns))
+    df = rel.project(proj).df()
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
