@@ -42,13 +42,19 @@ object Dedup {
   val RowsPerBand = 4
   val MaxBucket = 1000
   /** Max Σ|posting| for the broadcast in-memory candidate counter in
-    * [[containmentPlan]] (~32 MB of longs). Under it — the degenerate
-    * small-vocabulary regime, where fat postings make the shuffle
-    * count-join explode — pair counting runs as classic in-memory
-    * AllPairs per partition with zero shuffle; over it (real Zipf
-    * corpora: huge vocab, thin postings) the distributed count-filter
-    * join is the right plan and the broadcast wouldn't fit. */
-  val BroadcastPostingsCap: Long = 4L << 20
+    * [[containmentPlan]] (~128 MB of longs at the cap). Under it — the
+    * degenerate small-vocabulary regime, where fat postings make the
+    * shuffle count-join explode — pair counting runs as classic
+    * in-memory AllPairs per partition with zero shuffle; over it (real
+    * Zipf corpora: huge vocab, thin postings) the distributed
+    * count-filter join is the right plan and the broadcast wouldn't
+    * fit. Raised 4M → 16M at the 10× probe: its ~13M-entry postings
+    * pool ran the distributed branch into an 80+ GB aggregation spill,
+    * while the in-memory counter handles the same volume as in-place
+    * int increments (driver materialization ~300 MB, per-task count
+    * arrays |docs| ≤ volume/tokens-per-doc ints — both comfortably
+    * bounded at any volume this cap admits). */
+  val BroadcastPostingsCap: Long = 16L << 20
 
   /** MinHash signatures via [[graft.functions.MinHashSig]]: one per-row
     * pass, one string hash per shingle, K derived hashes by splitmix
@@ -290,9 +296,13 @@ object Dedup {
     * answer itself. Past `refN`, τ rises to the empirical cosine
     * quantile that keeps the expected neighborhood at `targetDegree`:
     * P* = targetDegree/(n−1), τ* = the (1−P*) quantile of pair cosines
-    * over a deterministic hash sample of ~4096 vectors (~8.4M sampled
-    * pairs — resolves P* down to ~10⁻⁵, i.e. corpora to ~10⁶ vectors;
-    * past that the sample must grow ~√n — raise the 4096). Identity at
+    * over a deterministic hash sample of ~2048 vectors (~2M sampled
+    * pairs — resolves P* down to ~10⁻⁵ⁱˢʰ, i.e. corpora to ~10⁵–10⁶
+    * vectors; past that the sample must grow ~√n — raise the 2048).
+    * The sampling pass costs one bounded job, so CALLERS MEMOIZE the
+    * result per corpus snapshot (τ is a corpus property — computing it
+    * per query invocation turned the 3× probe's dedup_incr_embedding
+    * from 7 s to 18 s before the memo existed). Identity at
     * n ≤ refN, so every tuned correctness/recall/agreement number is
     * unchanged. Above refN the ANN path AND its exact audit anchor
     * must be handed the SAME effective τ — that is why this is a
@@ -305,7 +315,7 @@ object Dedup {
     if (n <= refN) base
     else {
       import graft.functions.Vectors
-      val every = math.max(1L, n / 4096L)
+      val every = math.max(1L, n / 2048L)
       val s = emb
         .filter(pmod(xxhash64(col(idCol)), lit(every)) === 0)
         .select(col(idCol).cast(LongType).as("id"),
@@ -350,10 +360,24 @@ object Dedup {
         Vectors.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = e.select(col("id"), posexplode(GraftBridge.column(
-        graft.functions.LshBuckets(
+    // vectors RIDE THROUGH the band join: candidates are verified and
+    // τ-filtered inline in the join projection, and only the
+    // answer-sized survivor set is ever deduplicated. The previous
+    // shape (distinct over raw (id_a, id_b) candidates, then two
+    // vector join-backs) shuffled the candidate set — tables×probes×
+    // bucket-size rows per vector, 600M rows / 25 GB of spill for
+    // graph_label_prop_ann at the 10× probe — through a hash distinct
+    // BEFORE any of it could be filtered. Carrying the (wider) vector
+    // payload through the bucket equi-join costs tables×probes×~540 B
+    // per vector of shuffle (linear, ~2 GB at 10×) and re-evaluates
+    // the cosine for duplicate candidates (pure map-side CPU), but no
+    // candidate-sized frame is ever exchanged or hash-deduped — the
+    // scarce resource at 100 TB is the shuffle, not the FLOPs.
+    val banded = e.select(col("id"), col("v"), col("nrm"),
+        posexplode(GraftBridge.column(graft.functions.LshBuckets(
           GraftBridge.expression(col("v")), tables, bits, dim))))
-      .select(col("id"), col("pos").as("tb"), col("col").as("bk"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("pos").as("tb"), col("col").as("bk"))
     // multiprobe: ONE side of the self-join also probes the `bits`
     // buckets at Hamming distance 1 (mask 0 = self). With the a.id <
     // b.id filter this is symmetric-enough: pair (x, y) is found iff
@@ -363,20 +387,27 @@ object Dedup {
     // only, letting `tables` shrink ~4× for the same pair recall.
     val probeSide = if (!multiprobe) banded else {
       val masks = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
-      banded.select(col("id"), col("tb"),
+      banded.select(col("id"), col("v"), col("nrm"), col("tb"),
         explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
     }
-    val pairs = probeSide.as("a")
-      .join(banded.as("b"), Seq("tb", "bk"))
+    // hint("merge"): BOTH sides of the band join are corpus-derived —
+    // never a dim table — and Spark's size estimate of the lazily-
+    // cached subtree routinely lands under the broadcast threshold.
+    // The resulting BroadcastHashJoin is ~20× slower than sort-merge
+    // HERE (measured 197 s vs 10 s on the 10× probe, same results):
+    // every one of the ~300M bucket matches pays a HashedRelation
+    // fetch+decode of a 540 B vector row, where the merge join streams
+    // sorted runs. Pinning merge is the statement, not a tuning hack:
+    // at 100 TB neither side could ever broadcast.
+    val out = probeSide.as("a")
+      .join(banded.as("b").hint("merge"), Seq("tb", "bk"))
       .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val a = e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    val out = pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("cos", Vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Vectors.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+      .distinct()
     (out, e)
   }
 
@@ -502,10 +533,30 @@ object Dedup {
         val pref = sorted.select(col("id").as("id_a"), missMax.as("mm"),
           prefLen.as("m"),
           explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
+        // The pair-instance count runs over Σ_tok pref(tok)·|posting|
+        // rows — at the 10× probe ~10 GB of shuffle landing on the
+        // session's 32 partitions, whose per-task aggregation state
+        // then spilled 300 GB. Size the aggregation's partition count
+        // from the posting volume (the driver scalar computed above)
+        // instead: hash-repartition the instances on the pair keys —
+        // a partitioning the groupBy reuses, since hash(id_a, id_b)
+        // clusters every (id_a, id_b, mm, m) group — so each task's
+        // hash table stays bounded no matter the corpus. Map-side
+        // partial aggregation loses nothing here: instances of one
+        // pair arrive scattered across token partitions, so there was
+        // never anything to combine before the exchange.
+        // divisor calibrated at the 10× probe: instance volume runs
+        // ~50× the posting volume on this corpus shape, so one
+        // partition per ~20k postings keeps per-task aggregation
+        // state ~1-2M pairs — inside a task's memory share
+        val aggParts = math.max(
+          sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          math.min(4096, (postingVolume / 20000L).toInt))
         pref.join(postings, "tok")
           .select(col("id_a"), col("mm"), col("m"),
             explode(col("ids")).as("id_b"))
           .filter(col("id_a") =!= col("id_b"))
+          .repartition(aggParts, col("id_a"), col("id_b"))
           .groupBy(col("id_a"), col("id_b"), col("mm"), col("m"))
           .agg(count(lit(1)).as("cnt"))
           .filter(col("cnt") >= col("m") - col("mm"))

@@ -359,9 +359,24 @@ object Incremental {
       .withColumnRenamed("id", "id_batch")
       .select(col("id_batch"), col("tb"),
         explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
+    // verify FIRST, dedup the answer: candidate instances (multiple
+    // (tb, bk) hits for the same pair) flow straight into the vector
+    // joins and the τ filter, and only the answer-sized survivor set
+    // is distinct'ed. Deduping the raw (id_batch, id_base) instances
+    // up front hash-shuffled the full candidate volume — 150M rows /
+    // 4-7 GB of spill at the 10× probe — to save vector joins that
+    // are broadcast (small base) or id-shuffles the old shape paid
+    // anyway (large base). Redundant cosine re-evaluation for
+    // duplicate candidates is map-side CPU, the cheap resource.
+    // (measured at the 10× probe: pinning merge on these three joins
+    // was tried and REVERTED — the skinny index rows and the bounded
+    // batch side make the broadcast fetch acceptable here, while the
+    // forced sort of the candidate-instance stream spilled 75–150 GB.
+    // The wide-row broadcast hazard that justifies the merge pin in
+    // Dedup.embeddingNearDupPlan does not apply to a (tb, bk, id)
+    // index probe.)
     val cands = probes.join(index, Seq("tb", "bk"))
       .select(col("id_batch"), col("id").as("id_base"))
-      .distinct()
     import graft.functions.Vectors
     val a = batch.select(col("id").as("id_batch"), col("v").as("va"),
       col("nrm").as("na"))
@@ -373,6 +388,7 @@ object Incremental {
       .filter(col("cos") >= threshold)
       .select(col("id_batch"), col("id_base"),
         round(col("cos"), 6).as("cosine"))
+      .distinct()
   }
 
   /** One microbatch of streaming SEMANTIC incremental dedup — the
@@ -480,11 +496,17 @@ object Incremental {
     * recall/agreement stay apples-to-apples at every scale point; the
     * oracle-checked anchor `dedup_incr_embedding_exact` keeps the
     * fixed 0.45 its DuckDB SQL hard-codes. */
-  private def incrEmbTau(s: SparkSession, dir: String): Double = {
-    val emb = t(s, dir, "embeddings")
-    Dedup.adaptiveTau(emb, "vec_id", "embedding", 0.45,
-      emb.count(), 5000L)
-  }
+  private val incrEmbTauMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private def incrEmbTau(s: SparkSession, dir: String): Double =
+    // memoized per corpus dir — τ is a corpus-snapshot property; see
+    // Graph.lpTau for the rationale
+    incrEmbTauMemo.computeIfAbsent(dir, _ => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.adaptiveTau(emb, "vec_id", "embedding", 0.45,
+        emb.count(), 5000L)
+    })
 
   private def vecSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {

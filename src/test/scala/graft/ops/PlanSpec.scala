@@ -146,6 +146,27 @@ class PlanSpec extends AnyFunSuite {
       s"wedge join fell back to all-pairs:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-50 planned as a global sort:\n$plan")
+    // the hot-key governor is IN the plan (xxhash64 sample filter) and
+    // map-side — it must not introduce a window/sort stage of its own
+    assert(plan.contains("xxhash64"),
+      s"wedge governor filter missing from plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"governor added a window stage to the wedge path:\n$plan")
+  }
+
+  test("co-purchase basket join carries the governor; no all-pairs fallback") {
+    val plan = formatted(q("rec_copurchase_lift"))
+    assert(plan.contains("xxhash64"),
+      s"basket governor filter missing from plan:\n$plan")
+    // basket size arrives via a count window partitioned on the SAME
+    // key (okey) the self-join shuffles on — present, and no cartesian
+    // (the one BroadcastNestedLoopJoin is the legitimate one-row
+    // crossJoin(broadcast(nOrders)) scalar attach)
+    assert(plan.contains("Window"), s"basket-size window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"basket join fell back to all-pairs:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 planned as a global sort:\n$plan")
   }
 
   test("pmi top-50 avoids a global sort; unigram join is broadcast") {
