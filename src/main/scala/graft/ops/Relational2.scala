@@ -643,6 +643,124 @@ object Relational2 {
           AND o_custkey IN (SELECT c_custkey FROM customer_r2
                             WHERE c_mktsegment = 'BUILDING')
         ORDER BY o_orderkey""")
+    },
+
+    // TPC-H Q11 adapted (no partsupp table in this schema): important
+    // supplier-part value concentrations — (supp, part) groups whose
+    // revenue exceeds k× the average group value within a nation set.
+    // The scalar threshold is a FRACTION OF THE AVERAGE, not a fixed
+    // constant, so the query stays non-degenerate at every SF (TPC-H's
+    // own FRACTION scales with SF for the same reason). One agg over
+    // the fact table (supplier dim broadcast), the scalar arrives as a
+    // broadcast single row; average via the decimal sum.
+    "q11_important_value" -> { (s, dir) =>
+      val suppNat = broadcast(t(s, dir, "supplier")
+        .filter(col("s_nationkey").isin(3, 7, 11))
+        .select(col("s_suppkey")))
+      val value = t(s, dir, "lineitem")
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(rev).as("v"))
+      val thr = value.agg((lit(3.0) * dsum(col("v")) / count(lit(1)))
+        .as("thr"))
+      value.crossJoin(broadcast(thr))
+        .filter(col("v") > col("thr"))
+        .select(col("l_suppkey"), col("l_partkey"), round(col("v"), 6)
+          .as("group_value"))
+        .orderBy(col("l_suppkey"), col("l_partkey"))
+    },
+
+    // TPC-H Q20 adapted: suppliers with EXCESS shipments of PROMO-type
+    // parts in 1996 — the nested IN (parts filter) → GROUP/HAVING
+    // (quantity threshold) → semi-join (suppliers) chain. The HAVING
+    // threshold is again average-relative (TPC-H's 0.5·availqty stand-
+    // in), so it binds at every SF. Part dim broadcast into the scan;
+    // the supplier probe is a left-semi join against the already-
+    // aggregated (supp, part) frame — nothing after the first agg is
+    // data-sized.
+    "q20_excess_supplier" -> { (s, dir) =>
+      val promo = broadcast(t(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+      val shipped = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+        .join(promo, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+      val thr = shipped.agg((lit(2.0) * dsum(col("qty")) / count(lit(1)))
+        .as("thr"))
+      val excess = shipped.crossJoin(broadcast(thr))
+        .filter(col("qty") > col("thr")).select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .filter(col("s_nationkey") < 13)
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q21 adapted (no commit/receipt dates): suppliers who kept
+    // finished orders waiting — lines shipped > 45 days after the order
+    // date, in multi-supplier orders where theirs was the ONLY late
+    // supplier. The EXISTS/NOT-EXISTS double correlation collapses to
+    // per-(order, supplier) flags + a per-order count — one extra
+    // colocated agg instead of two correlated fact-table probes (the
+    // oracle keeps the textbook EXISTS form, proving the two plans
+    // agree). Both aggs shuffle on orderkey — the second reuses the
+    // first's partitioning.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 45 DAYS")).cast(IntegerType).as("late"))
+      val perOS = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("supp_late"),
+          sum(col("late")).as("n_late_lines"))
+      val perO = perOS.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(col("supp_late")).as("n_late_supp"))
+      perOS.join(perO, Seq("l_orderkey"))
+        .filter(col("supp_late") === 1 && col("n_supp") >= 2 &&
+          col("n_late_supp") === 1)
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("n_late_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+
+    // 2-D Pareto frontier (skyline): parts minimizing retail price
+    // while maximizing size — no other part is cheaper-and-bigger.
+    // The naive skyline is O(n²); here the data first collapses onto
+    // the PRICE GRID (1-dp prices → ≤ |grid| rows independent of part
+    // count), the frontier test is one running-max window over the
+    // grid frame (RANGE .. 1 PRECEDING so equal-priced parts never
+    // dominate each other), and the winners join back by grid key.
+    // At 100 TB the grid agg is the only data pass; the window runs
+    // over a metadata-sized frame.
+    "q_pareto_frontier" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val grid = part
+        .groupBy(round(col("p_retailprice") * 10).cast(LongType)
+          .as("deci"))
+        .agg(max(col("p_size")).as("msize"))
+      val wCheaper = Window.orderBy(col("deci"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val frontier = grid.withColumn("best_cheaper",
+        coalesce(max(col("msize")).over(wCheaper), lit(-1)))
+      part
+        .withColumn("deci", round(col("p_retailprice") * 10)
+          .cast(LongType))
+        .join(broadcast(frontier), Seq("deci"))
+        .filter(col("p_size") === col("msize") &&
+          col("p_size") > col("best_cheaper"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
     }
   )
 
@@ -1025,6 +1143,70 @@ object Relational2 {
         |    FROM orders)
         |  AND o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "q11_important_value" ->
+      """WITH val AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE s_nationkey IN (3, 7, 11)
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, l_partkey, round(v, 6) AS group_value
+        |FROM val
+        |WHERE v > (SELECT 3.0 * CAST(sum(CAST(v AS DECIMAL(18,6)))
+        |    AS DOUBLE) / count(*) FROM val)
+        |ORDER BY l_suppkey, l_partkey""".stripMargin,
+    "q20_excess_supplier" ->
+      """WITH shipped AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS qty
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'PROMO')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM shipped
+        |    WHERE qty > (SELECT 2.0 * CAST(sum(CAST(qty
+        |        AS DECIMAL(18,6))) AS DOUBLE) / count(*) FROM shipped))
+        |  AND s_nationkey < 13
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  JOIN orders o2 ON l3.l_orderkey = o2.o_orderkey
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o2.o_orderdate
+        |                      + INTERVAL 45 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "q_pareto_frontier" ->
+      """WITH g AS (
+        |  SELECT CAST(round(p_retailprice * 10) AS BIGINT) AS deci,
+        |         max(p_size) AS msize
+        |  FROM part GROUP BY 1),
+        |fr AS (
+        |  SELECT deci, msize,
+        |    coalesce(max(msize) OVER (ORDER BY deci
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      AS best_cheaper
+        |  FROM g)
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN fr
+        |  ON CAST(round(p.p_retailprice * 10) AS BIGINT) = fr.deci
+        |WHERE p.p_size = fr.msize AND p.p_size > fr.best_cheaper
+        |ORDER BY p.p_retailprice, p.p_partkey""".stripMargin
   )
 }

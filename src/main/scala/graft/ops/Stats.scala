@@ -460,6 +460,236 @@ object Stats {
           round(davg(abs(col("n") - col("f")).cast(DoubleType) * 2 /
             (col("n") + col("f"))), 6).as("smape"))
         .orderBy(col("event_type"), col("horizon"))
+    },
+
+    // Mann–Whitney U (Wilcoxon rank-sum) per event type between the two
+    // assignment arms — the nonparametric complement to ab_welch_ttest
+    // for skewed metrics. The stream first reduces to a VALUE HISTOGRAM
+    // per (type, cent-quantized value): ranks then come from prefix
+    // sums over the histogram, never from ranking data rows — the grid
+    // is ≤ |types| × |distinct cents| (the metric is 2-dp money, so
+    // ~49k cells max) regardless of row count, which is what makes an
+    // exact rank test feasible at 100 TB. Midranks stay exact integers
+    // via r2 = 2·rank (2·cum_before + c + 1); the tie-corrected normal
+    // z uses the standard Σ(t³−t) correction. Count products overflow
+    // long only past ~3e9 rows per type — past that the sums move to
+    // DECIMAL(38,0) (noted, not needed at any test SF).
+    "ab_mann_whitney" -> { (s, dir) =>
+      val hist = events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+        .withColumn("c", col("ca") + col("cb"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val st = hist
+        .withColumn("cum0", coalesce(sum(col("c")).over(wOrd), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+          sum(col("ca") * (lit(2L) * col("cum0") + col("c") + 1L)).as("r2a"),
+          sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      st.select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("r2a") / 2.0 - col("n_a") * (col("n_a") + 1) / 2.0, 6)
+            .as("u_a"),
+          round((col("r2a") / 2.0 - col("n_a") * (col("n_a") + 1) / 2.0 -
+            col("n_a") * col("n_b") / 2.0) /
+            sqrt((col("n_a") * col("n_b") / 12.0) *
+              ((col("n_a") + col("n_b") + 1) - col("ties") /
+                ((col("n_a") + col("n_b")).cast(DoubleType) *
+                  (col("n_a") + col("n_b") - 1)))), 6).as("z"))
+        .orderBy(col("event_type"))
+    },
+
+    // Two-sample Kolmogorov–Smirnov per event type between the arms:
+    // D = max |F_a − F_b| over the shared value grid. Same bounded
+    // histogram reduction as ab_mann_whitney; the CDF difference is
+    // kept as the exact integer |cum_a·n_b − cum_b·n_a| until the one
+    // final division, so D is bit-determined by counts alone. The
+    // scaled statistic √(n_a·n_b/(n_a+n_b))·D is the one compared
+    // against the Kolmogorov critical values (1.358 at α=0.05).
+    "ab_ks_test" -> { (s, dir) =>
+      val hist = events(s, dir)
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("event_type"))
+      hist
+        .withColumn("cuma", sum(col("ca")).over(wOrd))
+        .withColumn("cumb", sum(col("cb")).over(wOrd))
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+          max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+            .as("dnum"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("dnum") /
+            (col("n_a").cast(DoubleType) * col("n_b")), 6).as("d_stat"),
+          round(sqrt(col("n_a").cast(DoubleType) * col("n_b") /
+            (col("n_a") + col("n_b"))) * col("dnum") /
+            (col("n_a").cast(DoubleType) * col("n_b")), 6).as("ks_scaled"))
+        .orderBy(col("event_type"))
+    },
+
+    // Benjamini–Hochberg FDR correction over the family of per-type
+    // Welch z tests — the multiple-comparisons step a real experiment
+    // readout needs once it tests |types| metrics at once. Two-sided
+    // p from the Abramowitz–Stegun 7.1.26 erfc approximation (pure
+    // +,·,exp arithmetic — the same expression tree runs in DuckDB;
+    // the Kaplan–Meier/DP-release queries set the exp/ln cross-engine
+    // precedent, and 6-dp rounding absorbs libm ulps). The BH step
+    // (rank ascending, adj_p_i = min_{j≥i} p_j·m/j) is two windows
+    // over the |types|-row frame — metadata-sized by construction.
+    "ab_fdr_bh" -> { (s, dir) =>
+      val moments = events(s, dir)
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("vr",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      def arm(i: Int, c: String) = max(when(col("arm") === i, col(c)))
+      val z = moments.groupBy(col("event_type"))
+        .agg(arm(0, "n").as("n_a"), arm(1, "n").as("n_b"),
+          arm(0, "mean").as("m_a"), arm(1, "mean").as("m_b"),
+          arm(0, "vr").as("v_a"), arm(1, "vr").as("v_b"))
+        .withColumn("az", abs((col("m_a") - col("m_b")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b"))))
+      val x = col("az") / sqrt(lit(2.0))
+      val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+      val pval = ((((lit(1.061405429) * tt - 1.453152027) * tt +
+        1.421413741) * tt - 0.284496736) * tt + 0.254829592) * tt *
+        exp(-x * x)
+      val ranked = z.withColumn("pval", pval)
+        .withColumn("p_rank",
+          row_number().over(Window.orderBy(col("pval"), col("event_type"))))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      val wDesc = Window.orderBy(col("p_rank").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("adjraw",
+          min(col("pval") * col("m") / col("p_rank")).over(wDesc))
+        .select(col("event_type"), col("p_rank"),
+          round(col("az"), 6).as("abs_z"),
+          round(col("pval"), 6).as("p_value"),
+          round(least(col("adjraw"), lit(1.0)), 6).as("p_bh"),
+          when(least(col("adjraw"), lit(1.0)) <= 0.10, 1).otherwise(0)
+            .as("significant_fdr10"))
+        .orderBy(col("p_rank"))
+    },
+
+    // Theil–Sen robust trend estimator on the hourly purchase-revenue
+    // series, next to the OLS slope it robustifies: median of all
+    // pairwise slopes (v_j−v_i)/(h_j−h_i). The stream reduces to the
+    // |hours|-bounded series FIRST (decimal revenue sums), so the
+    // pairwise non-equi self-join is metadata² (~226k pairs for a
+    // month of hours) — never data-sized; hours re-base to the series
+    // minimum so the OLS moment sums stay small-integer exact. Median
+    // via exact interpolating percentile (= DuckDB quantile_cont).
+    "events_theil_sen" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+          .cast(LongType).as("h"))
+        .agg(dsum(col("value")).as("v"))
+      val mn = hourly.agg(min(col("h")).as("h0"))
+      val base = hourly.crossJoin(broadcast(mn))
+        .select((col("h") - col("h0")).as("h"), col("v"))
+      val pairs = base.select(col("h").as("h1"), col("v").as("v1"))
+        .join(broadcast(base.select(col("h").as("h2"), col("v").as("v2"))),
+          col("h1") < col("h2"))
+        .select(((col("v2") - col("v1")) / (col("h2") - col("h1")))
+          .as("sl"))
+      val ols = base.agg(count(lit(1)).as("n"), sum(col("h")).as("sh"),
+          sum(col("h") * col("h")).as("shh"), dsum(col("v")).as("sv"),
+          dsum(col("v") * col("h")).as("shv"))
+        .select(((col("n") * col("shv") - col("sh") * col("sv")) /
+          (col("n") * col("shh") - col("sh") * col("sh")))
+          .as("ols"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(sl, 0.5)"), 6).as("theil_sen_slope"))
+        .crossJoin(broadcast(ols))
+        .select(col("n_pairs"), col("theil_sen_slope"),
+          round(col("ols"), 6).as("ols_slope"))
+    },
+
+    // Cross-correlation (CCF) between the hourly click and purchase
+    // count series at lags −6..+6 — the lead/lag diagnostic behind
+    // "does click volume predict purchases hours later?". Same shape
+    // as events_acf_hourly: the stream reduces to two |hours| series,
+    // the lag alignment is an integer epoch-hour equi-join (gaps drop
+    // pairs, never shift the series), and all five moment sums are
+    // exact integers per lag — doubles only in the final Pearson
+    // formula over the 13-row frame.
+    "events_ccf_lead_lag" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val x = hourly.filter(col("event_type") === "click")
+        .select(col("h"), col("n").as("xv"))
+      val y = hourly.filter(col("event_type") === "purchase")
+        .select(col("h").as("h2"), col("n").as("yv"))
+      x.withColumn("lag", explode(sequence(lit(-6), lit(6))))
+        .join(y, col("h2") === col("h") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("np"), sum(col("xv")).as("sx"),
+          sum(col("yv")).as("sy"), sum(col("xv") * col("yv")).as("sxy"),
+          sum(col("xv") * col("xv")).as("sxx"),
+          sum(col("yv") * col("yv")).as("syy"))
+        .withColumn("den",
+          sqrt(col("np") * col("sxx") - col("sx") * col("sx")) *
+            sqrt((col("np") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType)))
+        // a degenerate lag (≤1 pair, or a constant series) has no
+        // defined correlation — NULL, not a div-by-zero (ANSI mode)
+        .select(col("lag"), col("np").as("n_pairs"),
+          when(col("den") > 0,
+            round((col("np") * col("sxy") - col("sx") * col("sy")) /
+              col("den"), 6)).as("ccf"))
+        .orderBy(col("lag"))
+    },
+
+    // KS drift monitor: the Kolmogorov–Smirnov distance between the
+    // metric's reference-window (first 7 days) and current
+    // distributions per event type — the distribution-drift complement
+    // to monitor_psi/monitor_jsd_mix that needs no binning choice.
+    // Same grid-bounded histogram + exact integer CDF-gap machinery as
+    // ab_ks_test; the window split point is one broadcast scalar.
+    "monitor_ks_drift" -> { (s, dir) =>
+      val e = events(s, dir)
+      val cut = e.agg((min(col("ts")) + expr("INTERVAL 7 DAYS"))
+        .as("cut"))
+      val hist = e.crossJoin(broadcast(cut))
+        .withColumn("cents", round(col("value") * 100).cast(LongType))
+        .withColumn("w", when(col("ts") < col("cut"), 0).otherwise(1))
+        .groupBy(col("event_type"), col("cents"))
+        .agg(sum(when(col("w") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("w") === 1, 1L).otherwise(0L)).as("cb"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val wAll = Window.partitionBy(col("event_type"))
+      hist
+        .withColumn("cuma", sum(col("ca")).over(wOrd))
+        .withColumn("cumb", sum(col("cb")).over(wOrd))
+        .withColumn("n_a", sum(col("ca")).over(wAll))
+        .withColumn("n_b", sum(col("cb")).over(wAll))
+        .groupBy(col("event_type"))
+        .agg(max(col("n_a")).as("n_ref"), max(col("n_b")).as("n_cur"),
+          max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+            .as("dnum"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("dnum") /
+            (col("n_ref").cast(DoubleType) * col("n_cur")), 6)
+            .as("ks_drift"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -732,6 +962,153 @@ object Stats {
         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mape,
         |  round(CAST(sum(CAST(CAST(abs(n - f) AS DOUBLE) * 2 / (n + f)
         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS smape
-        |FROM joined GROUP BY 1, 2 ORDER BY event_type, horizon""".stripMargin
+        |FROM joined GROUP BY 1, 2 ORDER BY event_type, horizon""".stripMargin,
+    "ab_mann_whitney" ->
+      """WITH hist AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, cents, ca, cb, ca + cb AS c,
+        |    coalesce(sum(ca + cb) OVER (PARTITION BY event_type
+        |      ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum0
+        |  FROM hist),
+        |st AS (SELECT event_type, sum(ca) AS n_a, sum(cb) AS n_b,
+        |    sum(ca * (2 * cum0 + c + 1)) AS r2a,
+        |    sum(c * c * c - c) AS ties
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  round(r2a / 2.0 - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+        |  round((r2a / 2.0 - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+        |    / sqrt((n_a * n_b / 12.0) * ((n_a + n_b + 1) - ties /
+        |        (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))), 6)
+        |    AS z
+        |FROM st ORDER BY event_type""".stripMargin,
+    "ab_ks_test" ->
+      """WITH hist AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |cdf AS (SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(cb) OVER (PARTITION BY event_type) AS n_b
+        |  FROM hist)
+        |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+        |  round(max(abs(cuma * n_b - cumb * n_a))
+        |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS d_stat,
+        |  round(sqrt(CAST(max(n_a) AS DOUBLE) * max(n_b)
+        |      / (max(n_a) + max(n_b)))
+        |    * max(abs(cuma * n_b - cumb * n_a))
+        |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS ks_scaled
+        |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ab_fdr_bh" ->
+      """WITH m AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1, 2),
+        |mv AS (SELECT event_type, arm, n, s1 / n AS mean,
+        |    (s2 - s1 * s1 / n) / (n - 1) AS vr FROM m),
+        |w AS (SELECT event_type,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 0 THEN mean END) AS m_a,
+        |    max(CASE WHEN arm = 1 THEN mean END) AS m_b,
+        |    max(CASE WHEN arm = 0 THEN vr END) AS v_a,
+        |    max(CASE WHEN arm = 1 THEN vr END) AS v_b
+        |  FROM mv GROUP BY 1),
+        |z AS (SELECT event_type,
+        |    abs((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b)) AS az
+        |  FROM w),
+        |pt AS (SELECT event_type, az,
+        |    1.0 / (1.0 + 0.3275911 * (az / sqrt(2.0))) AS t FROM z),
+        |pv AS (SELECT event_type, az,
+        |    ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+        |      - 0.284496736) * t + 0.254829592) * t
+        |      * exp(-(az / sqrt(2.0)) * (az / sqrt(2.0))) AS pval
+        |  FROM pt),
+        |ranked AS (SELECT event_type, az, pval,
+        |    row_number() OVER (ORDER BY pval, event_type) AS p_rank,
+        |    count(*) OVER () AS m
+        |  FROM pv),
+        |adj AS (SELECT event_type, az, pval, p_rank, m,
+        |    min(pval * m / p_rank) OVER (ORDER BY p_rank DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adjraw
+        |  FROM ranked)
+        |SELECT event_type, p_rank, round(az, 6) AS abs_z,
+        |  round(pval, 6) AS p_value,
+        |  round(least(adjraw, 1.0), 6) AS p_bh,
+        |  CASE WHEN least(adjraw, 1.0) <= 0.10 THEN 1 ELSE 0 END
+        |    AS significant_fdr10
+        |FROM adj ORDER BY p_rank""".stripMargin,
+    "events_theil_sen" ->
+      """WITH hourly AS (SELECT
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |base AS (SELECT h - (SELECT min(h) FROM hourly) AS h, v
+        |  FROM hourly),
+        |slopes AS (SELECT (b.v - a.v) / (b.h - a.h) AS sl
+        |  FROM base a JOIN base b ON a.h < b.h),
+        |ols AS (SELECT (count(*) *
+        |      CAST(sum(CAST(v * h AS DECIMAL(18,6))) AS DOUBLE)
+        |      - sum(h) * CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE))
+        |    / (count(*) * sum(h * h) - sum(h) * sum(h)) AS ols
+        |  FROM base)
+        |SELECT count(*) AS n_pairs,
+        |  round(quantile_cont(sl, 0.5), 6) AS theil_sen_slope,
+        |  round((SELECT ols FROM ols), 6) AS ols_slope
+        |FROM slopes""".stripMargin,
+    "events_ccf_lead_lag" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    count(*) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2),
+        |x AS (SELECT h, n AS xv FROM hourly WHERE event_type = 'click'),
+        |y AS (SELECT h AS h2, n AS yv FROM hourly
+        |  WHERE event_type = 'purchase'),
+        |pairs AS (SELECT lag, xv, yv
+        |  FROM x CROSS JOIN (SELECT unnest(range(-6, 7)) AS lag)
+        |  JOIN y ON h2 = h + lag),
+        |st AS (SELECT lag, count(*) AS np, sum(xv) AS sx, sum(yv) AS sy,
+        |    sum(xv * yv) AS sxy, sum(xv * xv) AS sxx,
+        |    sum(yv * yv) AS syy
+        |  FROM pairs GROUP BY 1),
+        |d AS (SELECT *, sqrt(np * sxx - sx * sx) *
+        |    sqrt(CAST(np * syy - sy * sy AS DOUBLE)) AS den FROM st)
+        |SELECT lag, np AS n_pairs,
+        |  CASE WHEN den > 0
+        |    THEN round((np * sxy - sx * sy) / den, 6) END AS ccf
+        |FROM d ORDER BY lag""".stripMargin,
+    "monitor_ks_drift" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CASE WHEN ts < (SELECT min(ts) + INTERVAL 7 DAY FROM events)
+        |      THEN 0 ELSE 1 END AS w
+        |  FROM events),
+        |hist AS (SELECT event_type, cents,
+        |    sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS cb
+        |  FROM b GROUP BY 1, 2),
+        |cdf AS (SELECT event_type,
+        |    sum(ca) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS cuma,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY cents)
+        |      AS cumb,
+        |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
+        |    sum(cb) OVER (PARTITION BY event_type) AS n_b
+        |  FROM hist)
+        |SELECT event_type, max(n_a) AS n_ref, max(n_b) AS n_cur,
+        |  round(max(abs(cuma * n_b - cumb * n_a))
+        |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS ks_drift
+        |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

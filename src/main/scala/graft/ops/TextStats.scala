@@ -573,6 +573,79 @@ object TextStats {
           round(when(prev.isNull || prev === 0, lit(1.0))
             .otherwise(col("n_docs").cast(DoubleType) / prev), 6))
         .orderBy(col("stage"))
+    },
+
+    // Flesch reading-ease per language: words / sentences / syllable
+    // groups counted by three regex extracts per document (codegen'd,
+    // embarrassingly parallel — the per-doc triple never shuffles),
+    // then the standard 206.835 − 1.015·(W/S) − 84.6·(Syl/W) score
+    // decimal-averaged per language. Sentences floor at 1 (the
+    // synthetic corpus has no terminal punctuation) and words at 1 in
+    // the denominator, so the score is total on every document.
+    "text_flesch_readability" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("words",
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+            lit(0))))
+        .withColumn("sents",
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"),
+            lit(0))), lit(1)))
+        .withColumn("syll",
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+            lit(0))))
+        .withColumn("score",
+          lit(206.835) - lit(1.015) *
+            (col("words").cast(DoubleType) / col("sents")) -
+            lit(84.6) * (col("syll").cast(DoubleType) /
+              greatest(col("words"), lit(1))))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(davg(col("score")), 6).as("flesch"))
+        .orderBy(col("lang"))
+    },
+
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free word runs (every stopword occurrence is
+    // rewritten to a delimiter in ONE regexp pass, so consecutive
+    // stopwords can't swallow a boundary), word score = degree/freq
+    // over the phrase containment graph, phrase score = Σ word scores.
+    // Both word aggregates are vocabulary-bounded; the word-score join
+    // back onto phrase words broadcasts that bounded table; per-phrase
+    // sums go through the DECIMAL cast so phrase scores are
+    // order-independent. Top-25 via TakeOrderedAndProject.
+    "text_rake_keywords" -> { (s, dir) =>
+      val stopRe = "\\b(the|a|an|and|or|of|to|in|is|are|was|be|for|" +
+        "on|with|as|that|this|it|by|at|from)\\b"
+      val phrases = t(s, dir, "documents")
+        .select(explode(split(
+          regexp_replace(lower(col("text")), stopRe, "|"), "[|]"))
+          .as("p"))
+        .select(trim(regexp_replace(col("p"), "[^a-z]+", " "))
+          .as("phrase"))
+        .filter(length(col("phrase")) > 0)
+      // classic RAKE cap: ≤4-word phrases with support ≥2 — uncapped,
+      // the longest stopword-free run in every document wins on length
+      // alone; the cap is also what keeps the word-degree table (and
+      // its broadcast) bounded at corpus scale
+      val phraseCounts = phrases.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("occurrences"))
+        .withColumn("ws", split(col("phrase"), " "))
+        .withColumn("n_words", size(col("ws")))
+        .filter(col("n_words") <= 4 && col("occurrences") >= 2)
+      val wordRows = phraseCounts
+        .select(col("occurrences"), col("n_words"),
+          explode(col("ws")).as("word"))
+      val wordScores = wordRows.groupBy(col("word"))
+        .agg((sum(col("n_words") * col("occurrences")).cast(DoubleType) /
+          sum(col("occurrences"))).as("wscore"))
+      phraseCounts
+        .select(col("phrase"), col("occurrences"), col("n_words"),
+          explode(col("ws")).as("word"))
+        .join(broadcast(wordScores), Seq("word"))
+        .groupBy(col("phrase"), col("occurrences"), col("n_words"))
+        .agg(round(dsum(col("wscore")), 6).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(25)
     }
   )
 
@@ -963,6 +1036,52 @@ object TextStats {
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(sum(CAST(n_chars AS DECIMAL(18,6))) AS DOUBLE) / count(n_chars)
         |    AS avg_chars
-        |FROM u GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |FROM u GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_flesch_readability" ->
+      """WITH d AS (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '[a-z]+')) AS words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS sents,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syll
+        |  FROM documents),
+        |sc AS (SELECT lang,
+        |    206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+        |      - 84.6 * (CAST(syll AS DOUBLE) / greatest(words, 1))
+        |      AS score
+        |  FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(score), 6) AS flesch
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_rake_keywords" ->
+      """WITH phr AS (
+        |  SELECT trim(regexp_replace(p, '[^a-z]+', ' ', 'g')) AS phrase
+        |  FROM documents,
+        |    unnest(string_split(regexp_replace(lower(text),
+        |      '\b(the|a|an|and|or|of|to|in|is|are|was|be|for|on|with|as|that|this|it|by|at|from)\b',
+        |      '|', 'g'), '|')) AS u(p)
+        |  WHERE len(trim(regexp_replace(p, '[^a-z]+', ' ', 'g'))) > 0),
+        |pc0 AS (
+        |  SELECT phrase, count(*) AS occurrences,
+        |    string_split(phrase, ' ') AS ws,
+        |    len(string_split(phrase, ' ')) AS n_words
+        |  FROM phr GROUP BY 1),
+        |pc AS (SELECT * FROM pc0
+        |  WHERE n_words <= 4 AND occurrences >= 2),
+        |wsc AS (
+        |  SELECT word, CAST(sum(n_words * occurrences) AS DOUBLE)
+        |      / sum(occurrences) AS wscore
+        |  FROM (SELECT occurrences, n_words, w AS word
+        |        FROM pc, unnest(ws) AS t(w))
+        |  GROUP BY 1),
+        |ph AS (
+        |  SELECT phrase, occurrences, n_words, w AS word
+        |  FROM pc, unnest(ws) AS t(w))
+        |SELECT phrase, occurrences, n_words,
+        |  round(CAST(sum(CAST(wscore AS DECIMAL(18,6))) AS DOUBLE), 6)
+        |    AS score
+        |FROM ph JOIN wsc USING (word)
+        |GROUP BY 1, 2, 3
+        |ORDER BY score DESC, phrase LIMIT 25""".stripMargin
   )
 }

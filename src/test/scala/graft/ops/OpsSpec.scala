@@ -928,4 +928,91 @@ class OpsSpec extends AnyFunSuite {
     // node 5 is 4 hops out — beyond the 3-round horizon
     assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
+
+  test("pareto frontier: planted dominance cases, including the equal-size tie") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pareto_spec").toString
+    // (price, size): the 2.5/7 part matches the cheaper 2.0/7's size,
+    // so it is dominated (not strictly bigger); 1.0/3 loses the
+    // equal-price tie to 1.0/5; 3.0/6 is dominated by 2.0/7.
+    Seq((1L, 900.0, 5), (2L, 900.0, 3), (3L, 901.0, 7),
+        (4L, 901.5, 7), (5L, 902.0, 6))
+      .toDF("p_partkey", "p_retailprice", "p_size")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Relational2.queries("q_pareto_frontier")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+    graft.Util.rmrf(new java.io.File(dir))
+  }
+
+  test("q21 waiting-supplier: window form agrees with the planted exists semantics") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q21_spec").toString
+    // order 1: supp 1 late, supp 2 on time  → supp 1 waits (2 late lines)
+    // order 2: supp 1 and 2 BOTH late       → nobody (not the only one)
+    // order 3: supp 3 late, single-supplier → nobody (no other supplier)
+    val base = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    def ship(days: Int) =
+      new java.sql.Timestamp(base.getTime + days * 86400000L)
+    Seq((1L, "F", base), (2L, "F", base), (3L, "F", base))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 1L, ship(90)), (1L, 1L, ship(60)), (1L, 2L, ship(10)),
+        (2L, 1L, ship(90)), (2L, 2L, ship(90)),
+        (3L, 3L, ship(90)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/supplier.parquet")
+    val got = Relational2.queries("q21_waiting_supplier")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("S1" -> 2L))
+    graft.Util.rmrf(new java.io.File(dir))
+  }
+
+  test("flesch: hand-computed score on a planted document") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_flesch_spec").toString
+    // "aa bb. cc!" → 3 words, 2 sentence breaks, 1 vowel group
+    // → 206.835 − 1.015·(3/2) − 84.6·(1/3) = 177.1125
+    Seq((1L, "aa bb. cc!", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val r = TextStats.queries("text_flesch_readability")(spark, dir).head
+    assert(math.abs(r.getAs[Double]("flesch") - 177.1125) < 1e-4)
+    graft.Util.rmrf(new java.io.File(dir))
+  }
+
+  test("rake: stopword boundaries split phrases; degree/freq scores add up") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rake_spec").toString
+    // "red apple" occurs twice (split at 'and'); each word appears only
+    // in that 2-word phrase → wscore = 2 each → phrase score 4.0.
+    // The second doc's 5-word run is support-1 → filtered.
+    Seq((1L, "red apple and red apple", "en"),
+        (2L, "one two three four five", "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextStats.queries("text_rake_keywords")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("occurrences"), r.getAs[Double]("score"))).toMap
+    assert(got.contains("red apple"))
+    assert(got("red apple")._1 == 2L)
+    assert(math.abs(got("red apple")._2 - 4.0) < 1e-9)
+    assert(!got.keys.exists(_.contains("three")))
+    graft.Util.rmrf(new java.io.File(dir))
+  }
+
+  test("q11/q20 thresholds bind: non-degenerate, average-relative at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val v = Relational2.queries("q11_important_value")(spark, sf).collect()
+    assert(v.nonEmpty && v.length < 200)
+    val e = Relational2.queries("q20_excess_supplier")(spark, sf).collect()
+    assert(e.map(_.getLong(0)).distinct.length == e.length)
+  }
 }

@@ -191,4 +191,106 @@ class StatsSpec extends AnyFunSuite {
       assert(a >= -1.0 - 1e-6 && a <= 1.0 + 1e-6, s"acf out of range: $r")
     }
   }
+
+  /** Planted events fixture exercising the REGISTERED rank-test and
+    * trend queries end-to-end (written as parquet so the real loader
+    * path runs): arm is user-id parity, so even ids are arm a. */
+  private lazy val rankFixture: String = {
+    import spark.implicits._
+    val dir = "/tmp/graft_stats_fixture"
+    // type "x": arm a = {1,2,2,3}, arm b = {2,3,4} — hand-rankable
+    val x = Seq((2L, "x", 1.0), (4L, "x", 2.0), (6L, "x", 2.0),
+      (8L, "x", 3.0), (1L, "x", 2.0), (3L, "x", 3.0), (5L, "x", 4.0))
+      .map { case (u, t0, v) => (u, t0, v, "2024-01-01 00:00:00") }
+    // type "purchase": hourly revenue 1, 3, 4 → pairwise slopes
+    // {2, 1.5, 1} → Theil–Sen median 1.5; OLS is also exactly 1.5
+    val p = Seq((10L, "purchase", 1.0, "2024-01-01 00:30:00"),
+      (11L, "purchase", 3.0, "2024-01-01 01:30:00"),
+      (12L, "purchase", 4.0, "2024-01-01 02:30:00"))
+    (x ++ p).toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("mann-whitney: hand-computed midrank U on the planted fixture") {
+    // combined x sample ranks: 1→1; three 2s→midrank 3; two 3s→5.5;
+    // 4→7. R_a = 1 + 2·3 + 5.5 = 12.5, U_a = R_a − 4·5/2 = 2.5
+    val r = Stats.queries("ab_mann_whitney")(spark, rankFixture)
+      .collect().find(_.getString(0) == "x").get
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 3)
+    assert(math.abs(r.getAs[Double]("u_a") - 2.5) < 1e-9)
+    assert(!r.getAs[Double]("z").isNaN)
+  }
+
+  test("ks: hand-computed max CDF gap on the planted fixture") {
+    // F_a = (.25, .75, 1, 1), F_b = (0, 1/3, 2/3, 1) over the shared
+    // grid → D = 5/12
+    val r = Stats.queries("ab_ks_test")(spark, rankFixture)
+      .collect().find(_.getString(0) == "x").get
+    assert(math.abs(r.getAs[Double]("d_stat") - 5.0 / 12) < 1e-6)
+  }
+
+  test("theil-sen: planted linear-ish series gives the median slope") {
+    val r = Stats.queries("events_theil_sen")(spark, rankFixture).head
+    assert(r.getAs[Long]("n_pairs") == 3)
+    assert(math.abs(r.getAs[Double]("theil_sen_slope") - 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ols_slope") - 1.5) < 1e-9)
+  }
+
+  test("ccf: planted click series leading purchases by 1h peaks at lag +1") {
+    import spark.implicits._
+    val dir = "/tmp/graft_ccf_fixture"
+    def at(h: Int, m: Int) = f"2024-01-01 $h%02d:$m%02d:00"
+    // clicks at hours 0/1/2 with counts 1/2/5; purchases mirror at 1/2/3
+    val clicks = Seq(at(0, 1)) ++ Seq(at(1, 1), at(1, 2)) ++
+      (1 to 5).map(m => at(2, m))
+    val purch = Seq(at(1, 1)) ++ Seq(at(2, 1), at(2, 2)) ++
+      (1 to 5).map(m => at(3, m))
+    (clicks.map(ts => (1L, "click", 0.0, ts)) ++
+      purch.map(ts => (2L, "purchase", 0.0, ts)))
+      .toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Stats.queries("events_ccf_lead_lag")(spark, dir).collect()
+      .map(r => r.getAs[Int]("lag") -> r).toMap
+    assert(math.abs(rows(1).getAs[Double]("ccf") - 1.0) < 1e-9)
+    assert(rows(1).getAs[Long]("n_pairs") == 3)
+  }
+
+  test("ks drift: identical windows give 0; disjoint windows give 1") {
+    import spark.implicits._
+    val dir = "/tmp/graft_ksdrift_fixture"
+    // type x: week-1 {1,2} vs later {1,2} → D = 0
+    // type y: week-1 {1}   vs later {2}   → D = 1
+    val rows = Seq(
+      (1L, "x", 1.0, "2024-01-01 00:00:00"),
+      (2L, "x", 2.0, "2024-01-02 00:00:00"),
+      (3L, "x", 1.0, "2024-01-20 00:00:00"),
+      (4L, "x", 2.0, "2024-01-21 00:00:00"),
+      (5L, "y", 1.0, "2024-01-01 00:00:00"),
+      (6L, "y", 2.0, "2024-01-20 00:00:00"))
+    rows.toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.queries("monitor_ks_drift")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("ks_drift")).toMap
+    assert(math.abs(got("x")) < 1e-9)
+    assert(math.abs(got("y") - 1.0) < 1e-9)
+  }
+
+  test("fdr: BH adjustment is monotone, bounded, at least the raw p") {
+    val rows = Stats.queries("ab_fdr_bh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byRank = rows.sortBy(_.getAs[Int]("p_rank"))
+    byRank.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Double]("p_bh") <= w(1).getAs[Double]("p_bh") + 1e-9)
+    }
+    byRank.foreach { r =>
+      val p = r.getAs[Double]("p_value"); val a = r.getAs[Double]("p_bh")
+      assert(a >= p - 1e-9 && a <= 1.0 + 1e-9)
+      assert(p >= 0.0 && p <= 1.0 + 1e-9)
+    }
+  }
 }
