@@ -138,6 +138,36 @@ object Similarity {
     ivfSearch(assigned, centDf, probes, k, nprobe)
   }
 
+  /** Simplified (centroid-based) silhouette of the IVF clustering —
+    * the monitoring number that says whether the partition actually
+    * separates the corpus: a(i) = distance to own centroid, b(i) =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b).
+    * One pass over the corpus × a broadcast |clusters|-row centroid
+    * table (k distances per row, min-reduced per vector) — never the
+    * O(n²) pairwise silhouette; per-cluster means decimal-summed.
+    * Rows-only (the k-means fit has no DuckDB twin); the spec plants
+    * separated vs. split blobs and checks the score orders them. */
+  def silhouetteIvf(corpus: DataFrame,
+      clusters: Int = IvfClusters): DataFrame = {
+    val (assigned, centDf) = ivfFit(corpus, clusters)
+    val dists = assigned
+      .crossJoin(broadcast(centDf.select(col("cluster").as("cid"),
+        col("centroid"))))
+      .withColumn("dist", sqrt(aggregate(
+        zip_with(col("v"), col("centroid"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)))
+    dists.groupBy(col("vec_id"), col("cluster"))
+      .agg(min(when(col("cid") === col("cluster"), col("dist"))).as("a"),
+        min(when(col("cid") =!= col("cluster"), col("dist"))).as("b"))
+      .withColumn("s", when(greatest(col("a"), col("b")) > 0,
+        (col("b") - col("a")) / greatest(col("a"), col("b")))
+        .otherwise(lit(0.0)))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), round(davg(col("s")), 6)
+        .as("mean_silhouette"))
+      .orderBy(col("cluster"))
+  }
+
   /** The build stage: seeded k-means → (assignments, centroid table). */
   private def ivfFit(corpus: DataFrame,
       clusters: Int): (DataFrame, DataFrame) = {
@@ -626,6 +656,12 @@ object Similarity {
       val c = corpus(s, dir)
       ivfTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+    // cluster-quality monitor for the IVF partition (rows-only — the
+    // seeded k-means fit has no DuckDB twin; OpsSpec locks semantics
+    // on planted blobs)
+    "sim_silhouette_ivf" -> { (s, dir) =>
+      silhouetteIvf(corpus(s, dir))
     },
     // the persisted-index lifecycle: build (fit + partitioned write)
     // then probe from disk — same params as sim_topk_ivf, so the

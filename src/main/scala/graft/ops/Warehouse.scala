@@ -566,6 +566,57 @@ object Warehouse {
         .orderBy(col("event_type"), col("next_type"))
     },
 
+    // Markov absorption: probability of reaching the 'purchase' state
+    // within 1/4/8 steps from each state, under the empirical
+    // transition matrix with purchase made absorbing — the journey
+    // analysis that turns the transition matrix into "how close is
+    // this state to converting". ONE data pass builds the matrix
+    // (the events_transition_matrix reduction); the k-step recursion
+    // then runs entirely on the |types|²-row frame — 8 joins over
+    // metadata, localCheckpointed per step so the plan stays flat.
+    // Per-step products are decimal-quantized before summing (≤|types|
+    // terms), so the recursion is bit-identical to the oracle's
+    // chained-CTE replay.
+    "events_absorption_prob" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wt = Window.partitionBy(col("event_type"))
+      val trans = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type").as("a"), col("next_type").as("b"),
+          (col("n").cast(DoubleType) / sum(col("n")).over(wt)).as("tp"))
+        .localCheckpoint() // tiny; reused by all 8 recursion steps
+      val types = trans.select(col("a").as("t"))
+        .union(trans.select(col("b"))).distinct().localCheckpoint()
+      def step(pv: DataFrame): DataFrame = {
+        val nxt = trans
+          .join(pv.select(col("t").as("b"), col("p").as("pb")), Seq("b"))
+          .groupBy(col("a"))
+          .agg(dsum(col("tp") * col("pb")).as("sp"))
+        types.join(nxt.select(col("a").as("t"), col("sp")), Seq("t"),
+            "left")
+          .select(col("t"),
+            when(col("t") === "purchase", lit(1.0))
+              .otherwise(coalesce(col("sp"), lit(0.0))).as("p"))
+          .localCheckpoint()
+      }
+      val p0 = types.select(col("t"),
+        when(col("t") === "purchase", lit(1.0)).otherwise(lit(0.0))
+          .as("p"))
+      val snaps = Iterator.iterate(p0)(step).slice(1, 9).zipWithIndex
+        .collect { case (df, i) if Seq(0, 3, 7).contains(i) => (i + 1, df) }
+        .toSeq
+      snaps.map { case (k, df) =>
+          df.select(col("t"), round(col("p"), 6).as(s"p$k")) }
+        .reduce((l, r) => l.join(r, Seq("t")))
+        .select(col("t").as("event_type"), col("p1"), col("p4"),
+          col("p8"))
+        .orderBy(col("event_type"))
+    },
+
     // winsorization (outlier clipping) at the exact p01/p99 of quantity
     // per return flag: thresholds from one tiny percentile agg
     // (broadcast back), clamp, re-aggregate. Integral input keeps the
@@ -770,6 +821,47 @@ object Warehouse {
   /** Target output size (rows as the stand-in for bytes — the testdata
     * exposes no physical file metadata; the arithmetic is identical). */
   val CompactionTargetRows = 20000L
+
+  /** The DuckDB mirror of events_absorption_prob's k-step recursion as
+    * chained CTEs (the kCoreSql pattern — DuckDB's recursive CTEs
+    * forbid aggregates in the recursive term). MATERIALIZED on the
+    * matrix is load-bearing: every step references `tr`, and default
+    * inlining would re-derive the event-scan window once per step. */
+  private def absorptionSql(steps: Int): String = {
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (SELECT t,
+         |    CASE WHEN t = 'purchase' THEN 1.0
+         |      ELSE coalesce(s.sp, 0.0) END AS p
+         |  FROM types LEFT JOIN (
+         |    SELECT a AS t,
+         |      CAST(sum(CAST(tp * pv.p AS DECIMAL(18,6))) AS DOUBLE)
+         |        AS sp
+         |    FROM tr JOIN p${k - 1} pv ON tr.b = pv.t GROUP BY a) s
+         |  USING (t))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH seq0 AS (
+       |  SELECT event_type, lead(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS next_type
+       |  FROM events),
+       |c AS MATERIALIZED (SELECT event_type AS a, next_type AS b,
+       |    count(*) AS n
+       |  FROM seq0 WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |tr AS MATERIALIZED (SELECT a, b,
+       |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY a) AS tp
+       |  FROM c),
+       |types AS MATERIALIZED (
+       |  SELECT DISTINCT a AS t FROM c UNION SELECT DISTINCT b FROM c),
+       |p0 AS (SELECT t,
+       |    CASE WHEN t = 'purchase' THEN 1.0 ELSE 0.0 END AS p
+       |  FROM types),
+       |$chain
+       |SELECT types.t AS event_type, round(a1.p, 6) AS p1,
+       |  round(a4.p, 6) AS p4, round(a$steps.p, 6) AS p$steps
+       |FROM types JOIN p1 a1 ON a1.t = types.t
+       |  JOIN p4 a4 ON a4.t = types.t
+       |  JOIN p$steps a$steps ON a$steps.t = types.t
+       |ORDER BY 1""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "quality_expectations" ->
@@ -1109,6 +1201,7 @@ object Warehouse {
         |  round(CAST(n AS DOUBLE)
         |    / sum(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM c ORDER BY event_type, next_type""".stripMargin,
+    "events_absorption_prob" -> absorptionSql(8),
     "q_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.01) AS lo,

@@ -973,6 +973,26 @@ class OpsSpec extends AnyFunSuite {
     graft.Util.rmrf(new java.io.File(dir))
   }
 
+  test("silhouette: separated blobs score near 1, a split blob scores low") {
+    import spark.implicits._
+    // two tight 2-D blobs far apart: k=2 should score ≈ 1
+    val blobA = (0 until 20).map(i => (i.toLong,
+      Seq(0.0 + (i % 3) * 0.01, 0.0 + (i % 5) * 0.01)))
+    val blobB = (0 until 20).map(i => (100L + i,
+      Seq(50.0 + (i % 3) * 0.01, 50.0 + (i % 5) * 0.01)))
+    val two = (blobA ++ blobB).toDF("vec_id", "v")
+    val sTwo = Similarity.silhouetteIvf(two, clusters = 2).collect()
+    assert(sTwo.forall(_.getAs[Double]("mean_silhouette") > 0.95))
+    // ONE blob forced into k=2: the split is arbitrary → low scores
+    val one = blobA.toDF("vec_id", "v")
+    val sOne = Similarity.silhouetteIvf(one, clusters = 2).collect()
+    assert(sOne.forall(_.getAs[Double]("mean_silhouette") < 0.8))
+    sOne.foreach { r =>
+      val s = r.getAs[Double]("mean_silhouette")
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+    }
+  }
+
   test("flesch: hand-computed score on a planted document") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_flesch_spec").toString
