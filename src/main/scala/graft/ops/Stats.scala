@@ -690,6 +690,50 @@ object Stats {
             (col("n_ref").cast(DoubleType) * col("n_cur")), 6)
             .as("ks_drift"))
         .orderBy(col("event_type"))
+    },
+
+    // Hampel filter: sliding-window (±12 h) median + MAD outlier
+    // detection on the hourly count series — the robust alternative to
+    // the global z-score (events_anomaly_zscore), immune to the level
+    // shifts and trends that inflate a global σ. The MAD needs each
+    // window's deviations from ITS OWN center median, so it's two band
+    // self-joins over the hour-bounded series (not two window passes)
+    // — both metadata² by the grid bound. Medians of integer counts
+    // are exact halves, so flag arithmetic is deterministic.
+    "events_hampel_outliers" -> { (s, dir) =>
+      val hourly = events(s, dir)
+        .groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+            .cast(LongType).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // feeds both band joins
+      val b = hourly.select(col("event_type"), col("h").as("hb"),
+        col("n").as("nb"))
+      val med = hourly.join(b, Seq("event_type"))
+        .filter(col("hb").between(col("h") - 12, col("h") + 12))
+        .groupBy(col("event_type"), col("h"), col("n"))
+        .agg(expr("percentile(nb, 0.5)").as("med"))
+      val mad = med.join(b, Seq("event_type"))
+        .filter(col("hb").between(col("h") - 12, col("h") + 12))
+        .groupBy(col("event_type"), col("h"), col("n"), col("med"))
+        .agg(expr("percentile(abs(nb - med), 0.5)").as("mad"))
+      // zero-MAD degeneracy (≥half the window exactly at the median —
+      // e.g. a constant series with one spike): ANY deviation is then
+      // an outlier, per the standard Hampel convention
+      mad
+        .withColumn("flag",
+          when((col("mad") > 0 &&
+            abs(col("n") - col("med")) >
+              lit(3) * lit(1.4826) * col("mad")) ||
+            (col("mad") === 0 && col("n") =!= col("med")), 1)
+            .otherwise(0))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(col("flag")).as("n_outliers"),
+          round(max(when(col("mad") > 0,
+            abs(col("n") - col("med")) / (lit(1.4826) * col("mad")))), 6)
+            .as("max_score"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1109,6 +1153,33 @@ object Stats {
         |SELECT event_type, max(n_a) AS n_ref, max(n_b) AS n_cur,
         |  round(max(abs(cuma * n_b - cumb * n_a))
         |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS ks_drift
-        |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_hampel_outliers" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (
+        |  SELECT a.event_type, a.h, a.n,
+        |    quantile_cont(b.n, 0.5) AS med
+        |  FROM hourly a JOIN hourly b
+        |    ON b.event_type = a.event_type
+        |    AND b.h BETWEEN a.h - 12 AND a.h + 12
+        |  GROUP BY 1, 2, 3),
+        |mad AS (
+        |  SELECT w.event_type, w.h, w.n, w.med,
+        |    quantile_cont(abs(b.n - w.med), 0.5) AS mad
+        |  FROM med w JOIN hourly b
+        |    ON b.event_type = w.event_type
+        |    AND b.h BETWEEN w.h - 12 AND w.h + 12
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, count(*) AS n_hours,
+        |  CAST(sum(CASE WHEN (mad > 0
+        |      AND abs(n - med) > 3 * 1.4826 * mad)
+        |      OR (mad = 0 AND n <> med)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(CASE WHEN mad > 0
+        |    THEN abs(n - med) / (1.4826 * mad) END), 6) AS max_score
+        |FROM mad GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

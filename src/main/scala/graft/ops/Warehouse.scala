@@ -566,6 +566,35 @@ object Warehouse {
         .orderBy(col("event_type"), col("next_type"))
     },
 
+    // DAU/WAU stickiness: daily active users over trailing-7-day
+    // weekly actives — the product-analytics ratio next to RFM and
+    // retention. Exact (no sketch): WAU is NOT decomposable from daily
+    // distinct counts, so each (day, user) row explodes into the 7
+    // cover days it keeps the user "weekly active" for, and WAU is one
+    // distinct count over that — an equi-shuffle on day, never a
+    // 7-way band self-join. Both frames are (days × users)-bounded.
+    "events_dau_wau_stickiness" -> { (s, dir) =>
+      val du = events(s, dir)
+        .select(date_trunc("day", col("ts")).cast(DateType).as("d"),
+          col("user_id")).distinct()
+        .localCheckpoint() // feeds dau, cover AND the edge scalars
+      val cover = du
+        .withColumn("o", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("d"), col("o")).as("d"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val wau = cover.groupBy(col("d")).agg(count(lit(1)).as("wau"))
+      val edges = du.agg(date_add(min(col("d")), 6).as("lo"),
+        max(col("d")).as("hi"))
+      dau.join(wau, Seq("d"))
+        .crossJoin(broadcast(edges))
+        .filter(col("d").between(col("lo"), col("hi")))
+        .select(col("d"), col("dau"), col("wau"),
+          round(col("dau").cast(DoubleType) / col("wau"), 6)
+            .as("stickiness"))
+        .orderBy(col("d"))
+    },
+
     // Markov absorption: probability of reaching the 'purchase' state
     // within 1/4/8 steps from each state, under the empirical
     // transition matrix with purchase made absorbing — the journey
@@ -1202,6 +1231,22 @@ object Warehouse {
         |    / sum(n) OVER (PARTITION BY event_type), 6) AS p
         |FROM c ORDER BY event_type, next_type""".stripMargin,
     "events_absorption_prob" -> absorptionSql(8),
+    "events_dau_wau_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |    user_id
+        |  FROM events),
+        |cover AS (
+        |  SELECT DISTINCT d + CAST(o AS INTEGER) AS d, user_id
+        |  FROM du, unnest(range(0, 7)) AS t(o)),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT d, count(*) AS wau FROM cover GROUP BY 1)
+        |SELECT d, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (d)
+        |WHERE d >= (SELECT min(d) FROM du) + 6
+        |  AND d <= (SELECT max(d) FROM du)
+        |ORDER BY d""".stripMargin,
     "q_winsorize" ->
       """WITH thr AS (
         |  SELECT l_returnflag, quantile_cont(l_quantity, 0.01) AS lo,

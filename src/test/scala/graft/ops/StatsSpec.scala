@@ -279,6 +279,28 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got("y") - 1.0) < 1e-9)
   }
 
+  test("hampel: planted spike flagged, flat series clean") {
+    import spark.implicits._
+    val dir = "/tmp/graft_hampel_fixture"
+    // type "sp": 1 event/hour for 48h except a 50-event spike at h=24;
+    // type "fl": flat 2 events/hour — no outliers
+    def ts(h: Int, m: Int) = f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00"
+    val sp = (0 until 48).flatMap { h =>
+      val k = if (h == 24) 50 else 1
+      (0 until k).map(m => (1L, "sp", 0.0, ts(h, m)))
+    }
+    val fl = (0 until 48).flatMap(h =>
+      Seq((2L, "fl", 0.0, ts(h, 0)), (3L, "fl", 0.0, ts(h, 1))))
+    (sp ++ fl).toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.queries("events_hampel_outliers")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_outliers"))
+      .toMap
+    assert(got("sp") == 1L, s"spike not flagged: $got")
+    assert(got("fl") == 0L)
+  }
+
   test("fdr: BH adjustment is monotone, bounded, at least the raw p") {
     val rows = Stats.queries("ab_fdr_bh")(spark, sf).collect()
     assert(rows.nonEmpty)

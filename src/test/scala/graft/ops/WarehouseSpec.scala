@@ -110,4 +110,41 @@ class WarehouseSpec extends AnyFunSuite {
       assert(r.getInt(5) - r.getInt(4) <= 3)
     }
   }
+
+  test("stickiness: one-day user dilutes WAU for exactly its 7 cover days") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = "/tmp/graft_stick_fixture"
+    // user 1 active every day d0..d7; user 2 only on d0 — it keeps
+    // WAU at 2 through d6, so stickiness is 1/2 until d7's 1/1
+    val rows = (0 to 7).map(d => (1L, "click", 0.0,
+        f"2024-01-0${d + 1}%d 10:00:00")) :+
+      (2L, "click", 0.0, "2024-01-01 10:00:00")
+    rows.toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Warehouse.queries("events_dau_wau_stickiness")(spark, dir)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+          r.getAs[Double]("stickiness"))).toMap
+    assert(got.keySet == Set("2024-01-07", "2024-01-08"))
+    assert(got("2024-01-07") == ((1L, 2L, 0.5)))
+    assert(got("2024-01-08") == ((1L, 1L, 1.0)))
+  }
+
+  test("absorption: probabilities are monotone in k and within [0,1]") {
+    val rows = Warehouse.queries("events_absorption_prob")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p1, p4, p8) = (r.getAs[Double]("p1"), r.getAs[Double]("p4"),
+        r.getAs[Double]("p8"))
+      assert(p1 >= 0 && p8 <= 1.0 + 1e-9)
+      // purchase is absorbing → reaching it within more steps can
+      // only be more likely
+      assert(p1 <= p4 + 1e-9 && p4 <= p8 + 1e-9, s"not monotone: $r")
+      if (r.getString(0) == "purchase")
+        assert(p1 == 1.0 && p8 == 1.0)
+    }
+  }
 }
