@@ -689,11 +689,15 @@ object Relational2 {
         .agg(dsum(col("l_quantity")).as("qty"))
       val thr = shipped.agg((lit(2.0) * dsum(col("qty")) / count(lit(1)))
         .as("thr"))
+      // the excess key set is supplier-bounded (a dimension) — always
+      // broadcastable; statically the planner can't know that and
+      // would SMJ the semi-join
       val excess = shipped.crossJoin(broadcast(thr))
         .filter(col("qty") > col("thr")).select(col("l_suppkey"))
       t(s, dir, "supplier")
         .filter(col("s_nationkey") < 13)
-        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(excess), col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
         .select(col("s_suppkey"), col("s_name"))
         .orderBy(col("s_suppkey"))
     },

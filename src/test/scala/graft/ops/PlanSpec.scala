@@ -152,6 +152,43 @@ class PlanSpec extends AnyFunSuite {
       s"wedge governor filter missing from plan:\n$plan")
     assert(!plan.contains("Window"),
       s"governor added a window stage to the wedge path:\n$plan")
+    // the wedge self-join must stay shuffle-hash: SMJ's edge-table
+    // sorts spilled 9.5 GB at 10× for a join output that is re-shuffled
+    // by supplier pair immediately after
+    assert(plan.contains("ShuffledHashJoin"),
+      s"wedge join regressed to sort-merge:\n$plan")
+  }
+
+  test("rank tests: histogram agg is partial+final; no cartesian anywhere") {
+    Seq("ab_mann_whitney", "ab_ks_test", "monitor_ks_drift").foreach { n =>
+      val plan = formatted(q(n))
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+    }
+  }
+
+  test("q11/q20: dim side broadcasts; threshold arrives as a broadcast scalar") {
+    Seq("q11_important_value", "q20_excess_supplier").foreach { n =>
+      val plan = formatted(q(n))
+      assert(plan.contains("BroadcastHashJoin"), s"$n:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$n: nothing here should need a fact-fact shuffle join:\n$plan")
+    }
+  }
+
+  test("pareto frontier: grid join-back broadcasts; no dominance self-join") {
+    val plan = formatted(q("q_pareto_frontier"))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"skyline fell back to the O(n²) dominance join:\n$plan")
+  }
+
+  test("hampel band joins stay equi-keyed on event_type — no nested loop") {
+    val plan = formatted(q("events_hampel_outliers"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"band self-join lost its equi key:\n$plan")
   }
 
   test("co-purchase basket join carries the governor; no all-pairs fallback") {
