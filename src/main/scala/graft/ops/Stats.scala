@@ -692,6 +692,85 @@ object Stats {
         .orderBy(col("event_type"))
     },
 
+    // Difference-in-differences per event type: the causal-inference
+    // readout when assignment isn't random in time — (post − pre) in
+    // the treated arm minus (post − pre) in control cancels any shared
+    // time trend. One agg over (type, arm, period) — 4 cells per type,
+    // decimal means; the period cut is one broadcast scalar.
+    "ab_diff_in_diff" -> { (s, dir) =>
+      val e = events(s, dir)
+      val cut = e.agg((min(col("ts")) + expr("INTERVAL 15 DAYS"))
+        .as("c"))
+      val cells = e.crossJoin(broadcast(cut))
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .withColumn("period", when(col("ts") < col("c"), 0).otherwise(1))
+        .groupBy(col("event_type"), col("arm"), col("period"))
+        .agg((dsum(col("value")) / count(lit(1))).as("m"))
+      def cell(a: Int, p: Int) =
+        max(when(col("arm") === a && col("period") === p, col("m")))
+      cells.groupBy(col("event_type"))
+        .agg(cell(1, 0).as("m_t_pre"), cell(1, 1).as("m_t_post"),
+          cell(0, 0).as("m_c_pre"), cell(0, 1).as("m_c_post"))
+        .select(col("event_type"),
+          round(col("m_t_pre"), 6).as("m_t_pre"),
+          round(col("m_t_post"), 6).as("m_t_post"),
+          round(col("m_c_pre"), 6).as("m_c_pre"),
+          round(col("m_c_post"), 6).as("m_c_post"),
+          round((col("m_t_post") - col("m_t_pre")) -
+            (col("m_c_post") - col("m_c_pre")), 6).as("did"))
+        .orderBy(col("event_type"))
+    },
+
+    // CUPED variance reduction (Deng et al. 2013): adjust each user's
+    // post-period metric by θ·(pre − mean(pre)) with θ = cov/var fit on
+    // the same users — the experimentation-platform standard for
+    // tightening A/B confidence intervals. Stream → per-user (pre,
+    // post) means (the only data shuffle) → one 6-moment reduction →
+    // θ, then one more pass over the user frame for adjusted arm
+    // means. var_ratio = 1 − ρ² is the fraction of metric variance the
+    // covariate leaves behind.
+    "ab_cuped" -> { (s, dir) =>
+      val e = events(s, dir)
+      val cut = e.agg((min(col("ts")) + expr("INTERVAL 15 DAYS"))
+        .as("c"))
+      val u = e.crossJoin(broadcast(cut))
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .groupBy(col("user_id"), col("arm"))
+        .agg((dsum(when(col("ts") < col("c"), col("value"))) /
+          count(when(col("ts") < col("c"), lit(1)))).as("x"),
+          (dsum(when(col("ts") >= col("c"), col("value"))) /
+            count(when(col("ts") >= col("c"), lit(1)))).as("y"))
+        .filter(col("x").isNotNull && col("y").isNotNull)
+        .localCheckpoint() // feeds the moment fit AND the adjusted means
+      val t0 = u.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+          dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+          dsum(col("x") * col("x")).as("sxx"),
+          dsum(col("y") * col("y")).as("syy"))
+        .select(col("n"), (col("sx") / col("n")).as("mx"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n"))).as("theta"),
+          ((col("sxy") - col("sx") * col("sy") / col("n")) /
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) *
+              (col("syy") - col("sy") * col("sy") / col("n"))))
+            .as("corr"))
+      val adj = u.crossJoin(broadcast(t0))
+        .groupBy(col("arm"))
+        .agg(max(col("n")).as("n_users"), max(col("theta")).as("theta"),
+          max(col("corr")).as("corr"),
+          (dsum(col("y") - col("theta") * (col("x") - col("mx"))) /
+            count(lit(1))).as("madj"),
+          (dsum(col("y")) / count(lit(1))).as("mraw"))
+      adj.agg(max(col("n_users")).as("n_users"),
+          round(max(col("theta")), 6).as("theta"),
+          round(lit(1.0) - max(col("corr")) * max(col("corr")), 6)
+            .as("var_ratio"),
+          round(max(when(col("arm") === 1, col("mraw"))) -
+            max(when(col("arm") === 0, col("mraw"))), 6).as("raw_effect"),
+          round(max(when(col("arm") === 1, col("madj"))) -
+            max(when(col("arm") === 0, col("madj"))), 6)
+            .as("cuped_effect"))
+    },
+
     // Hampel filter: sliding-window (±12 h) median + MAD outlier
     // detection on the hourly count series — the robust alternative to
     // the global z-score (events_anomaly_zscore), immune to the level
@@ -1154,6 +1233,66 @@ object Stats {
         |  round(max(abs(cuma * n_b - cumb * n_a))
         |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS ks_drift
         |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ab_diff_in_diff" ->
+      """WITH b AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
+        |    CASE WHEN ts < (SELECT min(ts) + INTERVAL 15 DAY
+        |      FROM events) THEN 0 ELSE 1 END AS period, value
+        |  FROM events),
+        |c AS (SELECT event_type, arm, period,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS m
+        |  FROM b GROUP BY 1, 2, 3),
+        |p AS (SELECT event_type,
+        |    max(CASE WHEN arm = 1 AND period = 0 THEN m END) AS m_t_pre,
+        |    max(CASE WHEN arm = 1 AND period = 1 THEN m END) AS m_t_post,
+        |    max(CASE WHEN arm = 0 AND period = 0 THEN m END) AS m_c_pre,
+        |    max(CASE WHEN arm = 0 AND period = 1 THEN m END) AS m_c_post
+        |  FROM c GROUP BY 1)
+        |SELECT event_type, round(m_t_pre, 6) AS m_t_pre,
+        |  round(m_t_post, 6) AS m_t_post, round(m_c_pre, 6) AS m_c_pre,
+        |  round(m_c_post, 6) AS m_c_post,
+        |  round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did
+        |FROM p ORDER BY 1""".stripMargin,
+    "ab_cuped" ->
+      """WITH cut AS (SELECT min(ts) + INTERVAL 15 DAY AS c FROM events),
+        |u AS (SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+        |    CAST(sum(CASE WHEN ts < (SELECT c FROM cut)
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / count(CASE WHEN ts < (SELECT c FROM cut) THEN 1 END)
+        |      AS x,
+        |    CAST(sum(CASE WHEN ts >= (SELECT c FROM cut)
+        |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)
+        |      / count(CASE WHEN ts >= (SELECT c FROM cut) THEN 1 END)
+        |      AS y
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT * FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+        |m AS (SELECT count(*) AS n,
+        |    CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(18,6))) AS DOUBLE) AS syy
+        |  FROM v),
+        |t AS (SELECT n, sx / n AS mx,
+        |    (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+        |    (sxy - sx * sy / n)
+        |      / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+        |  FROM m),
+        |adj AS (SELECT arm, count(*) AS n,
+        |    CAST(sum(CAST(y - (SELECT theta FROM t)
+        |      * (x - (SELECT mx FROM t)) AS DECIMAL(18,6))) AS DOUBLE)
+        |      / count(*) AS madj,
+        |    CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |      AS mraw
+        |  FROM v GROUP BY 1)
+        |SELECT (SELECT n FROM t) AS n_users,
+        |  round((SELECT theta FROM t), 6) AS theta,
+        |  round((SELECT 1.0 - corr * corr FROM t), 6) AS var_ratio,
+        |  round(max(CASE WHEN arm = 1 THEN mraw END)
+        |    - max(CASE WHEN arm = 0 THEN mraw END), 6) AS raw_effect,
+        |  round(max(CASE WHEN arm = 1 THEN madj END)
+        |    - max(CASE WHEN arm = 0 THEN madj END), 6) AS cuped_effect
+        |FROM adj""".stripMargin,
     "events_hampel_outliers" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,

@@ -279,6 +279,37 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got("y") - 1.0) < 1e-9)
   }
 
+  test("cuped: pooled theta fit shrinks the imbalance-inflated effect toward truth") {
+    import spark.implicits._
+    val dir = "/tmp/graft_cuped_fixture"
+    // arm 0 (even ids): pre x ∈ {1..5}, post y = 2x
+    // arm 1 (odd ids):  pre x ∈ {3..7}, post y = 2x + 1 (true effect 1)
+    // raw effect = (2·5+1) − 2·3 = 5 (imbalance-inflated). Pooled fit:
+    // θ = 65/30 = 13/6, adjusted effect = 5 − θ·(x̄₁−x̄₀) = 5 − 13/3
+    // = 2/3 — most of the imbalance removed; ρ² = 4225/4275
+    val a0 = (1 to 5).map(i => (2L * i, i.toDouble, 2.0 * i))
+    val a1 = (1 to 5).map(i => (2L * i - 1, (i + 2).toDouble,
+      2.0 * (i + 2) + 1))
+    val rows = (a0 ++ a1).flatMap { case (uid, x, y) =>
+      Seq((uid, "m", x, "2024-01-01 10:00:00"),
+        (uid, "m", y, "2024-01-20 10:00:00"))
+    }
+    rows.toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Stats.queries("ab_cuped")(spark, dir).head
+    assert(r.getAs[Long]("n_users") == 10)
+    assert(math.abs(r.getAs[Double]("theta") - 13.0 / 6) < 1e-6)
+    assert(math.abs(r.getAs[Double]("raw_effect") - 5.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("cuped_effect") - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("var_ratio") - 50.0 / 4275) < 1e-6)
+    // diff-in-diff on the same fixture: both arms double pre→post plus
+    // the +1 treatment shift; did = (y1−x1) − (y0−x0) = mean shift
+    // difference = (x̄1 + 1) − x̄0 = 3
+    val d = Stats.queries("ab_diff_in_diff")(spark, dir).head
+    assert(math.abs(d.getAs[Double]("did") - 3.0) < 1e-6)
+  }
+
   test("hampel: planted spike flagged, flat series clean") {
     import spark.implicits._
     val dir = "/tmp/graft_hampel_fixture"
