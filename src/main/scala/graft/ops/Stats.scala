@@ -771,6 +771,51 @@ object Stats {
             .as("cuped_effect"))
     },
 
+    // Group-sequential monitoring (O'Brien–Fleming): the daily
+    // z-trajectory of the experiment against the α-spending boundary
+    // 2.963/√(information fraction) — the guardrail that makes peeking
+    // at a running experiment statistically honest. Daily moments from
+    // ONE agg over (day, arm); cumulative sums/z via windows over the
+    // |days|×2 frame; the information fraction's denominator is one
+    // broadcast scalar.
+    "ab_sequential_obf" -> { (s, dir) =>
+      val daily = events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")).cast(DateType))
+        .withColumn("arm", (col("user_id") % 2).cast(IntegerType))
+        .groupBy(col("day"), col("arm"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+          dsum(col("value") * col("value")).as("s2"))
+      val wc = Window.partitionBy(col("arm")).orderBy(col("day"))
+      val cum = daily
+        .select(col("day"), col("arm"),
+          sum(col("n")).over(wc).as("n"),
+          sum(col("s1")).over(wc).as("s1"),
+          sum(col("s2")).over(wc).as("s2"))
+      def arm(i: Int, c: org.apache.spark.sql.Column) =
+        max(when(col("arm") === i, c))
+      val piv = cum.groupBy(col("day"))
+        .agg(arm(0, col("n")).as("n_a"), arm(1, col("n")).as("n_b"),
+          arm(0, col("s1") / col("n")).as("m_a"),
+          arm(1, col("s1") / col("n")).as("m_b"),
+          arm(0, (col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("v_a"),
+          arm(1, (col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1)).as("v_b"))
+        .filter(col("n_a") > 1 && col("n_b") > 1)
+      val tot = piv.agg(max(col("n_a") + col("n_b")).as("nmax"))
+      piv.crossJoin(broadcast(tot))
+        .withColumn("z", (col("m_a") - col("m_b")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")))
+        .withColumn("frac",
+          (col("n_a") + col("n_b")).cast(DoubleType) / col("nmax"))
+        .select(col("day"), (col("n_a") + col("n_b")).as("n"),
+          round(col("z"), 6).as("z"),
+          round(lit(2.963) / sqrt(col("frac")), 6).as("obf_bound"),
+          when(abs(col("z")) > lit(2.963) / sqrt(col("frac")), 1)
+            .otherwise(0).as("crossed"))
+        .orderBy(col("day"))
+    },
+
     // Hampel filter: sliding-window (±12 h) median + MAD outlier
     // detection on the hourly count series — the robust alternative to
     // the global z-score (events_anomaly_zscore), immune to the level
@@ -1233,6 +1278,40 @@ object Stats {
         |  round(max(abs(cuma * n_b - cumb * n_a))
         |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS ks_drift
         |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ab_sequential_obf" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(user_id % 2 AS INT) AS arm, value
+        |  FROM events),
+        |agg AS (SELECT day, arm, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS s2
+        |  FROM d GROUP BY 1, 2),
+        |cum AS (SELECT day, arm, sum(n) OVER w AS n,
+        |    sum(s1) OVER w AS s1, sum(s2) OVER w AS s2
+        |  FROM agg WINDOW w AS (PARTITION BY arm ORDER BY day)),
+        |piv AS (SELECT day,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 0 THEN s1 / n END) AS m_a,
+        |    max(CASE WHEN arm = 1 THEN s1 / n END) AS m_b,
+        |    max(CASE WHEN arm = 0 THEN (s2 - s1 * s1 / n) / (n - 1) END)
+        |      AS v_a,
+        |    max(CASE WHEN arm = 1 THEN (s2 - s1 * s1 / n) / (n - 1) END)
+        |      AS v_b
+        |  FROM cum GROUP BY 1
+        |  HAVING max(CASE WHEN arm = 0 THEN n END) > 1
+        |    AND max(CASE WHEN arm = 1 THEN n END) > 1),
+        |z AS (SELECT day, n_a, n_b,
+        |    (m_a - m_b) / sqrt(v_a / n_a + v_b / n_b) AS z,
+        |    CAST(n_a + n_b AS DOUBLE)
+        |      / (SELECT max(n_a + n_b) FROM piv) AS frac
+        |  FROM piv)
+        |SELECT day, n_a + n_b AS n, round(z, 6) AS z,
+        |  round(2.963 / sqrt(frac), 6) AS obf_bound,
+        |  CASE WHEN abs(z) > 2.963 / sqrt(frac) THEN 1 ELSE 0 END
+        |    AS crossed
+        |FROM z ORDER BY day""".stripMargin,
     "ab_diff_in_diff" ->
       """WITH b AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm,
         |    CASE WHEN ts < (SELECT min(ts) + INTERVAL 15 DAY

@@ -646,6 +646,53 @@ object TextStats {
         .agg(round(dsum(col("wscore")), 6).as("score"))
         .orderBy(col("score").desc, col("phrase"))
         .limit(25)
+    },
+
+    // Pairwise Jensen–Shannon divergence between the sources' unigram
+    // distributions — the corpus-similarity matrix a mixture designer
+    // reads before setting sampling weights (two sources with near-zero
+    // JSD are redundant; a high-JSD source adds diversity). One data
+    // pass to (source, word) counts; everything after runs on the
+    // (|sources|² × |vocab|)-bounded grid with the per-source
+    // distribution broadcast twice. Zero-probability terms drop out of
+    // the sum exactly (no smoothing — JSD is finite regardless); terms
+    // are 9-dp decimal-quantized so the pair sums replay bit-identically.
+    "text_source_jsd" -> { (s, dir) =>
+      val c = t(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val p = c.select(col("source"), col("word"),
+        (col("n").cast(DoubleType) / sum(col("n")).over(wSrc)).as("p"))
+      val srcs = c.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("src_a"))
+        .join(broadcast(srcs.select(col("source").as("src_b"))),
+          col("src_a") < col("src_b"))
+      val grid = pairs.crossJoin(broadcast(c.select(col("word"))
+        .distinct()))
+      val j = grid
+        .join(broadcast(p.select(col("source").as("src_a"),
+          col("word"), col("p").as("pa"))), Seq("src_a", "word"), "left")
+        .join(broadcast(p.select(col("source").as("src_b"),
+          col("word"), col("p").as("pb"))), Seq("src_b", "word"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("pa"), lit(0.0)).as("pa"),
+          coalesce(col("pb"), lit(0.0)).as("pb"))
+      j.withColumn("t",
+          when(col("pa") > 0,
+            col("pa") * log(lit(2.0) * col("pa") /
+              (col("pa") + col("pb")))).otherwise(0.0) +
+          when(col("pb") > 0,
+            col("pb") * log(lit(2.0) * col("pb") /
+              (col("pa") + col("pb")))).otherwise(0.0))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(round(sum((lit(0.5) * col("t"))
+          .cast(DecimalType(18, 9))).cast(DoubleType), 6).as("jsd"))
+        .orderBy(col("src_a"), col("src_b"))
     }
   )
 
@@ -1082,6 +1129,38 @@ object TextStats {
         |    AS score
         |FROM ph JOIN wsc USING (word)
         |GROUP BY 1, 2, 3
-        |ORDER BY score DESC, phrase LIMIT 25""".stripMargin
+        |ORDER BY score DESC, phrase LIMIT 25""".stripMargin,
+    "text_source_jsd" ->
+      """WITH w AS (
+        |  SELECT source, u.w AS word FROM documents,
+        |    unnest(string_split(lower(text), ' ')) AS u(w)
+        |  WHERE len(u.w) > 0),
+        |c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |p AS (SELECT source, word,
+        |    CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY source) AS p
+        |  FROM c),
+        |grid AS (
+        |  SELECT s1.source AS src_a, s2.source AS src_b, u.word
+        |  FROM (SELECT DISTINCT source FROM c) s1
+        |  JOIN (SELECT DISTINCT source FROM c) s2
+        |    ON s1.source < s2.source
+        |  CROSS JOIN (SELECT DISTINCT word FROM c) u),
+        |j AS (
+        |  SELECT g.src_a, g.src_b,
+        |    coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+        |  FROM grid g
+        |  LEFT JOIN p pa ON pa.source = g.src_a AND pa.word = g.word
+        |  LEFT JOIN p pb ON pb.source = g.src_b AND pb.word = g.word),
+        |terms AS (
+        |  SELECT src_a, src_b,
+        |    CASE WHEN pa > 0
+        |      THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+        |    + CASE WHEN pb > 0
+        |      THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END AS t
+        |  FROM j)
+        |SELECT src_a, src_b,
+        |  round(CAST(sum(CAST(0.5 * t AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS jsd
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1028,6 +1028,24 @@ class OpsSpec extends AnyFunSuite {
     graft.Util.rmrf(new java.io.File(dir))
   }
 
+  test("source jsd: identical sources at 0, disjoint vocabularies at ln 2") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsd_spec").toString
+    Seq((1L, "cat dog bird", "en", "sA"),
+        (2L, "cat dog bird", "en", "sB"),
+        (3L, "fish crab squid", "en", "sC"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = TextStats.queries("text_source_jsd")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("jsd")).toMap
+    assert(math.abs(got(("sA", "sB"))) < 1e-9)
+    assert(math.abs(got(("sA", "sC")) - math.log(2.0)) < 1e-6)
+    assert(math.abs(got(("sB", "sC")) - math.log(2.0)) < 1e-6)
+    graft.Util.rmrf(new java.io.File(dir))
+  }
+
   test("q11/q20 thresholds bind: non-degenerate, average-relative at sf0.001") {
     val sf = "/root/testdata/sf0.001"
     val v = Relational2.queries("q11_important_value")(spark, sf).collect()

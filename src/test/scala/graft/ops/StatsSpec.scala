@@ -310,6 +310,38 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(d.getAs[Double]("did") - 3.0) < 1e-6)
   }
 
+  test("obf: boundary shrinks with information; planted huge effect crosses") {
+    import spark.implicits._
+    val dir = "/tmp/graft_obf_fixture"
+    // 10 days × 20 users/arm; arm 0 metric ~N(1,·), arm 1 ~100 + noise
+    val rows = for {
+      d <- 1 to 10; u <- 1L to 40L
+    } yield (u, "m",
+      (if (u % 2 == 1) 100.0 else 1.0) + (u % 7) * 0.1,
+      f"2024-01-$d%02d 10:00:00")
+    rows.toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Stats.queries("ab_sequential_obf")(spark, dir)
+      .orderBy(col("day")).collect()
+    assert(got.length == 10)
+    // boundary monotone non-increasing as information accrues
+    got.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Double]("obf_bound") >=
+          w(1).getAs[Double]("obf_bound") - 1e-9)
+    }
+    // final boundary is the fixed-horizon 2.963; the planted effect
+    // is enormous → crossed
+    assert(math.abs(got.last.getAs[Double]("obf_bound") - 2.963) < 1e-6)
+    assert(got.last.getAs[Int]("crossed") == 1)
+    got.foreach { r =>
+      val want = if (math.abs(r.getAs[Double]("z")) >
+        r.getAs[Double]("obf_bound")) 1 else 0
+      assert(r.getAs[Int]("crossed") == want)
+    }
+  }
+
   test("hampel: planted spike flagged, flat series clean") {
     import spark.implicits._
     val dir = "/tmp/graft_hampel_fixture"
