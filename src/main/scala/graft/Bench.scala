@@ -71,7 +71,15 @@ object Bench {
     "q_corr_matrix", "graph_adamic_adar", "text_pmi_bigrams",
     // basket-bounded co-purchase association join and the blocked
     // Jaro–Winkler fuzzy join (codegen expression in the inner loop)
-    "rec_copurchase_lift", "link_jaro_pairs")
+    "rec_copurchase_lift", "link_jaro_pairs",
+    // round-8 additions: the grid-histogram rank test (exact ranks
+    // without ranking data rows), the Hampel band self-joins, RAKE's
+    // explode + capped vocab join, the source-pair JSD grid, exact
+    // WAU via the cover-day explode, the iterated absorption matrix,
+    // and the q21 double-correlation collapse
+    "ab_mann_whitney", "events_hampel_outliers", "text_rake_keywords",
+    "text_source_jsd", "events_dau_wau_stickiness",
+    "events_absorption_prob", "q21_waiting_supplier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
