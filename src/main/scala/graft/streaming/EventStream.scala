@@ -348,6 +348,65 @@ object EventStream {
         .orderBy(col("hod"))
     },
 
+    // Exact Shapley-value channel attribution — the game-theoretic
+    // answer to "which channels actually drive conversions" that
+    // last-touch and linear splits approximate. Each converted user
+    // reduces to the BITMASK of channels touched before first
+    // purchase (the only data-sized work: first-purchase agg + one
+    // user-keyed distinct); the coalition value v(S) = conversions
+    // whose touchset ⊆ S and every Shapley term then live on 16-row
+    // frames, so the exact formula (not a sampling approximation) is
+    // free at any corpus size — feasible because |channels| is small
+    // and fixed, which is the realistic marketing-attribution regime.
+    // Conservation (Σφ = touched conversions) is spec-locked; terms
+    // are 9-dp decimal-quantized for cross-engine replay.
+    "events_shapley_attribution" -> { (s, dir) =>
+      val e = events(s, dir)
+      val fp = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("cts"))
+      val mask = e.join(fp, Seq("user_id"))
+        .filter(col("ts") < col("cts") &&
+          col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type")).distinct()
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "error", 2L)
+          .when(col("event_type") === "signup", 4L)
+          .when(col("event_type") === "view", 8L).otherwise(0L))
+          .as("m"))
+      val c = fp.join(mask, Seq("user_id"), "left")
+        .select(coalesce(col("m"), lit(0L)).as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // 16-row frame, reused per subset
+      val subs = s.range(16).select(col("id").as("s"))
+      val v = subs.crossJoin(broadcast(c))
+        .groupBy(col("s"))
+        .agg(coalesce(sum(when(
+          (col("m").bitwiseAND(col("s"))) === col("m"), col("c"))),
+          lit(0L)).as("v"))
+        .localCheckpoint()
+      import s.implicits._
+      val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+        ("view", 8L)).toDF("channel", "bit")
+      val v0 = v.select(col("s").as("s0"), col("v").as("va"))
+      val v1 = v.select(col("s").as("s1"), col("v").as("vb"))
+      val weight = when(col("sz") === 0, lit(0.25))
+        .when(col("sz") === 1, lit(1.0) / 12)
+        .when(col("sz") === 2, lit(1.0) / 12)
+        .otherwise(lit(0.25))
+      ch.join(v0, col("s0").bitwiseAND(col("bit")) === 0)
+        .join(v1, col("s1") === col("s0").bitwiseOR(col("bit")))
+        .withColumn("sz",
+          (col("s0") % 2) + ((col("s0") / 2).cast(LongType) % 2) +
+            ((col("s0") / 4).cast(LongType) % 2) +
+            ((col("s0") / 8).cast(LongType) % 2))
+        .withColumn("term", weight * (col("vb") - col("va")))
+        .groupBy(col("channel"))
+        .agg(round(sum(col("term").cast(DecimalType(18, 9)))
+          .cast(DoubleType), 6).as("shapley"))
+        .orderBy(col("channel"))
+    },
+
     // stream-static enrichment — THE most common streaming pattern:
     // each microbatch joins a slowly-changing dimension (customer →
     // nation) before aggregating. Structured Streaming supports
@@ -582,6 +641,44 @@ object EventStream {
         |    / count(mins) * 1000000.0 + 0.5) / 1000000.0
         |    AS mean_minutes
         |FROM k""".stripMargin,
+    "events_shapley_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, min(ts) AS cts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |touch AS (
+        |  SELECT DISTINCT e.user_id, e.event_type
+        |  FROM events e JOIN fp ON e.user_id = fp.user_id
+        |  WHERE e.ts < fp.cts AND e.event_type <> 'purchase'),
+        |mask AS (
+        |  SELECT user_id, CAST(sum(CASE event_type
+        |      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)
+        |    AS BIGINT) AS m
+        |  FROM touch GROUP BY 1),
+        |allm AS (
+        |  SELECT fp.user_id, coalesce(mask.m, 0) AS m
+        |  FROM fp LEFT JOIN mask ON fp.user_id = mask.user_id),
+        |c AS (SELECT m, count(*) AS c FROM allm GROUP BY 1),
+        |subs AS (SELECT unnest(range(0, 16)) AS s),
+        |v AS (
+        |  SELECT subs.s AS s,
+        |    CAST(coalesce(sum(CASE WHEN (c.m & subs.s) = c.m
+        |      THEN c.c END), 0) AS BIGINT) AS v
+        |  FROM subs LEFT JOIN c ON TRUE GROUP BY 1),
+        |ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2),
+        |  ('signup', 4), ('view', 8)) AS t(channel, bit)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    (v0.s % 2) + ((v0.s // 2) % 2) + ((v0.s // 4) % 2)
+        |      + ((v0.s // 8) % 2) AS sz,
+        |    v1.v - v0.v AS dv
+        |  FROM ch JOIN v v0 ON (v0.s & ch.bit) = 0
+        |  JOIN v v1 ON v1.s = (v0.s | ch.bit))
+        |SELECT channel,
+        |  round(CAST(sum(CAST((CASE sz WHEN 0 THEN 0.25
+        |    WHEN 1 THEN 1.0/12 WHEN 2 THEN 1.0/12 ELSE 0.25 END) * dv
+        |    AS DECIMAL(18,9))) AS DOUBLE), 6) AS shapley
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_attribution_linear" ->
       """WITH e AS (SELECT user_id, event_type, value, event_id,
         |    epoch_us(ts) AS us, hour(ts) AS hod FROM events),

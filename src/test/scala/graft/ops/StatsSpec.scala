@@ -342,6 +342,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("shapley attribution: hand-computed game; credit conserves exactly") {
+    import spark.implicits._
+    val dir = "/tmp/graft_shapley_fixture"
+    // u1 touched {click}, u2 {click, view}, u3 nothing — all convert.
+    // φ_click = 1/4 + 9/12·1/1... worked by hand: 1.5; φ_view = 0.5;
+    // error/signup 0; Σφ = 2 = conversions with ≥1 touch
+    val rows = Seq(
+      (1L, "click", "2024-01-01 09:00:00"),
+      (1L, "purchase", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "view", "2024-01-01 09:30:00"),
+      (2L, "purchase", "2024-01-01 10:00:00"),
+      (3L, "purchase", "2024-01-01 10:00:00"))
+    rows.map { case (u, t0, ts) => (u, t0, 0.0, ts) }
+      .toDF("user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventStream
+      .queries("events_shapley_attribution")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("shapley"))
+      .toMap
+    assert(math.abs(got("click") - 1.5) < 1e-6, got)
+    assert(math.abs(got("view") - 0.5) < 1e-6, got)
+    assert(math.abs(got("error")) < 1e-6 && math.abs(got("signup")) < 1e-6)
+    assert(math.abs(got.values.sum - 2.0) < 1e-6) // conservation
+  }
+
   test("hampel: planted spike flagged, flat series clean") {
     import spark.implicits._
     val dir = "/tmp/graft_hampel_fixture"
