@@ -407,6 +407,90 @@ object EventStream {
         .orderBy(col("channel"))
     },
 
+    // Markov removal-effect attribution (the third classical model
+    // next to linear splits and Shapley): build the user-journey
+    // transition matrix (start → channels → purchase/null, cut at
+    // first purchase), compute P(conversion) by iterating the
+    // absorption recursion, and credit each channel by how much
+    // P(conversion) drops when walks through it are redirected to
+    // null. Removal needs NO second matrix — clamping p(channel) = 0
+    // inside the same iteration is equivalent, so all five variants
+    // (baseline + 4 removals) ride one variant column through 12
+    // metadata-sized steps. Per-step products decimal-quantized; the
+    // oracle replays the identical chained recursion.
+    "events_markov_removal" -> { (s, dir) =>
+      import s.implicits._
+      val chans = Seq("click", "error", "signup", "view")
+      val e = events(s, dir)
+      val wu = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val seq0 = e.select(col("user_id"), col("event_type"),
+        row_number().over(wu).as("rn"))
+      val fp = seq0.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("rn")).as("prn"))
+      val kept = seq0.join(fp, Seq("user_id"), "left")
+        .filter(col("prn").isNull || col("rn") <= col("prn"))
+      val wk = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      val tr0 = kept.select(
+        coalesce(lag(col("event_type"), 1).over(wk), lit("start"))
+          .as("a"), col("event_type").as("b"))
+      val trail = kept.groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), col("rn")).as("a"))
+        .filter(col("a") =!= "purchase")
+        .select(col("a"), lit("null").as("b"))
+      val wa = Window.partitionBy(col("a"))
+      val tp = tr0.union(trail)
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .select(col("a"), col("b"),
+          (col("n").cast(DoubleType) / sum(col("n")).over(wa)).as("p"))
+        .localCheckpoint() // |states|²-bounded; reused 13×
+      val conv = tp.filter(col("b") === "purchase")
+        .select(col("a").as("st"), col("p").as("cv"))
+      val variants = ("none" +: chans).toDF("rm")
+      val states = chans.toDF("st")
+      def dec9(c: org.apache.spark.sql.Column) =
+        sum(c.cast(DecimalType(18, 9))).cast(DoubleType)
+      var pv = variants.crossJoin(states).withColumn("p", lit(0.0))
+      for (_ <- 1 to 12) {
+        val acc = tp
+          .join(pv.select(col("rm"), col("st").as("b"), col("p")
+            .as("pb")), Seq("b"))
+          .groupBy(col("rm"), col("a"))
+          .agg(dec9(col("p") * col("pb")).as("acc"))
+        pv = variants.crossJoin(states)
+          .join(broadcast(conv), Seq("st"), "left")
+          .join(acc.select(col("rm"), col("a").as("st"), col("acc")),
+            Seq("rm", "st"), "left")
+          .select(col("rm"), col("st"),
+            when(col("rm") === col("st"), lit(0.0))
+              .otherwise(coalesce(col("cv"), lit(0.0)) +
+                coalesce(col("acc"), lit(0.0))).as("p"))
+          .localCheckpoint()
+      }
+      val p0 = tp.filter(col("a") === "start" && col("b") === "purchase")
+        .agg(coalesce(max(col("p")), lit(0.0)).as("p0"))
+      val startTp = tp
+        .filter(col("a") === "start" && col("b").isin(chans: _*))
+        .select(col("b").as("st"), col("p").as("sp"))
+      val pstart = variants.crossJoin(broadcast(startTp))
+        .join(pv, Seq("rm", "st"))
+        .groupBy(col("rm"))
+        .agg(dec9(when(col("rm") === col("st"), lit(0.0))
+          .otherwise(col("sp") * col("p"))).as("acc"))
+        .crossJoin(broadcast(p0))
+        .select(col("rm"), (col("p0") + col("acc")).as("pconv"))
+        .localCheckpoint()
+      val base = pstart.filter(col("rm") === "none")
+        .select(col("pconv").as("pbase"))
+      pstart.filter(col("rm") =!= "none")
+        .crossJoin(broadcast(base))
+        .select(col("rm").as("channel"),
+          round(col("pconv"), 6).as("p_conv"),
+          round(lit(1.0) - col("pconv") / col("pbase"), 6)
+            .as("removal_effect"))
+        .orderBy(col("channel"))
+    },
+
     // stream-static enrichment — THE most common streaming pattern:
     // each microbatch joins a slowly-changing dimension (customer →
     // nation) before aggregating. Structured Streaming supports
@@ -499,7 +583,82 @@ object EventStream {
     }
   )
 
+  /** DuckDB mirror of events_markov_removal: the same 12-step clamped
+    * absorption recursion as chained CTEs with a variant column (the
+    * absorptionSql pattern; MATERIALIZED matrix so steps don't
+    * re-derive the journey scan). */
+  private def markovRemovalSql(steps: Int): String = {
+    val chain = (1 to steps).map { k =>
+      s"""p$k AS (
+         |  SELECT v.rm, st.st,
+         |    CASE WHEN v.rm = st.st THEN 0.0 ELSE
+         |      coalesce(cv.p, 0) + coalesce(x.acc, 0) END AS p
+         |  FROM variants v CROSS JOIN states st
+         |  LEFT JOIN conv cv ON cv.st = st.st
+         |  LEFT JOIN (
+         |    SELECT pv.rm, tp.a AS st,
+         |      CAST(sum(CAST(tp.p * pv.p AS DECIMAL(18,9))) AS DOUBLE)
+         |        AS acc
+         |    FROM tp JOIN p${k - 1} pv ON tp.b = pv.st
+         |    GROUP BY 1, 2) x ON x.rm = v.rm AND x.st = st.st)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |fp AS (SELECT user_id, min(rn) AS prn FROM seq
+       |  WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (
+       |  SELECT s.user_id, s.event_type, s.rn
+       |  FROM seq s LEFT JOIN fp ON s.user_id = fp.user_id
+       |  WHERE fp.prn IS NULL OR s.rn <= fp.prn),
+       |tr0 AS (
+       |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id
+       |    ORDER BY rn), 'start') AS a, event_type AS b
+       |  FROM kept),
+       |trail AS (
+       |  SELECT max_by(event_type, rn) AS a, 'null' AS b
+       |  FROM kept GROUP BY user_id
+       |  HAVING max_by(event_type, rn) <> 'purchase'),
+       |cnt AS (SELECT a, b, count(*) AS n FROM
+       |  (SELECT a, b FROM tr0 UNION ALL SELECT a, b FROM trail)
+       |  GROUP BY 1, 2),
+       |tp AS MATERIALIZED (
+       |  SELECT a, b, CAST(n AS DOUBLE)
+       |    / sum(n) OVER (PARTITION BY a) AS p
+       |  FROM cnt),
+       |variants AS (SELECT unnest(
+       |  ['none', 'click', 'error', 'signup', 'view']) AS rm),
+       |states AS (SELECT unnest(
+       |  ['click', 'error', 'signup', 'view']) AS st),
+       |conv AS MATERIALIZED (
+       |  SELECT a AS st, p FROM tp WHERE b = 'purchase'),
+       |p0 AS (SELECT rm, st, 0.0 AS p
+       |  FROM variants CROSS JOIN states),
+       |$chain,
+       |pstart AS (
+       |  SELECT v.rm,
+       |    coalesce((SELECT p FROM tp
+       |      WHERE a = 'start' AND b = 'purchase'), 0)
+       |    + coalesce(CAST(sum(CAST(CASE WHEN pv.st = v.rm THEN 0
+       |        ELSE tp.p * pv.p END AS DECIMAL(18,9))) AS DOUBLE), 0)
+       |      AS pconv
+       |  FROM variants v
+       |  LEFT JOIN tp ON tp.a = 'start'
+       |    AND tp.b IN ('click', 'error', 'signup', 'view')
+       |  LEFT JOIN p$steps pv ON pv.rm = v.rm AND pv.st = tp.b
+       |  GROUP BY 1)
+       |SELECT rm AS channel, round(pconv, 6) AS p_conv,
+       |  round(1.0 - pconv
+       |    / (SELECT pconv FROM pstart WHERE rm = 'none'), 6)
+       |    AS removal_effect
+       |FROM pstart WHERE rm <> 'none' ORDER BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "events_markov_removal" -> markovRemovalSql(12),
     "stream_lateness_profile" ->
       """WITH l AS (SELECT event_type,
         |    epoch_us(max(ts) OVER (PARTITION BY user_id % 8

@@ -369,6 +369,33 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(got.values.sum - 2.0) < 1e-6) // conservation
   }
 
+  test("markov removal: sole converting channel gets effect 1, bystander 0") {
+    import spark.implicits._
+    val dir = "/tmp/graft_markov_fixture"
+    // u1/u2: click → purchase; u3: view → (no purchase)
+    // P(conv) = P(start→click) = 2/3; removing click kills every
+    // converting walk → effect 1; removing view changes nothing → 0
+    val rows = Seq(
+      (1L, "click", "2024-01-01 09:00:00"),
+      (1L, "purchase", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 09:00:00"),
+      (2L, "purchase", "2024-01-01 10:00:00"),
+      (3L, "view", "2024-01-01 09:00:00"))
+    rows.zipWithIndex.map { case ((u, t0, ts), i) =>
+        (i.toLong, u, t0, 0.0, ts) }
+      .toDF("event_id", "user_id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventStream
+      .queries("events_markov_removal")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p_conv"), r.getAs[Double]("removal_effect")))
+      .toMap
+    assert(math.abs(got("click")._2 - 1.0) < 1e-6, got)
+    assert(math.abs(got("view")._2) < 1e-6, got)
+    assert(math.abs(got("view")._1 - 2.0 / 3) < 1e-6, got)
+  }
+
   test("hampel: planted spike flagged, flat series clean") {
     import spark.implicits._
     val dir = "/tmp/graft_hampel_fixture"
