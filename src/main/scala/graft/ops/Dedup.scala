@@ -334,6 +334,22 @@ object Dedup {
     }
   }
 
+  private val tauMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** [[adaptiveTau]] over `dir`'s embeddings table, memoized per
+    * (corpus dir, base threshold) — τ is a corpus-snapshot property,
+    * and recomputing the sampling quantile per query invocation
+    * charged dedup_incr_embedding 7 s → 18 s at the 3× probe before
+    * the memo. The single memo replaces the per-caller copies that
+    * used to live in Graph and Incremental. */
+  def memoTau(s: SparkSession, dir: String, base: Double,
+      refN: Long = 5000L): Double =
+    tauMemo.computeIfAbsent(s"$dir@$base", _ => {
+      val emb = Q.t(s, dir, "embeddings")
+      adaptiveTau(emb, "vec_id", "embedding", base, emb.count(), refN)
+    })
+
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 48, bits: Int = 5,
       dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
@@ -551,7 +567,7 @@ object Dedup {
         // state ~1-2M pairs — inside a task's memory share
         val aggParts = math.max(
           sets.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
-          math.min(4096, (postingVolume / 20000L).toInt))
+          math.min(4096L, postingVolume / 20000L).toInt)
         pref.join(postings, "tok")
           .select(col("id_a"), col("mm"), col("m"),
             explode(col("ids")).as("id_b"))

@@ -496,17 +496,8 @@ object Incremental {
     * recall/agreement stay apples-to-apples at every scale point; the
     * oracle-checked anchor `dedup_incr_embedding_exact` keeps the
     * fixed 0.45 its DuckDB SQL hard-codes. */
-  private val incrEmbTauMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
-
   private def incrEmbTau(s: SparkSession, dir: String): Double =
-    // memoized per corpus dir — τ is a corpus-snapshot property; see
-    // Graph.lpTau for the rationale
-    incrEmbTauMemo.computeIfAbsent(dir, _ => {
-      val emb = t(s, dir, "embeddings")
-      Dedup.adaptiveTau(emb, "vec_id", "embedding", 0.45,
-        emb.count(), 5000L)
-    })
+    Dedup.memoTau(s, dir, 0.45)
 
   private def vecSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {

@@ -39,6 +39,18 @@ object Stats {
         date_trunc("hour", col("ts")).as("hour_start"))
       .agg(count(lit(1)).as("n"))
 
+  /** Shared reduction behind the rank tests and the KS drift monitor:
+    * per-(type, cent-quantized value) histogram with conditional
+    * two-population counts. The grid is VALUE-bounded (≤49k cells per
+    * type for a 2-dp money metric) regardless of row count — what
+    * makes exact ranks/CDFs feasible at 100 TB. */
+  private def centsHist(e: DataFrame,
+      inA: org.apache.spark.sql.Column): DataFrame =
+    e.withColumn("cents", round(col("value") * 100).cast(LongType))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("ca"),
+        sum(when(!inA, 1L).otherwise(0L)).as("cb"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A/B experiment readout: users split into two arms by id parity
@@ -471,15 +483,12 @@ object Stats {
     // ~49k cells max) regardless of row count, which is what makes an
     // exact rank test feasible at 100 TB. Midranks stay exact integers
     // via r2 = 2·rank (2·cum_before + c + 1); the tie-corrected normal
-    // z uses the standard Σ(t³−t) correction. Count products overflow
-    // long only past ~3e9 rows per type — past that the sums move to
-    // DECIMAL(38,0) (noted, not needed at any test SF).
+    // z uses the standard Σ(t³−t) correction, summed in DECIMAL (a
+    // single point-mass cell of ≥2.1M rows would wrap a long c³). The
+    // remaining long sums (r2a) overflow only past ~3e9 rows per type
+    // — past that they too move to DECIMAL(38,0).
     "ab_mann_whitney" -> { (s, dir) =>
-      val hist = events(s, dir)
-        .withColumn("cents", round(col("value") * 100).cast(LongType))
-        .groupBy(col("event_type"), col("cents"))
-        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val hist = centsHist(events(s, dir), col("user_id") % 2 === 0)
         .withColumn("c", col("ca") + col("cb"))
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -488,7 +497,11 @@ object Stats {
         .groupBy(col("event_type"))
         .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
           sum(col("ca") * (lit(2L) * col("cum0") + col("c") + 1L)).as("r2a"),
-          sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+          // c³ with the FIRST factor decimal-cast: a single point-mass
+          // cell of ≥2.1M rows would wrap the long product before any
+          // outer cast could save it; DuckDB sums this in HUGEINT
+          sum(col("c").cast(DecimalType(38, 0)) * col("c") * col("c")
+            - col("c")).as("ties"))
       st.select(col("event_type"), col("n_a"), col("n_b"),
           round(col("r2a") / 2.0 - col("n_a") * (col("n_a") + 1) / 2.0, 6)
             .as("u_a"),
@@ -509,11 +522,7 @@ object Stats {
     // scaled statistic √(n_a·n_b/(n_a+n_b))·D is the one compared
     // against the Kolmogorov critical values (1.358 at α=0.05).
     "ab_ks_test" -> { (s, dir) =>
-      val hist = events(s, dir)
-        .withColumn("cents", round(col("value") * 100).cast(LongType))
-        .groupBy(col("event_type"), col("cents"))
-        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val hist = centsHist(events(s, dir), col("user_id") % 2 === 0)
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       val wAll = Window.partitionBy(col("event_type"))
       hist
@@ -668,12 +677,8 @@ object Stats {
       val e = events(s, dir)
       val cut = e.agg((min(col("ts")) + expr("INTERVAL 7 DAYS"))
         .as("cut"))
-      val hist = e.crossJoin(broadcast(cut))
-        .withColumn("cents", round(col("value") * 100).cast(LongType))
-        .withColumn("w", when(col("ts") < col("cut"), 0).otherwise(1))
-        .groupBy(col("event_type"), col("cents"))
-        .agg(sum(when(col("w") === 0, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("w") === 1, 1L).otherwise(0L)).as("cb"))
+      val hist = centsHist(e.crossJoin(broadcast(cut)),
+        col("ts") < col("cut"))
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("cents"))
       val wAll = Window.partitionBy(col("event_type"))
       hist

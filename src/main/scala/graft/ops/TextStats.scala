@@ -653,8 +653,10 @@ object TextStats {
     // reads before setting sampling weights (two sources with near-zero
     // JSD are redundant; a high-JSD source adds diversity). One data
     // pass to (source, word) counts; everything after runs on the
-    // (|sources|² × |vocab|)-bounded grid with the per-source
-    // distribution broadcast twice. Zero-probability terms drop out of
+    // (|sources|² × |vocab|)-sized grid — vocabulary-sized frames
+    // shuffle on word (never broadcast: vocabulary grows with the
+    // corpus), only the tiny pair frame broadcasts. Zero-probability
+    // terms drop out of
     // the sum exactly (no smoothing — JSD is finite regardless); terms
     // are 9-dp decimal-quantized so the pair sums replay bit-identically.
     "text_source_jsd" -> { (s, dir) =>
@@ -669,16 +671,20 @@ object TextStats {
       val p = c.select(col("source"), col("word"),
         (col("n").cast(DoubleType) / sum(col("n")).over(wSrc)).as("p"))
       val srcs = c.select(col("source")).distinct()
+      // only the |sources|²-row pair frame broadcasts; the vocabulary
+      // and the per-source distributions are corpus-derived (Heaps'
+      // law — they grow with the corpus) and flow through shuffle
+      // joins keyed on word
       val pairs = srcs.select(col("source").as("src_a"))
         .join(broadcast(srcs.select(col("source").as("src_b"))),
           col("src_a") < col("src_b"))
-      val grid = pairs.crossJoin(broadcast(c.select(col("word"))
-        .distinct()))
+      val grid = c.select(col("word")).distinct()
+        .crossJoin(broadcast(pairs))
       val j = grid
-        .join(broadcast(p.select(col("source").as("src_a"),
-          col("word"), col("p").as("pa"))), Seq("src_a", "word"), "left")
-        .join(broadcast(p.select(col("source").as("src_b"),
-          col("word"), col("p").as("pb"))), Seq("src_b", "word"), "left")
+        .join(p.select(col("source").as("src_a"),
+          col("word"), col("p").as("pa")), Seq("src_a", "word"), "left")
+        .join(p.select(col("source").as("src_b"),
+          col("word"), col("p").as("pb")), Seq("src_b", "word"), "left")
         .select(col("src_a"), col("src_b"),
           coalesce(col("pa"), lit(0.0)).as("pa"),
           coalesce(col("pb"), lit(0.0)).as("pb"))

@@ -379,11 +379,14 @@ object EventStream {
         .groupBy(col("m")).agg(count(lit(1)).as("c"))
         .localCheckpoint() // 16-row frame, reused per subset
       val subs = s.range(16).select(col("id").as("s"))
-      val v = subs.crossJoin(broadcast(c))
+      // LEFT join on the subset condition, not a crossJoin: with zero
+      // conversions c is empty and a crossJoin would drop all 16
+      // subset rows (and the whole output) while the oracle keeps
+      // them with v = 0
+      val v = subs.join(broadcast(c),
+          col("m").bitwiseAND(col("s")) === col("m"), "left")
         .groupBy(col("s"))
-        .agg(coalesce(sum(when(
-          (col("m").bitwiseAND(col("s"))) === col("m"), col("c"))),
-          lit(0L)).as("v"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("v"))
         .localCheckpoint()
       import s.implicits._
       val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
@@ -472,13 +475,18 @@ object EventStream {
       val startTp = tp
         .filter(col("a") === "start" && col("b").isin(chans: _*))
         .select(col("b").as("st"), col("p").as("sp"))
-      val pstart = variants.crossJoin(broadcast(startTp))
-        .join(pv, Seq("rm", "st"))
+      // accumulate per variant from the start transitions, then LEFT
+      // join back to variants: if no user's first event is a channel,
+      // startTp is empty and a crossJoin would collapse pstart to zero
+      // rows while the oracle keeps all variants with pconv = p0
+      val accS = startTp.join(pv, Seq("st"))
         .groupBy(col("rm"))
         .agg(dec9(when(col("rm") === col("st"), lit(0.0))
           .otherwise(col("sp") * col("p"))).as("acc"))
+      val pstart = variants.join(accS, Seq("rm"), "left")
         .crossJoin(broadcast(p0))
-        .select(col("rm"), (col("p0") + col("acc")).as("pconv"))
+        .select(col("rm"),
+          (col("p0") + coalesce(col("acc"), lit(0.0))).as("pconv"))
         .localCheckpoint()
       val base = pstart.filter(col("rm") === "none")
         .select(col("pconv").as("pbase"))
