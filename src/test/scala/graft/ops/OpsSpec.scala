@@ -929,6 +929,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 10L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("personalized pagerank: rank decays with distance from the seed; mass conserved") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.personalizedPageRank(pairs, seeds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // proximity ordering from the single seed at node 1
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L),
+      got.toString)
+    // undirected graph, no dangling nodes → total mass ≈ 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, got.values.sum)
+  }
+
   test("pareto frontier: planted dominance cases, including the equal-size tie") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pareto_spec").toString
