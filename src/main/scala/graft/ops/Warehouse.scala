@@ -359,6 +359,48 @@ object Warehouse {
     // (|parts| rows). Counts are integers, lift is one double ratio;
     // top-50 by rounded lift with full tie-break →
     // TakeOrderedAndProject.
+    // item-item cosine recommendations ("customers who bought X also
+    // bought…"): binary-vector cosine c(ab)/√(c(a)·c(b)) over shared
+    // baskets, top-3 per item via a partition-local row_number — the
+    // per-key-top-k recommender shape next to the global-top-50 lift
+    // screen. Same governed basket self-join as rec_copurchase_lift
+    // (work Σ|basket|², hot-basket capped); ordering uses the ROUNDED
+    // cosine so the cross-engine comparator never depends on a last
+    // ulp. Marginals stay computed from the ungoverned items.
+    "rec_item_item_cosine" -> { (s, dir) =>
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+      val partCnt = items.groupBy(col("part"))
+        .agg(count(lit(1)).as("c"))
+      val governed = items
+        .withColumn("bsz",
+          count(lit(1)).over(Window.partitionBy(col("okey"))))
+        .filter(Scale.wedgeGovernor(col("okey"), col("part"), col("bsz")))
+        .drop("bsz")
+      val pairs = governed.alias("x")
+        .join(governed.alias("y"),
+          col("x.okey") === col("y.okey") &&
+            col("x.part") =!= col("y.part"))
+        .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= CoPurchaseMinSupport)
+      val sim = pairs
+        .join(broadcast(partCnt.select(col("part").as("part_a"),
+          col("c").as("c_a"))), "part_a")
+        .join(broadcast(partCnt.select(col("part").as("part_b"),
+          col("c").as("c_b"))), "part_b")
+        .withColumn("cosine", round(col("c_ab") /
+          sqrt(col("c_a").cast(DoubleType) * col("c_b")), 6))
+      val wRank = Window.partitionBy(col("part_a"))
+        .orderBy(col("cosine").desc, col("part_b"))
+      sim.withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= 3)
+        .select(col("part_a"), col("rnk"), col("part_b"), col("c_ab"),
+          col("cosine"))
+        .orderBy(col("part_a"), col("rnk"))
+    },
+
     "rec_copurchase_lift" -> { (s, dir) =>
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
@@ -948,6 +990,28 @@ object Warehouse {
         |  round(CAST(sum(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
         |    AS jsd
         |FROM t2""".stripMargin,
+    "rec_item_item_cosine" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        |  FROM lineitem),
+        |pc AS (SELECT part, count(*) AS c FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.part AS part_a, y.part AS part_b, count(*) AS c_ab
+        |  FROM items x JOIN items y
+        |    ON x.okey = y.okey AND x.part <> y.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sim AS (
+        |  SELECT part_a, part_b, c_ab,
+        |    round(c_ab / sqrt(CAST(a.c AS DOUBLE) * b.c), 6) AS cosine
+        |  FROM pairs JOIN pc a ON a.part = part_a
+        |  JOIN pc b ON b.part = part_b),
+        |rk AS (
+        |  SELECT part_a, part_b, c_ab, cosine,
+        |    row_number() OVER (PARTITION BY part_a
+        |      ORDER BY cosine DESC, part_b) AS rnk
+        |  FROM sim)
+        |SELECT part_a, rnk, part_b, c_ab, cosine
+        |FROM rk WHERE rnk <= 3 ORDER BY part_a, rnk""".stripMargin,
     "rec_copurchase_lift" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS okey,
          |    l_partkey AS part FROM lineitem),
