@@ -83,6 +83,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Exclusive run lock + quiescence report: round 8's driver bench
+    // read 80 s with 2–15× per-query spreads because a zombie chain
+    // contended the box during the window. The lock serializes graft
+    // JVMs; the contention/other-JVM flags land in BENCH_DETAIL so an
+    // anomalous record self-diagnoses instead of reading as a plan
+    // regression.
+    val guard = tools.RunGuard.acquire("graft.Bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -205,13 +212,19 @@ object Bench {
     // fell out of the window and the official record went null. So the
     // stdout line stays in the compact round-5 shape (≈1.4 KB at 41
     // queries) and the full diagnostics go to a repo artifact + stderr.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median",${guard.metaJson},"spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills}"""
+    // overridable path so local/probe chains never clobber the
+    // committed official record (round-8 zombie-chain lesson: a stale
+    // relaunch wrote its late detail over the repo artifact)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH",
+      "/root/repo/BENCH_DETAIL.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     System.err.println(s"[bench] detail: $detail")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median"}""")
     spark.stop()
+    guard.release()
   }
 }

@@ -11,6 +11,10 @@ object Verify {
     // run just the queries whose name contains any of the
     // comma-separated substrings
     val only = args.drop(2).headOption.map(_.split(",").toSeq)
+    // Exclusive run lock + quiescence report (round-8 lesson: a zombie
+    // background chain raced this main's output dir and flipped 5
+    // hashes while rows/schema matched). Held for the whole run.
+    val guard = tools.RunGuard.acquire("graft.Verify")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,6 +35,14 @@ object Verify {
     // everything that completed (missing parquet reads as a visible
     // failure, never as silent absence of evidence).
     writeOracles(outDir)
+    // run-identity stamp: written at start, re-read at end. If another
+    // process wrote into this outDir while we ran (the round-8 clobber
+    // mode), the stamp mismatch turns a silent artifact corruption into
+    // a loud nonzero exit.
+    val stamp = s"""{"main":"graft.Verify","sf_dir":${q(sfDir)},""" +
+      guard.metaJson + "}"
+    val stampPath = Paths.get(s"$outDir/run_meta.json")
+    Files.writeString(stampPath, stamp)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
@@ -47,6 +59,16 @@ object Verify {
       finally spark.catalog.clearCache()
     }
     spark.stop()
+    guard.release()
+    val stampBack = try Files.readString(stampPath)
+      catch { case _: Throwable => "<missing>" }
+    if (stampBack != stamp) {
+      System.err.println("[verify] FATAL: run_meta.json was rewritten " +
+        s"mid-run (expected this run's stamp, found: $stampBack) — " +
+        "another process wrote into this output dir; results are " +
+        "not trustworthy")
+      sys.exit(3)
+    }
   }
 
   // JSON string escape: backslash, quote, and ALL control chars (<0x20)

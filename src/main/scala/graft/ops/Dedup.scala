@@ -338,17 +338,34 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
   /** [[adaptiveTau]] over `dir`'s embeddings table, memoized per
-    * (corpus dir, base threshold) — τ is a corpus-snapshot property,
-    * and recomputing the sampling quantile per query invocation
-    * charged dedup_incr_embedding 7 s → 18 s at the 3× probe before
-    * the memo. The single memo replaces the per-caller copies that
-    * used to live in Graph and Incremental. */
+    * (corpus dir, base threshold, snapshot fingerprint) — τ is a
+    * corpus-snapshot property, and recomputing the sampling quantile
+    * per query invocation charged dedup_incr_embedding 7 s → 18 s at
+    * the 3× probe before the memo. The single memo replaces the
+    * per-caller copies that used to live in Graph and Incremental.
+    * The fingerprint (file names + sizes + mtimes of the parquet
+    * snapshot) keys out the case where the corpus under `dir` is
+    * regenerated within one JVM — a path-only key would silently
+    * reuse the old corpus's τ. */
   def memoTau(s: SparkSession, dir: String, base: Double,
       refN: Long = 5000L): Double =
-    tauMemo.computeIfAbsent(s"$dir@$base", _ => {
+    tauMemo.computeIfAbsent(s"$dir@$base@${snapshotFp(dir)}", _ => {
       val emb = Q.t(s, dir, "embeddings")
       adaptiveTau(emb, "vec_id", "embedding", base, emb.count(), refN)
     })
+
+  /** Cheap driver-side fingerprint of the embeddings snapshot under
+    * `dir`: name+length+mtime of every file. Listing a parquet dir is
+    * metadata-only — no data read. */
+  private def snapshotFp(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
 
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 48, bits: Int = 5,

@@ -485,8 +485,11 @@ object Stats {
     // via r2 = 2·rank (2·cum_before + c + 1); the tie-corrected normal
     // z uses the standard Σ(t³−t) correction, summed in DECIMAL (a
     // single point-mass cell of ≥2.1M rows would wrap a long c³). The
-    // remaining long sums (r2a) overflow only past ~3e9 rows per type
-    // — past that they too move to DECIMAL(38,0).
+    // rank sum r2a and the n·(n+1)/n_a·n_b products get the same
+    // DECIMAL(38,0) treatment — DuckDB computes all of these in
+    // HUGEINT, and a long would wrap silently past ~3e9 rows per arm;
+    // decimal makes overflow impossible up to 10³⁸, far past any
+    // corpus, so the 100 TB failure mode is gone rather than deferred.
     "ab_mann_whitney" -> { (s, dir) =>
       val hist = centsHist(events(s, dir), col("user_id") % 2 === 0)
         .withColumn("c", col("ca") + col("cb"))
@@ -496,18 +499,21 @@ object Stats {
         .withColumn("cum0", coalesce(sum(col("c")).over(wOrd), lit(0L)))
         .groupBy(col("event_type"))
         .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-          sum(col("ca") * (lit(2L) * col("cum0") + col("c") + 1L)).as("r2a"),
+          sum(col("ca").cast(DecimalType(38, 0)) *
+            (lit(2L) * col("cum0") + col("c") + 1L)).as("r2a"),
           // c³ with the FIRST factor decimal-cast: a single point-mass
           // cell of ≥2.1M rows would wrap the long product before any
           // outer cast could save it; DuckDB sums this in HUGEINT
           sum(col("c").cast(DecimalType(38, 0)) * col("c") * col("c")
             - col("c")).as("ties"))
       st.select(col("event_type"), col("n_a"), col("n_b"),
-          round(col("r2a") / 2.0 - col("n_a") * (col("n_a") + 1) / 2.0, 6)
+          round(col("r2a") / 2.0 -
+            col("n_a").cast(DecimalType(38, 0)) * (col("n_a") + 1) / 2.0, 6)
             .as("u_a"),
-          round((col("r2a") / 2.0 - col("n_a") * (col("n_a") + 1) / 2.0 -
-            col("n_a") * col("n_b") / 2.0) /
-            sqrt((col("n_a") * col("n_b") / 12.0) *
+          round((col("r2a") / 2.0 -
+            col("n_a").cast(DecimalType(38, 0)) * (col("n_a") + 1) / 2.0 -
+            col("n_a").cast(DecimalType(38, 0)) * col("n_b") / 2.0) /
+            sqrt((col("n_a").cast(DecimalType(38, 0)) * col("n_b") / 12.0) *
               ((col("n_a") + col("n_b") + 1) - col("ties") /
                 ((col("n_a") + col("n_b")).cast(DoubleType) *
                   (col("n_a") + col("n_b") - 1)))), 6).as("z"))
@@ -532,7 +538,10 @@ object Stats {
         .withColumn("n_b", sum(col("cb")).over(wAll))
         .groupBy(col("event_type"))
         .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-          max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          // CDF-gap products in DECIMAL(38,0) (DuckDB: HUGEINT) — a
+          // long cum·n product wraps silently past ~3e9 rows per arm
+          max(abs(col("cuma").cast(DecimalType(38, 0)) * col("n_b") -
+            col("cumb").cast(DecimalType(38, 0)) * col("n_a")))
             .as("dnum"))
         .select(col("event_type"), col("n_a"), col("n_b"),
           round(col("dnum") /
@@ -688,7 +697,10 @@ object Stats {
         .withColumn("n_b", sum(col("cb")).over(wAll))
         .groupBy(col("event_type"))
         .agg(max(col("n_a")).as("n_ref"), max(col("n_b")).as("n_cur"),
-          max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+          // CDF-gap products in DECIMAL(38,0) (DuckDB: HUGEINT) — a
+          // long cum·n product wraps silently past ~3e9 rows per arm
+          max(abs(col("cuma").cast(DecimalType(38, 0)) * col("n_b") -
+            col("cumb").cast(DecimalType(38, 0)) * col("n_a")))
             .as("dnum"))
         .select(col("event_type"), col("n_ref"), col("n_cur"),
           round(col("dnum") /

@@ -385,11 +385,19 @@ object Warehouse {
         .groupBy(col("x.part").as("part_a"), col("y.part").as("part_b"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= CoPurchaseMinSupport)
+      // marginal-count joins: NO broadcast hint. partCnt is
+      // item-cardinality-sized — a dimension at every test SF (AQE
+      // still picks broadcast-hash there), but the one frame in this
+      // query that outgrows an executor's broadcast budget at 100 TB
+      // item counts; a pinned hint would then OOM the build side
+      // where AQE would fall back to a sort-merge on part. The pair
+      // side is already support-filtered, so either plan is one
+      // bounded shuffle.
       val sim = pairs
-        .join(broadcast(partCnt.select(col("part").as("part_a"),
-          col("c").as("c_a"))), "part_a")
-        .join(broadcast(partCnt.select(col("part").as("part_b"),
-          col("c").as("c_b"))), "part_b")
+        .join(partCnt.select(col("part").as("part_a"),
+          col("c").as("c_a")), "part_a")
+        .join(partCnt.select(col("part").as("part_b"),
+          col("c").as("c_b")), "part_b")
         .withColumn("cosine", round(col("c_ab") /
           sqrt(col("c_a").cast(DoubleType) * col("c_b")), 6))
       val wRank = Window.partitionBy(col("part_a"))
@@ -991,7 +999,7 @@ object Warehouse {
         |    AS jsd
         |FROM t2""".stripMargin,
     "rec_item_item_cosine" ->
-      """WITH items AS (
+      s"""WITH items AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
         |  FROM lineitem),
         |pc AS (SELECT part, count(*) AS c FROM items GROUP BY 1),
@@ -999,7 +1007,7 @@ object Warehouse {
         |  SELECT x.part AS part_a, y.part AS part_b, count(*) AS c_ab
         |  FROM items x JOIN items y
         |    ON x.okey = y.okey AND x.part <> y.part
-        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |  GROUP BY 1, 2 HAVING count(*) >= ${CoPurchaseMinSupport}),
         |sim AS (
         |  SELECT part_a, part_b, c_ab,
         |    round(c_ab / sqrt(CAST(a.c AS DOUBLE) * b.c), 6) AS cosine
