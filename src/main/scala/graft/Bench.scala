@@ -79,7 +79,11 @@ object Bench {
     // and the q21 double-correlation collapse
     "ab_mann_whitney", "events_hampel_outliers", "text_rake_keywords",
     "text_source_jsd", "events_dau_wau_stickiness",
-    "events_absorption_prob", "q21_waiting_supplier")
+    "events_absorption_prob", "q21_waiting_supplier",
+    // round-9 additions: exact Shapley attribution (one pass to channel
+    // bitmasks, coalition math on 16-row frames) and item-item cosine
+    // recommendations (AQE-planned marginal joins, per-item top-k)
+    "events_shapley_attribution", "rec_item_item_cosine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -403,36 +403,94 @@ object Incremental {
     * rows and vectors to the state tables. Same at-least-once restart
     * semantics as [[processBatch]] (re-appended survivors re-dedup to
     * exact duplicates). */
-  /** NOTE on `bits`: this is the PERSISTED index's band width — it must
-    * stay constant for the index's lifetime (probe buckets must match
-    * resident buckets), so unlike [[nearDupEmbeddingAgainstIndex]] it
-    * cannot be derived per call. Callers size it for the corpus the
-    * index will GROW TO ([[Dedup.adaptiveBits]](5, expectedN, 5000));
-    * the registered replays derive it once from the full replayed
-    * corpus. Left at the 5-bit tuned width past ~5k vectors, bucket
-    * occupancy grows linearly and candidate pairs quadratically — the
-    * 3× probe measured 5.9× runtime before this was exposed. */
+  /** Persisted-index metadata: the live band rows sit at
+    * `$indexDir/v$version`, written at width `bits`, which was derived
+    * for a corpus of `designN` vectors. A persisted index's band width
+    * must stay constant WITHIN a version (probe buckets must match
+    * resident buckets), so the width cannot be derived per call — but
+    * a width frozen forever is the one documented super-linear scale
+    * path (the r8 10× probe measured 5.2–5.4× on 3.33× data: bucket
+    * occupancy grows linearly with the corpus at fixed width, so
+    * candidate pairs grow quadratically). The re-index watermark below
+    * closes it: when the indexed corpus doubles past `designN`, the
+    * index is REBUILT from the survivor vectors at the
+    * [[Dedup.adaptiveBits]] width for the new size, into a fresh
+    * version directory — an O(|corpus|) band recomputation amortized
+    * over the doubling that triggered it, exactly a hash table's
+    * resize policy. */
+  final case class EmbIndexMeta(version: Int, bits: Int, designN: Long)
+
+  private def metaFile(indexDir: String) =
+    new java.io.File(indexDir, "_graft_index_meta.json")
+
+  def readEmbIndexMeta(indexDir: String): Option[EmbIndexMeta] = {
+    val f = metaFile(indexDir)
+    if (!f.exists) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def num(k: String): Long =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s)
+          .getOrElse(sys.error(s"corrupt index meta: $s")).group(1).toLong
+      Some(EmbIndexMeta(num("version").toInt, num("bits").toInt,
+        num("design_n")))
+    }
+  }
+
+  def writeEmbIndexMeta(indexDir: String, m: EmbIndexMeta): Unit = {
+    new java.io.File(indexDir).mkdirs()
+    val tmp = new java.io.File(indexDir, "_graft_index_meta.json.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      s"""{"version":${m.version},"bits":${m.bits},"design_n":${m.designN}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, metaFile(indexDir).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Corpus size that doubles the design size → rebuild. */
+  val ReindexGrowthFactor = 2L
+
+  /** NOTE on `bits`: the width FLOOR. On first creation the index is
+    * sized for the arriving corpus (max of `bits` and the adaptive
+    * width for the first batch's survivor count); afterwards the width
+    * is owned by the persisted metadata and advanced by the re-index
+    * watermark (see [[EmbIndexMeta]]) — callers never pass a "grown-to"
+    * estimate again. */
   def processEmbeddingBatch(batch: DataFrame, indexDir: String,
       vecDir: String, outDir: String, batchId: Long, threshold: Double,
-      tables: Int = 24, bits: Int = 5, dim: Int = 64): Unit = {
+      tables: Int = 24, bits: Int = 5, dim: Int = 64,
+      refN: Long = 5000L): Unit = {
     val sp = batch.sparkSession
+    val meta = readEmbIndexMeta(indexDir)
+    val curBits = meta.map(_.bits).getOrElse(bits)
+    def verDir(v: Int) = s"$indexDir/v$v"
     // checkpoint: the novel frame feeds the self-probe THREE times
     // (its band index, the probe side, and the verify base) plus the
     // survivor anti-join — without materialization the cross-batch
     // parquet probe above re-executes once per consumer (measured 4×
     // the per-probe cost at sf0.1)
-    val novel = (if (new java.io.File(indexDir).exists) {
-      val dup = probeEmbeddingIndex(batch, sp.read.parquet(indexDir),
-          sp.read.parquet(vecDir), threshold, tables, bits, dim)
-        .select(col("id_batch").as("id")).distinct()
-      batch.join(dup, Seq("id"), "left_anti")
-    } else batch).localCheckpoint()
+    val novel = (meta match {
+      case Some(m) =>
+        val dup = probeEmbeddingIndex(batch,
+            sp.read.parquet(verDir(m.version)), sp.read.parquet(vecDir),
+            threshold, tables, m.bits, dim)
+          .select(col("id_batch").as("id")).distinct()
+        batch.join(dup, Seq("id"), "left_anti")
+      case None => batch
+    }).localCheckpoint()
+    // first creation: size the width for the corpus actually arriving,
+    // not the floor — a 10× first batch starts at its adaptive width
+    // instead of paying one quadratic batch then rebuilding
+    val effBits =
+      if (meta.isDefined) curBits
+      else Dedup.adaptiveBits(bits, novel.count(), refN)
     // within-batch near-dups: probe the novel set against its own bands
     // and drop every id with a smaller-id τ-partner (deterministic
     // keep-first; the agreement audit folds the identical rule)
     val losers = probeEmbeddingIndex(novel,
-        embeddingBandIndex(novel, tables, bits, dim), novel,
-        threshold, tables, bits, dim)
+        embeddingBandIndex(novel, tables, effBits, dim), novel,
+        threshold, tables, effBits, dim)
       .filter(col("id_batch") > col("id_base"))
       .select(col("id_batch").as("id")).distinct()
     val survivors = novel.join(losers, Seq("id"), "left_anti")
@@ -440,10 +498,36 @@ object Incremental {
       .localCheckpoint() // cut the read-then-append cycle on the state dirs
     survivors.select(col("id"), col("batch_id"))
       .write.mode("append").parquet(outDir)
-    embeddingBandIndex(survivors, tables, bits, dim)
-      .write.mode("append").parquet(indexDir)
+    val ver = meta.map(_.version).getOrElse(0)
+    embeddingBandIndex(survivors, tables, effBits, dim)
+      .write.mode("append").parquet(verDir(ver))
     survivors.select(col("id"), col("v"), col("nrm"))
       .write.mode("append").parquet(vecDir)
+    // ---- re-index watermark ----
+    val indexedN = sp.read.parquet(vecDir).count()
+    meta match {
+      case None =>
+        // design size = the capacity the chosen width covers (at least
+        // the tuned reference), so small corpora don't rebuild on
+        // every early doubling
+        writeEmbIndexMeta(indexDir,
+          EmbIndexMeta(0, effBits, math.max(indexedN, refN)))
+      case Some(m) if indexedN > ReindexGrowthFactor * m.designN =>
+        val newBits = Dedup.adaptiveBits(bits, indexedN, refN)
+        if (newBits > m.bits) {
+          // rebuild at the wider setting into a fresh version dir; the
+          // meta flip is atomic, then the stale version is dropped
+          embeddingBandIndex(sp.read.parquet(vecDir), tables, newBits, dim)
+            .write.mode("overwrite").parquet(verDir(m.version + 1))
+          writeEmbIndexMeta(indexDir,
+            EmbIndexMeta(m.version + 1, newBits, indexedN))
+          graft.Util.rmrf(new java.io.File(verDir(m.version)))
+        } else
+          // corpus doubled but the adaptive width didn't move (refN
+          // floor): just advance the watermark so the check stays O(1)
+          writeEmbIndexMeta(indexDir, m.copy(designN = indexedN))
+      case _ => ()
+    }
   }
 
   /** Streaming semantic dedup: every microbatch of (id, v, nrm) vectors
@@ -783,14 +867,15 @@ object Incremental {
         .select(col("vec_id").cast(LongType).as("id"),
           graft.functions.Vectors.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
-      // index width sized once for the full replayed corpus (identity
-      // ≤ 5k vectors, so every tuned recall/correctness number holds)
-      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
+      // index width is owned by the persisted metadata: creation sizes
+      // it for the first batch ([[Dedup.adaptiveBits]] — identity ≤ 5k
+      // vectors, so every tuned recall/correctness number holds) and
+      // the re-index watermark widens it as the corpus doubles
       val tau = incrEmbTau(s, dir)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 0),
-        idxDir, vecDir, outDir, 1L, tau, bits = bits)
+        idxDir, vecDir, outDir, 1L, tau)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 1),
-        idxDir, vecDir, outDir, 2L, tau, bits = bits)
+        idxDir, vecDir, outDir, 2L, tau)
       val out = s.read.parquet(outDir)
         .select(col("id"), col("batch_id"))
         .orderBy(col("id"))
@@ -853,10 +938,9 @@ object Incremental {
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
       val (b1, b2) = (vecs.filter(col("id") % 2 === 0),
         vecs.filter(col("id") % 2 === 1))
-      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
       val tau = incrEmbTau(s, dir)
-      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau, bits = bits)
-      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau, bits = bits)
+      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau)
+      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau)
       val streamed = s.read.parquet(outDir)
         .select(col("id"), col("batch_id")).localCheckpoint()
       graft.Util.rmrf(new java.io.File(tmp))

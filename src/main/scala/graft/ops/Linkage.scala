@@ -29,6 +29,22 @@ object Linkage {
     * matches while excluding mere same-vocabulary neighbors. */
   val JaroThreshold = 0.9
 
+  /** Per-block contributor budget for the Jaro–Winkler scorer. Unlike
+    * the Levenshtein path (whose lossless length pigeonhole prunes
+    * in-block pairs before the scorer), JW has no lossless per-pair
+    * bound strong enough to tame a DIMENSION-BOUNDED blocking key:
+    * brand has ~25 values at every scale factor, so block size grows
+    * linearly with the corpus and in-block pairs quadratically — at
+    * 100 TB one block is an unboundable task. The cap is the
+    * [[Scale.wedgeGovernor]] move: blocks within budget are untouched
+    * (bit-identical results — 1024 sits above every block the test
+    * SFs produce, so the oracle is unchanged), hotter blocks keep a
+    * deterministic ~cap-sized hash sample of contributors, bounding
+    * any block's pair volume at ~C(1024,2) ≈ 524k scored pairs.
+    * `audit_jw_cap` reports what the governor would truncate; zero at
+    * every test SF is its oracle assertion. */
+  val JwBlockCap = 1024
+
   /** Candidate pairs within each block whose edit distance is ≤ maxDist.
     * `id` must be unique; pairs are emitted once (id_a < id_b). The
     * length filter is lossless for Levenshtein, so the result equals
@@ -54,6 +70,53 @@ object Linkage {
         col("dist"))
   }
 
+  /** Blocked Jaro–Winkler candidate pairs at similarity ≥ `tau`, pairs
+    * emitted once (id_a < id_b), scored by the codegen'd
+    * [[graft.functions.JaroWinkler]] expression (pinned to DuckDB's
+    * jaro_winkler_similarity semantics so scores are oracle-checked).
+    * Two governors sit between the block equi-join and the scorer:
+    *
+    *  1. a LOSSLESS length-ratio prune. With prefix scale p = 0.1 and
+    *     prefix length ≤ 4, JW = J + ℓp(1−J) ≤ 0.6·J + 0.4, and Jaro
+    *     itself is bounded by J ≤ (2 + r)/3 where r = min(|a|,|b|) /
+    *     max(|a|,|b|) (m ≤ min matches cap the m/max term at r; the
+    *     other two terms are each ≤ 1). So JW ≥ τ forces
+    *     r ≥ 5τ − 4 — at τ = 0.9, no pair whose longer name is more
+    *     than twice the shorter can reach the floor, and the scorer
+    *     never runs on it. (Both-empty pairs pass the filter — 0 ≥ 0 —
+    *     so the bound stays lossless on degenerate input.)
+    *  2. the [[Scale.wedgeGovernor]] per-block contributor cap (see
+    *     [[JwBlockCap]]): map-side hash sample, no extra shuffle — the
+    *     block-size frame is dimension-bounded by the blocking
+    *     contract and broadcasts.
+    */
+  def jaroPairs(rows: DataFrame, id: String, name: String, block: String,
+      tau: Double = JaroThreshold, cap: Int = JwBlockCap): DataFrame = {
+    val recs = rows.select(col(id).as("rid"), col(name).as("rname"),
+      col(block).as("__blk"))
+    val sizes = recs.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+    val governed = recs.join(broadcast(sizes), Seq("__blk"))
+      .filter(Scale.wedgeGovernor(col("__blk"), col("rid"), col("__bn"), cap))
+      .select(col("__blk"), col("rid"), col("rname"))
+    val a = governed.select(col("rid").as("id_a"),
+      col("rname").as("name_a"), col("__blk"))
+    val b = governed.select(col("rid").as("id_b"),
+      col("rname").as("name_b"), col("__blk"))
+    val rFloor = math.max(0.0, 5.0 * tau - 4.0)
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(length(col("name_a")), length(col("name_b")))
+        .cast("double") >=
+        lit(rFloor) * greatest(length(col("name_a")), length(col("name_b"))))
+      .withColumn("jw", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JaroWinkler(
+          org.apache.spark.sql.GraftBridge.expression(col("name_a")),
+          org.apache.spark.sql.GraftBridge.expression(col("name_b")))))
+      .filter(col("jw") >= tau)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        round(col("jw"), 6).as("jw"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // brand-blocked fuzzy part-name matches at edit distance ≤ 2:
@@ -66,29 +129,36 @@ object Linkage {
     // Jaro–Winkler scored variant of the blocked fuzzy join: the
     // record-linkage scorer that forgives transpositions and rewards
     // shared prefixes where Levenshtein charges full price. Same
-    // blocking shape (one shuffle on brand, quadratic only within
-    // dimension-bounded blocks); the scorer is the codegen'd
-    // [[graft.functions.JaroWinkler]] expression, pinned to DuckDB's
-    // jaro_winkler_similarity semantics so the threshold and scores
-    // are oracle-checked. No length pigeonhole here — JW has no
-    // lossless length bound (unlike Levenshtein), so every in-block
-    // pair is scored once.
+    // blocking shape (one shuffle on brand), but governed — see
+    // [[jaroPairs]] for the lossless length-ratio prune and the
+    // per-block contributor cap that keep a dimension-bounded
+    // blocking key from going quadratic at corpus scale.
     "link_jaro_pairs" -> { (s, dir) =>
-      val p = t(s, dir, "part")
-      val a = p.select(col("p_partkey").as("id_a"),
-        col("p_name").as("name_a"), col("p_brand").as("__blk"))
-      val b = p.select(col("p_partkey").as("id_b"),
-        col("p_name").as("name_b"), col("p_brand").as("__blk"))
-      a.join(b, Seq("__blk"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("jw", org.apache.spark.sql.GraftBridge.column(
-          graft.functions.JaroWinkler(
-            org.apache.spark.sql.GraftBridge.expression(col("name_a")),
-            org.apache.spark.sql.GraftBridge.expression(col("name_b")))))
-        .filter(col("jw") >= JaroThreshold)
-        .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
-          round(col("jw"), 6).as("jw"))
+      jaroPairs(t(s, dir, "part"), "p_partkey", "p_name", "p_brand")
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // governor audit for the JW linkage blocks: block census plus how
+    // many in-block pairs the contributor cap would drop. Zero at
+    // every test SF (max block ≈ 800 at sf0.1 vs cap 1024) — and
+    // exactly-zero is the oracle assertion that the governor is
+    // semantically invisible at these scales, the audit_wedge_cap
+    // convention.
+    "audit_jw_cap" -> { (s, dir) =>
+      val cap = JwBlockCap.toLong
+      val capPairs = lit(cap * (cap - 1) / 2)
+      t(s, dir, "part")
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("bn"))
+        .agg(count(lit(1)).as("n_blocks"),
+          max(col("bn")).as("max_block"),
+          coalesce(sum(when(col("bn") > cap, 1L)), lit(0L))
+            .as("n_blocks_capped"),
+          (sum(col("bn") * (col("bn") - 1)) / lit(2))
+            .cast(org.apache.spark.sql.types.LongType).as("pairs_total"),
+          coalesce(sum(when(col("bn") > cap,
+              (col("bn") * (col("bn") - 1) / lit(2))
+                .cast(org.apache.spark.sql.types.LongType) - capPairs)),
+            lit(0L)).as("pairs_dropped"))
     },
 
     // entity resolution end-to-end: fuzzy match graph → connected
@@ -145,6 +215,18 @@ object Linkage {
          |WHERE jaro_winkler_similarity(a.p_name, b.p_name)
          |  >= $JaroThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+    "audit_jw_cap" ->
+      s"""WITH b AS (SELECT p_brand, count(*) AS bn
+         |  FROM part GROUP BY p_brand)
+         |SELECT count(*) AS n_blocks, max(bn) AS max_block,
+         |  coalesce(sum(CASE WHEN bn > $JwBlockCap
+         |    THEN 1 ELSE 0 END), 0) AS n_blocks_capped,
+         |  CAST(sum(bn * (bn - 1)) / 2 AS BIGINT) AS pairs_total,
+         |  coalesce(sum(CASE WHEN bn > $JwBlockCap
+         |    THEN CAST(bn * (bn - 1) / 2 AS BIGINT)
+         |      - ${JwBlockCap.toLong * (JwBlockCap - 1) / 2}
+         |    END), 0) AS pairs_dropped
+         |FROM b""".stripMargin,
     // same closure + field-wise survivorship per multi-member entity
     "link_golden_record" ->
       """WITH RECURSIVE p AS (

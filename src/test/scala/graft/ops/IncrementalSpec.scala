@@ -111,6 +111,47 @@ class IncrementalSpec extends AnyFunSuite {
     graft.Util.rmrf(new java.io.File(tmp).getParentFile)
   }
 
+  test("embedding index re-index watermark: rebuilds wider when the corpus doubles") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_reindex_spec").toString
+    val (idxDir, vecDir, outDir) = (s"$tmp/index", s"$tmp/vec", s"$tmp/out")
+    // one-hot unit vectors on distinct axes: pairwise cosine 0, so
+    // nothing dedups until we plant an exact duplicate
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val v = Array.fill(64)(0.0); v((id % 64).toInt) = 1.0
+        (id, v, 1.0)
+      }.toDF("id", "v", "nrm")
+    val tau = 0.8
+    // refN = 4 so the adaptive width moves at unit-test sizes
+    Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
+      outDir, 1L, tau, refN = 4L)
+    val m1 = Incremental.readEmbIndexMeta(idxDir).get
+    assert(m1.version == 0 && m1.designN == 10L)
+    // creation sized the width for the arriving 10 > refN vectors
+    assert(m1.bits == Dedup.adaptiveBits(5, 10L, 4L) && m1.bits > 5)
+    // batch 2 pushes the corpus past 2× designN → rebuild, wider, v1
+    Incremental.processEmbeddingBatch(vecs(10L to 21L), idxDir, vecDir,
+      outDir, 2L, tau, refN = 4L)
+    val m2 = Incremental.readEmbIndexMeta(idxDir).get
+    assert(m2.version == 1 && m2.bits > m1.bits && m2.designN == 22L,
+      s"watermark did not rebuild: $m2")
+    assert(new java.io.File(s"$idxDir/v1").exists)
+    assert(!new java.io.File(s"$idxDir/v0").exists,
+      "stale index version not dropped")
+    // the REBUILT index still dedups: id 64 duplicates id 0's axis
+    Incremental.processEmbeddingBatch(vecs(Seq(22L, 23L, 64L)), idxDir,
+      vecDir, outDir, 3L, tau, refN = 4L)
+    val out = spark.read.parquet(outDir)
+      .select($"id", $"batch_id").as[(Long, Long)].collect().toMap
+    assert(!out.contains(64L),
+      "duplicate slipped past the rebuilt index")
+    assert(out.keySet == (0L to 23L).toSet)
+    assert(out(22L) == 3L && out(9L) == 1L && out(21L) == 2L)
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
   test("incremental minhash finds the exact batch-vs-base pairs at sf0.001") {
     val approx = Incremental.queries("dedup_incr_minhash")(spark, sf)
       .select(col("id_batch"), col("id_base")).collect().toSet

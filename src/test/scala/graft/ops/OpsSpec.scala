@@ -417,6 +417,57 @@ class OpsSpec extends AnyFunSuite {
     assert(governed.toSet == again.toSet)
   }
 
+  test("JW block governor: hot block bounded, cold blocks bit-identical; ratio prune lossless") {
+    // one hot block of 200 identical names (19 900 ungoverned pairs,
+    // all scoring 1.0) among 10 cold blocks of 4 — planted far above
+    // the test cap of 16
+    val hot = (1 to 200).map(i => (i.toLong, "abcdefghij", "H"))
+    val cold = for (blk <- 1 to 10; i <- 1 to 4) yield
+      ((1000L + blk * 10 + i, if (i <= 2) s"coldname$blk" else s"other${blk}x$i",
+        s"C$blk"))
+    val rows = (hot ++ cold).toDF("id", "nm", "blk")
+    val governed = Linkage.jaroPairs(rows, "id", "nm", "blk", cap = 16)
+      .collect()
+    val full = Linkage.jaroPairs(rows, "id", "nm", "blk", cap = 1000000)
+      .collect()
+    def isHot(r: org.apache.spark.sql.Row) = r.getLong(0) <= 200
+    assert(full.count(isHot) == 200 * 199 / 2)
+    // ~Binomial(200, 16/200) contributors survive (mean 16, sd 3.9);
+    // mean + 8σ bounds the block at C(48,2) ≪ the ungoverned 19 900
+    val hotPairs = governed.count(isHot)
+    assert(hotPairs > 0 && hotPairs <= 48 * 47 / 2,
+      s"hot-block pair volume not governed: $hotPairs")
+    // cold blocks (size 4 ≤ cap) must be bit-identical, scores included
+    assert(governed.filterNot(isHot).toSet == full.filterNot(isHot).toSet)
+    // deterministic: same hash sample on a second run
+    val again = Linkage.jaroPairs(rows, "id", "nm", "blk", cap = 16)
+      .collect()
+    assert(governed.toSet == again.toSet)
+    // the length-ratio prune is lossless: ungoverned jaroPairs equals a
+    // raw quadratic scan with NO ratio filter on length-diverse names
+    // (ratios straddle the 0.5 bound; "prefixprefixprefix…" pairs score
+    // high at ratio ≈ 0.5, short-vs-long pairs fall below it)
+    val diverse = Seq(
+      (1L, "ab", "D"), (2L, "abcd", "D"), (3L, "abcdefgh", "D"),
+      (4L, "abcdefghabcdefgh", "D"), (5L, "abcdefghabcdefghx", "D"),
+      (6L, "a", "D"), (7L, "zyx", "D")).toDF("id", "nm", "blk")
+    val pruned = Linkage.jaroPairs(diverse, "id", "nm", "blk",
+        cap = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    val a = diverse.select($"id".as("id_a"), $"nm".as("name_a"))
+    val b = diverse.select($"id".as("id_b"), $"nm".as("name_b"))
+    val raw = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("jw", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.JaroWinkler(
+          org.apache.spark.sql.GraftBridge.expression($"name_a"),
+          org.apache.spark.sql.GraftBridge.expression($"name_b"))))
+      .filter($"jw" >= Linkage.JaroThreshold)
+      .select($"id_a", $"id_b", round($"jw", 6).as("jw")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == raw, s"ratio prune dropped real matches: " +
+      s"missing=${raw -- pruned} extra=${pruned -- raw}")
+  }
+
   test("salted join equals the plain join") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.ops.Q.events(spark, dir)

@@ -119,6 +119,19 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy join fell back to a nested loop:\n$plan")
   }
 
+  test("jaro pairs: equi-join on the block key, governor in plan, no window") {
+    val plan = formatted(q("link_jaro_pairs"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"JW join fell back to a nested loop:\n$plan")
+    // the block-cap governor is IN the plan (xxhash64 sample filter)
+    // and map-side — no window/sort stage of its own
+    assert(plan.contains("xxhash64"),
+      s"JW block governor filter missing from plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"governor added a window stage to the JW path:\n$plan")
+  }
+
   test("triangle counting plans with equi-joins only") {
     val plan = formatted(q("graph_triangles"))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
@@ -159,11 +172,40 @@ class PlanSpec extends AnyFunSuite {
       s"wedge join regressed to sort-merge:\n$plan")
   }
 
-  test("rank tests: histogram agg is partial+final; no cartesian anywhere") {
-    Seq("ab_mann_whitney", "ab_ks_test", "monitor_ks_drift").foreach { n =>
+  test("rank tests: one grid-bounded pass — single scan, partial+final agg, window after agg") {
+    // the load-bearing 100 TB shape for exact rank statistics: the data
+    // is reduced to a cents-grid histogram in ONE partial+final
+    // aggregate, and every window/rank step runs on the grid-sized
+    // frame — never on data rows. Locked: (a) exactly one scan of the
+    // events table, (b) map-side combine on the histogram agg, (c) any
+    // Window sits ABOVE the first aggregate in the plan tree (i.e. its
+    // input is the grid, not the scan), (d) no cartesian anywhere.
+    // monitor_ks_drift is allowed a second scan: the reference-window
+    // cut is a min-timestamp broadcast scalar (its own bounded pass)
+    Seq("ab_mann_whitney" -> 1, "ab_ks_test" -> 1,
+        "monitor_ks_drift" -> 2).foreach { case (n, maxScans) =>
       val plan = formatted(q(n))
       assert("HashAggregate".r.findAllIn(plan).size >= 2, s"$n:\n$plan")
       assert(!plan.contains("CartesianProduct"), s"$n:\n$plan")
+      val scans = plan.linesIterator
+        .count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+      assert(scans <= maxScans,
+        s"$n reduction re-scans the data: $scans scans\n$plan")
+      // in the formatted TREE (top-down, deeper nodes later), the scan
+      // is deepest; the histogram aggregate directly above it has the
+      // largest HashAggregate index. Every Window must print before it
+      // — i.e. consume the aggregate's grid-bounded output, never the
+      // scan. (The details section repeats nodes in number order, so
+      // only the tree lines — everything before the first detail
+      // header — are positionally meaningful.)
+      val tree = plan.linesIterator.toSeq
+        .takeWhile(!_.matches("""^\(\d+\) .*"""))
+      val lastAgg = tree.lastIndexWhere(_.contains("HashAggregate"))
+      tree.zipWithIndex.filter(_._1.contains("Window")).foreach {
+        case (l, i) =>
+          assert(i < lastAgg,
+            s"$n has a window below the reduction (windowing data rows?): $l\n$plan")
+      }
     }
   }
 

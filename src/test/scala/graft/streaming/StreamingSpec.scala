@@ -311,9 +311,12 @@ class StreamingSpec extends AnyFunSuite {
       val out = spark.read.parquet(s"$dir/out")
         .select($"id", $"batch_id").as[(Long, Long)].collect().sorted
       assert(out.toSeq == Seq((1L, 0L), (3L, 0L), (5L, 1L)))
-      // the state tables hold exactly the survivors' rows
+      // the state tables hold exactly the survivors' rows; the band
+      // rows live under the metadata-owned version dir
       assert(spark.read.parquet(s"$dir/vec").count() == 3)
-      assert(spark.read.parquet(s"$dir/idx").count() == 3 * 8)
+      val meta = graft.ops.Incremental.readEmbIndexMeta(s"$dir/idx").get
+      assert(meta.bits == 4, s"width floor not honored: $meta")
+      assert(spark.read.parquet(s"$dir/idx/v${meta.version}").count() == 3 * 8)
     } finally {
       q.stop()
       graft.Util.rmrf(new java.io.File(dir))
