@@ -102,16 +102,17 @@ object Linkage {
       col("rname").as("name_a"), col("__blk"))
     val b = governed.select(col("rid").as("id_b"),
       col("rname").as("name_b"), col("__blk"))
-    val rFloor = math.max(0.0, 5.0 * tau - 4.0)
+    // the length-ratio prune lives INSIDE the thresholded scorer
+    // ([[graft.functions.JaroWinklerGte]]), not in a Filter: the pair
+    // stream is memory-bandwidth-bound, so extra per-pair columns or
+    // filter operators cost more than the scoring they save (measured
+    // 12.4–14.8 s for the filter forms vs 8.5 s at the 3× probe)
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
-      .filter(least(length(col("name_a")), length(col("name_b")))
-        .cast("double") >=
-        lit(rFloor) * greatest(length(col("name_a")), length(col("name_b"))))
       .withColumn("jw", org.apache.spark.sql.GraftBridge.column(
-        graft.functions.JaroWinkler(
+        graft.functions.JaroWinklerGte(
           org.apache.spark.sql.GraftBridge.expression(col("name_a")),
-          org.apache.spark.sql.GraftBridge.expression(col("name_b")))))
+          org.apache.spark.sql.GraftBridge.expression(col("name_b")), tau)))
       .filter(col("jw") >= tau)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         round(col("jw"), 6).as("jw"))

@@ -36,6 +36,32 @@ class JaroSpec extends AnyFunSuite {
     assert(jw("a", "a") == 1.0)
   }
 
+  test("computeGte: exact above the lossless ratio bound, 0 below, never a false prune") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def gte(a: String, b: String, tau: Double): Double =
+      JaroWinkler.computeGte(UTF8String.fromString(a),
+        UTF8String.fromString(b), math.max(0.0, 5.0 * tau - 4.0))
+    // survivors of the ratio bound score EXACTLY like the plain form
+    assert(gte("MARTHA", "MARHTA", 0.9) == jw("MARTHA", "MARHTA"))
+    assert(gte("aaaa", "aaaab", 0.9) == jw("aaaa", "aaaab"))
+    // ratio < 5τ−4 → pruned to 0.0 — and the plain score really is
+    // below τ there (the bound is lossless, not heuristic)
+    val (a, b) = ("abcdefgh", "abc") // ratio 0.375 < 0.5
+    assert(gte(a, b, 0.9) == 0.0 && jw(a, b) < 0.9)
+    // exhaustive losslessness on random pairs: pruned ⇒ plain < τ
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val x = rnd.alphanumeric.take(rnd.nextInt(16)).mkString
+      val y = rnd.alphanumeric.take(rnd.nextInt(16)).mkString
+      val g = gte(x, y, 0.9)
+      if (g == 0.0) assert(jw(x, y) < 0.9 || jw(x, y) == 0.0,
+        s"false prune on ($x, $y): plain=${jw(x, y)}")
+      else assert(g == jw(x, y), s"score drift on ($x, $y)")
+    }
+    // τ ≤ 0.8 disables the bound (5τ−4 ≤ 0): scores pass through exact
+    assert(gte(a, b, 0.5) == jw(a, b))
+  }
+
   test("symmetric, bounded, and SQL-registered") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 200) {
