@@ -451,12 +451,16 @@ object Incremental {
   /** Corpus size that doubles the design size → rebuild. */
   val ReindexGrowthFactor = 2L
 
-  /** NOTE on `bits`: the width FLOOR. On first creation the index is
-    * sized for the arriving corpus (max of `bits` and the adaptive
-    * width for the first batch's survivor count); afterwards the width
-    * is owned by the persisted metadata and advanced by the re-index
-    * watermark (see [[EmbIndexMeta]]) — callers never pass a "grown-to"
-    * estimate again. */
+  /** NOTE on `bits`: the CREATION width. A caller that knows the corpus
+    * the index will grow to sizes it up front
+    * ([[Dedup.adaptiveBits]](5, expectedN, 5000) — the registered
+    * replays derive it from the full replayed corpus, so their 2-batch
+    * fold probes at the steady-state width instead of paying one
+    * narrow-width batch then rebuilding); `bits = 0` sizes creation
+    * adaptively from the first batch's novel count. Either way the
+    * width is afterwards owned by the persisted metadata and advanced
+    * by the re-index watermark (see [[EmbIndexMeta]]), so an
+    * UNDER-estimate is a transient cost, never a frozen quadratic. */
   def processEmbeddingBatch(batch: DataFrame, indexDir: String,
       vecDir: String, outDir: String, batchId: Long, threshold: Double,
       tables: Int = 24, bits: Int = 5, dim: Int = 64,
@@ -479,12 +483,14 @@ object Incremental {
         batch.join(dup, Seq("id"), "left_anti")
       case None => batch
     }).localCheckpoint()
-    // first creation: size the width for the corpus actually arriving,
-    // not the floor — a 10× first batch starts at its adaptive width
-    // instead of paying one quadratic batch then rebuilding
+    // first creation: the caller's sizing wins when given; bits = 0
+    // sizes the width for the corpus actually arriving, so even a
+    // blind first batch starts at its adaptive width instead of paying
+    // one quadratic batch then rebuilding
     val effBits =
       if (meta.isDefined) curBits
-      else Dedup.adaptiveBits(bits, novel.count(), refN)
+      else if (bits > 0) bits
+      else Dedup.adaptiveBits(5, novel.count(), refN)
     // within-batch near-dups: probe the novel set against its own bands
     // and drop every id with a smaller-id τ-partner (deterministic
     // keep-first; the agreement audit folds the identical rule)
@@ -513,7 +519,7 @@ object Incremental {
         writeEmbIndexMeta(indexDir,
           EmbIndexMeta(0, effBits, math.max(indexedN, refN)))
       case Some(m) if indexedN > ReindexGrowthFactor * m.designN =>
-        val newBits = Dedup.adaptiveBits(bits, indexedN, refN)
+        val newBits = Dedup.adaptiveBits(5, indexedN, refN)
         if (newBits > m.bits) {
           // rebuild at the wider setting into a fresh version dir; the
           // meta flip is atomic, then the stale version is dropped
@@ -867,15 +873,16 @@ object Incremental {
         .select(col("vec_id").cast(LongType).as("id"),
           graft.functions.Vectors.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
-      // index width is owned by the persisted metadata: creation sizes
-      // it for the first batch ([[Dedup.adaptiveBits]] — identity ≤ 5k
-      // vectors, so every tuned recall/correctness number holds) and
-      // the re-index watermark widens it as the corpus doubles
+      // creation width sized for the full replayed corpus (identity
+      // ≤ 5k vectors, so every tuned recall/correctness number holds);
+      // past creation the width is owned by the persisted metadata and
+      // the re-index watermark covers any growth beyond this sizing
+      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
       val tau = incrEmbTau(s, dir)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 0),
-        idxDir, vecDir, outDir, 1L, tau)
+        idxDir, vecDir, outDir, 1L, tau, bits = bits)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 1),
-        idxDir, vecDir, outDir, 2L, tau)
+        idxDir, vecDir, outDir, 2L, tau, bits = bits)
       val out = s.read.parquet(outDir)
         .select(col("id"), col("batch_id"))
         .orderBy(col("id"))
@@ -938,9 +945,10 @@ object Incremental {
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
       val (b1, b2) = (vecs.filter(col("id") % 2 === 0),
         vecs.filter(col("id") % 2 === 1))
+      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
       val tau = incrEmbTau(s, dir)
-      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau)
-      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau)
+      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau, bits = bits)
+      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau, bits = bits)
       val streamed = s.read.parquet(outDir)
         .select(col("id"), col("batch_id")).localCheckpoint()
       graft.Util.rmrf(new java.io.File(tmp))

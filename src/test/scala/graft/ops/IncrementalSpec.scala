@@ -124,16 +124,17 @@ class IncrementalSpec extends AnyFunSuite {
         (id, v, 1.0)
       }.toDF("id", "v", "nrm")
     val tau = 0.8
-    // refN = 4 so the adaptive width moves at unit-test sizes
+    // refN = 4 so the adaptive width moves at unit-test sizes;
+    // bits = 0 → creation sizes the width from the arriving batch
     Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
-      outDir, 1L, tau, refN = 4L)
+      outDir, 1L, tau, bits = 0, refN = 4L)
     val m1 = Incremental.readEmbIndexMeta(idxDir).get
     assert(m1.version == 0 && m1.designN == 10L)
     // creation sized the width for the arriving 10 > refN vectors
     assert(m1.bits == Dedup.adaptiveBits(5, 10L, 4L) && m1.bits > 5)
     // batch 2 pushes the corpus past 2× designN → rebuild, wider, v1
     Incremental.processEmbeddingBatch(vecs(10L to 21L), idxDir, vecDir,
-      outDir, 2L, tau, refN = 4L)
+      outDir, 2L, tau, bits = 0, refN = 4L)
     val m2 = Incremental.readEmbIndexMeta(idxDir).get
     assert(m2.version == 1 && m2.bits > m1.bits && m2.designN == 22L,
       s"watermark did not rebuild: $m2")
@@ -142,7 +143,7 @@ class IncrementalSpec extends AnyFunSuite {
       "stale index version not dropped")
     // the REBUILT index still dedups: id 64 duplicates id 0's axis
     Incremental.processEmbeddingBatch(vecs(Seq(22L, 23L, 64L)), idxDir,
-      vecDir, outDir, 3L, tau, refN = 4L)
+      vecDir, outDir, 3L, tau, bits = 0, refN = 4L)
     val out = spark.read.parquet(outDir)
       .select($"id", $"batch_id").as[(Long, Long)].collect().toMap
     assert(!out.contains(64L),
