@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingleHashes, CharShingles, DotProduct, GramAgg, JaroWinkler, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
+import graft.functions.{CharShingleHashes, CharShingles, DotProduct, GramAgg, JaroWinkler, JaroWinklerGte, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
 
 /** The custom-expression SQL surface, shared by both registration
   * paths: cluster-wide via `--conf spark.sql.extensions=graft.
@@ -83,6 +83,28 @@ object GraftFunctions {
     ("graft_jaro_winkler", classOf[JaroWinkler], exprs => {
       two("graft_jaro_winkler", exprs)
       JaroWinkler(exprs(0), exprs(1))
+    }),
+    // thresholded variant: exact score when >= tau is reachable, 0.0
+    // when the lossless length-ratio bound proves it is not — only
+    // meaningful under a `>= tau` filter (tau is a plan-time literal,
+    // like the levenshtein threshold form)
+    ("graft_jaro_winkler_gte", classOf[JaroWinklerGte], exprs => {
+      require(exprs.length == 3,
+        s"graft_jaro_winkler_gte expects 3 arguments, got ${exprs.length}")
+      val t = exprs(2)
+      require(t.foldable,
+        "graft_jaro_winkler_gte: tau must be a literal")
+      val tau = t.eval() match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case x: java.math.BigDecimal => x.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_jaro_winkler_gte: numeric literal tau expected, got $other")
+      }
+      JaroWinklerGte(exprs(0), exprs(1), tau)
     }))
 }
 

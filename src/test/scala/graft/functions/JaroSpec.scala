@@ -75,5 +75,12 @@ class JaroSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw").head.getDouble(0)
     assert(math.abs(r - 0.9611111111111111) < 1e-12)
+    // thresholded SQL form: exact above the bound, 0 when pruned
+    val g = spark.sql("SELECT graft_jaro_winkler_gte('MARTHA', 'MARHTA', 0.9)" +
+      " AS jw").head.getDouble(0)
+    assert(math.abs(g - 0.9611111111111111) < 1e-12)
+    val p = spark.sql("SELECT graft_jaro_winkler_gte('abcdefgh', 'abc', 0.9)" +
+      " AS jw").head.getDouble(0)
+    assert(p == 0.0)
   }
 }
