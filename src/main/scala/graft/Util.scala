@@ -1,11 +1,116 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
 /** Small shared utilities. */
 object Util {
-  /** Recursive delete (shared by Verify's stale-output cleanup and the
-    * bucketed-table location reset). */
+  /** Recursive delete of a LOCAL temp dir (shared by Verify's
+    * stale-output cleanup, the bucketed-table location reset, and the
+    * replay queries' `Files.createTempDirectory` scratch dirs — all
+    * paths this process itself created on the local disk; for
+    * user-supplied state dirs use [[Fs.deleteRecursive]]). */
   def rmrf(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rmrf))
     f.delete(): Unit
+  }
+
+  /** Hadoop-FileSystem operations for USER-SUPPLIED state and corpus
+    * dirs (incremental index/state dirs, the τ-memo snapshot
+    * fingerprint). Spark resolves those same paths through the
+    * session's Hadoop configuration, so the state machinery must too:
+    * a `java.io.File` walk of an `hdfs://`/`s3://` URI silently sees
+    * nothing — an empty fingerprint, a "missing" meta file — which
+    * would quietly re-enable exactly the stale-state reuse this
+    * metadata exists to prevent. With the default configuration
+    * (`fs.defaultFS = file:///`) plain local paths behave exactly as
+    * before; on a cluster the same code follows the parquet data to
+    * the DFS. */
+  object Fs {
+    private def fs(s: SparkSession, p: Path): FileSystem =
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    def exists(s: SparkSession, path: String): Boolean = {
+      val p = new Path(path)
+      fs(s, p).exists(p)
+    }
+
+    def mkdirs(s: SparkSession, path: String): Unit = {
+      val p = new Path(path)
+      fs(s, p).mkdirs(p): Unit
+    }
+
+    def deleteRecursive(s: SparkSession, path: String): Unit = {
+      val p = new Path(path)
+      val f = fs(s, p)
+      if (f.exists(p)) f.delete(p, true): Unit
+    }
+
+    /** Top-level child names of `dir` (empty if it doesn't exist). */
+    def listNames(s: SparkSession, dir: String): Seq[String] = {
+      val p = new Path(dir)
+      val f = fs(s, p)
+      if (!f.exists(p)) Seq.empty
+      else f.listStatus(p).toSeq.map(_.getPath.getName)
+    }
+
+    def readUtf8(s: SparkSession, path: String): String = {
+      val p = new Path(path)
+      val in = fs(s, p).open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+
+    /** Write-then-rename with overwrite — atomic on both the local FS
+      * and HDFS ([[FileContext.rename]] with `Options.Rename.OVERWRITE`
+      * is the Hadoop API that guarantees it; `FileSystem.rename` would
+      * refuse an existing destination). */
+    def writeUtf8Atomic(s: SparkSession, path: String,
+        content: String): Unit = {
+      val dst = new Path(path)
+      val f = fs(s, dst)
+      val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = FileContext.getFileContext(f.getUri,
+        s.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+    }
+
+    /** Move `src` (a file or dir) under `dstDir`, keeping its name. */
+    def moveInto(s: SparkSession, src: String, dstDir: String): Unit = {
+      val sp = new Path(src)
+      val f = fs(s, sp)
+      val dp = new Path(dstDir)
+      f.mkdirs(dp)
+      if (!f.rename(sp, new Path(dp, sp.getName)))
+        sys.error(s"rename $src -> $dstDir/${sp.getName} failed")
+    }
+
+    /** Driver-side metadata fingerprint of everything under `dir`:
+      * name:length:mtime of every file, recursively, name-ordered.
+      * Listing is metadata-only — no data read. */
+    def fingerprint(s: SparkSession, dir: String): String = {
+      val root = new Path(dir)
+      val f = fs(s, root)
+      def walk(st: FileStatus): Seq[FileStatus] =
+        if (st.isDirectory)
+          f.listStatus(st.getPath).toSeq.sortBy(_.getPath.getName)
+            .flatMap(walk)
+        else Seq(st)
+      val files =
+        if (!f.exists(root)) Seq.empty else walk(f.getFileStatus(root))
+      files.map(st => s"${st.getPath.getName}:${st.getLen}:" +
+          s"${st.getModificationTime}")
+        .mkString("|").hashCode.toHexString
+    }
   }
 }

@@ -49,7 +49,8 @@ case class JaroWinkler(left: Expression, right: Expression)
   * convention. With prefix scale 0.1 and prefix ≤ 4,
   * JW ≤ 0.6·jaro + 0.4 and jaro ≤ (2 + min/max)/3, so JW ≥ τ forces
   * min(|a|,|b|)/max(|a|,|b|) ≥ 5τ − 4 (0.5 at τ = 0.9). The bound is
-  * checked on [[UTF8String.numChars]] BEFORE the per-pair
+  * checked on UTF-16 code-unit lengths (the measure the scorer
+  * itself uses — see `utf16Len`) BEFORE the per-pair
   * String materialization — in a blocked fuzzy join the pair stream
   * is memory-bandwidth-bound, and expressing the same prune as a
   * separate Filter over length() columns measurably cost more than
@@ -89,12 +90,36 @@ object JaroWinkler {
   final val BoostThreshold = 0.7
   final val MaxPrefix = 4
 
+  /** UTF-16 code-unit length of a UTF8String without materializing a
+    * java.lang.String. [[compute]] scores over java.lang.String, whose
+    * `length` counts UTF-16 units — so the lossless ratio bound must be
+    * proven on THAT measure, not on code points ([[UTF8String.numChars]]
+    * undercounts by up to 2× when supplementary characters are present,
+    * which would make the bound falsely prune). numBytes == numChars ⇔
+    * pure ASCII (free fast path); otherwise each supplementary code
+    * point is a 4-byte UTF-8 sequence (lead byte 0b11110xxx) and
+    * contributes one extra UTF-16 unit (its surrogate pair). */
+  private def utf16Len(s: UTF8String): Int = {
+    val nb = s.numBytes()
+    val nc = s.numChars()
+    if (nb == nc) return nc
+    var extra = 0
+    var i = 0
+    while (i < nb) {
+      if ((s.getByte(i) & 0xF8) == 0xF0) extra += 1
+      i += 1
+    }
+    nc + extra
+  }
+
   /** [[JaroWinklerGte]]'s kernel: length-ratio bailout on the raw
     * UTF8String (no materialization for pruned pairs), exact
-    * [[compute]] for survivors. */
+    * [[compute]] for survivors. The bailout compares [[utf16Len]]s —
+    * the exact lengths [[compute]] will see — so the prune is
+    * lossless for all inputs, supplementary characters included. */
   def computeGte(a: UTF8String, b: UTF8String, minRatio: Double): Double = {
-    val la = a.numChars()
-    val lb = b.numChars()
+    val la = utf16Len(a)
+    val lb = utf16Len(b)
     if (la == 0 || lb == 0) return 0.0
     if (math.min(la, lb) < minRatio * math.max(la, lb)) return 0.0
     compute(a.toString, b.toString)

@@ -349,23 +349,21 @@ object Dedup {
     * reuse the old corpus's τ. */
   def memoTau(s: SparkSession, dir: String, base: Double,
       refN: Long = 5000L): Double =
-    tauMemo.computeIfAbsent(s"$dir@$base@${snapshotFp(dir)}", _ => {
+    tauMemo.computeIfAbsent(s"$dir@$base@${snapshotFp(s, dir)}", _ => {
       val emb = Q.t(s, dir, "embeddings")
       adaptiveTau(emb, "vec_id", "embedding", base, emb.count(), refN)
     })
 
   /** Cheap driver-side fingerprint of the embeddings snapshot under
-    * `dir`: name+length+mtime of every file. Listing a parquet dir is
-    * metadata-only — no data read. */
-  private def snapshotFp(dir: String): String = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
-      else Seq(f)
-    val root = new java.io.File(s"$dir/embeddings.parquet")
-    walk(root).map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toHexString
-  }
+    * `dir`: name+length+mtime of every file, via the Hadoop
+    * [[graft.Util.Fs]] resolver so a DFS corpus dir fingerprints the
+    * real files instead of degrading to a constant (a `java.io.File`
+    * walk of `hdfs://…` lists nothing, which would silently reuse a
+    * stale τ across corpus regenerations — the exact hazard the
+    * fingerprint keys out). Listing a parquet dir is metadata-only —
+    * no data read. */
+  private def snapshotFp(s: SparkSession, dir: String): String =
+    graft.Util.Fs.fingerprint(s, s"$dir/embeddings.parquet")
 
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 48, bits: Int = 5,

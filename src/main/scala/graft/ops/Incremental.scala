@@ -106,7 +106,7 @@ object Incremental {
       indexDir: String, outDir: String, batchId: Long): Unit = {
     val sp = batch.sparkSession
     val index =
-      if (new java.io.File(indexDir).exists) sp.read.parquet(indexDir)
+      if (graft.Util.Fs.exists(sp, indexDir)) sp.read.parquet(indexDir)
       else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("fp", StringType))))
     val survivors = dedupAgainstIndex(batch, index, idCol, textCol)
@@ -149,7 +149,7 @@ object Incremental {
     val bs = batch.groupBy(col(keyCol)).agg(build.as("sk"))
     val merge = GraftBridge.column(ThetaUnionAgg(
       GraftBridge.expression(col("sk"))).toAggregateExpression())
-    val merged = if (new java.io.File(stateDir).exists)
+    val merged = if (graft.Util.Fs.exists(sp, stateDir))
       bs.unionByName(sp.read.parquet(stateDir))
         .groupBy(col(keyCol)).agg(merge.as("sk"))
     else bs
@@ -216,7 +216,7 @@ object Incremental {
       StructField("last_value", DoubleType),
       StructField("n_changes", LongType)))
     val state =
-      if (new java.io.File(stateDir).exists) sp.read.parquet(stateDir)
+      if (graft.Util.Fs.exists(sp, stateDir)) sp.read.parquet(stateDir)
       else sp.createDataFrame(
         sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     val st = state.select(col("user_id"), col("last_ts").as("s_ts"),
@@ -268,7 +268,7 @@ object Incremental {
       StructField("n_hours", LongType), StructField("last_n", LongType),
       StructField("level", DoubleType), StructField("trend", DoubleType)))
     val state =
-      if (new java.io.File(stateDir).exists) sp.read.parquet(stateDir)
+      if (graft.Util.Fs.exists(sp, stateDir)) sp.read.parquet(stateDir)
       else sp.createDataFrame(
         sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
     val merged = hourly.join(
@@ -420,15 +420,19 @@ object Incremental {
     * resize policy. */
   final case class EmbIndexMeta(version: Int, bits: Int, designN: Long)
 
-  private def metaFile(indexDir: String) =
-    new java.io.File(indexDir, "_graft_index_meta.json")
+  private def metaPath(indexDir: String) =
+    s"$indexDir/_graft_index_meta.json"
 
-  def readEmbIndexMeta(indexDir: String): Option[EmbIndexMeta] = {
-    val f = metaFile(indexDir)
-    if (!f.exists) None
+  /** Meta I/O goes through the Hadoop [[graft.Util.Fs]] resolver —
+    * the index dir is the same path Spark writes the band parquet to,
+    * so on a cluster (`hdfs://`/`s3a://` state dirs) the meta must
+    * live next to the data it describes; a `java.io.File` read there
+    * would return "no meta" and silently re-probe at a wrong width. */
+  def readEmbIndexMeta(sp: SparkSession,
+      indexDir: String): Option[EmbIndexMeta] = {
+    if (!graft.Util.Fs.exists(sp, metaPath(indexDir))) None
     else {
-      val s = new String(java.nio.file.Files.readAllBytes(f.toPath),
-        java.nio.charset.StandardCharsets.UTF_8)
+      val s = graft.Util.Fs.readUtf8(sp, metaPath(indexDir))
       def num(k: String): Long =
         ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s)
           .getOrElse(sys.error(s"corrupt index meta: $s")).group(1).toLong
@@ -437,15 +441,13 @@ object Incremental {
     }
   }
 
-  def writeEmbIndexMeta(indexDir: String, m: EmbIndexMeta): Unit = {
-    new java.io.File(indexDir).mkdirs()
-    val tmp = new java.io.File(indexDir, "_graft_index_meta.json.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"""{"version":${m.version},"bits":${m.bits},"design_n":${m.designN}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, metaFile(indexDir).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  /** Atomic on local FS and HDFS alike (write-tmp + overwriting
+    * rename via [[graft.Util.Fs.writeUtf8Atomic]]). */
+  def writeEmbIndexMeta(sp: SparkSession, indexDir: String,
+      m: EmbIndexMeta): Unit = {
+    graft.Util.Fs.mkdirs(sp, indexDir)
+    graft.Util.Fs.writeUtf8Atomic(sp, metaPath(indexDir),
+      s"""{"version":${m.version},"bits":${m.bits},"design_n":${m.designN}}""")
   }
 
   /** Corpus size that doubles the design size → rebuild. */
@@ -466,22 +468,62 @@ object Incremental {
       tables: Int = 24, bits: Int = 5, dim: Int = 64,
       refN: Long = 5000L): Unit = {
     val sp = batch.sparkSession
-    val meta = readEmbIndexMeta(indexDir)
-    val curBits = meta.map(_.bits).getOrElse(bits)
     def verDir(v: Int) = s"$indexDir/v$v"
+    // legacy-layout migration: a pre-versioning index has its band
+    // rows directly in indexDir with no meta file. Treating that as an
+    // empty corpus would re-emit duplicates of every prior survivor as
+    // novel and orphan the old rows — so detect the legacy rows and
+    // adopt them: move each top-level entry into v0 and commit a meta
+    // at the caller's width (the legacy writer froze the caller's
+    // `bits`, so that IS the width those rows were written at).
+    // bits = 0 (adaptive) cannot name the legacy width — fail loudly
+    // instead of probing at a guess.
+    val meta = readEmbIndexMeta(sp, indexDir).orElse {
+      val legacy = graft.Util.Fs.listNames(sp, indexDir)
+        .filterNot(n => n.startsWith("_graft_index_meta") ||
+          n.matches("v\\d+"))
+      if (legacy.isEmpty) None
+      else {
+        require(bits > 0, s"unversioned legacy index at $indexDir " +
+          "with adaptive sizing (bits = 0): its band width cannot be " +
+          "recovered; pass the bits it was written with")
+        legacy.foreach(n =>
+          graft.Util.Fs.moveInto(sp, s"$indexDir/$n", verDir(0)))
+        val indexed0 =
+          if (graft.Util.Fs.exists(sp, vecDir))
+            sp.read.parquet(vecDir).count() else 0L
+        val m = EmbIndexMeta(0, bits, math.max(indexed0, refN))
+        writeEmbIndexMeta(sp, indexDir, m)
+        Some(m)
+      }
+    }
+    // stale-version GC: the rebuild's meta flip is atomic but the old
+    // version dir's delete is not — a crash between them would leak vN
+    // forever. Probes always follow the meta, so any version dir other
+    // than meta.version is garbage by definition; collect it here
+    // (metadata-only listing).
+    meta.foreach { m =>
+      graft.Util.Fs.listNames(sp, indexDir)
+        .filter(n => n.matches("v\\d+") && n != s"v${m.version}")
+        .foreach(n => graft.Util.Fs.deleteRecursive(sp, s"$indexDir/$n"))
+    }
+    val curBits = meta.map(_.bits).getOrElse(bits)
     // checkpoint: the novel frame feeds the self-probe THREE times
     // (its band index, the probe side, and the verify base) plus the
     // survivor anti-join — without materialization the cross-batch
     // parquet probe above re-executes once per consumer (measured 4×
     // the per-probe cost at sf0.1)
     val novel = (meta match {
-      case Some(m) =>
+      case Some(m) if graft.Util.Fs.exists(sp, verDir(m.version)) =>
         val dup = probeEmbeddingIndex(batch,
             sp.read.parquet(verDir(m.version)), sp.read.parquet(vecDir),
             threshold, tables, m.bits, dim)
           .select(col("id_batch").as("id")).distinct()
         batch.join(dup, Seq("id"), "left_anti")
-      case None => batch
+      // meta committed but no band rows yet — the creation-crash
+      // window (the meta write precedes the first append, below):
+      // everything is novel
+      case _ => batch
     }).localCheckpoint()
     // first creation: the caller's sizing wins when given; bits = 0
     // sizes the width for the corpus actually arriving, so even a
@@ -491,6 +533,15 @@ object Incremental {
       if (meta.isDefined) curBits
       else if (bits > 0) bits
       else Dedup.adaptiveBits(5, novel.count(), refN)
+    // the creation meta is committed BEFORE the first band append: if
+    // the process died between an append and a trailing meta write, a
+    // replay would re-derive a possibly DIFFERENT adaptive width and
+    // append mixed-width band rows into the same v0, after which
+    // probes silently miss duplicates. Fixing effBits first makes any
+    // replay read the committed width. designN stays a placeholder
+    // until the post-append count below.
+    if (meta.isEmpty)
+      writeEmbIndexMeta(sp, indexDir, EmbIndexMeta(0, effBits, refN))
     // within-batch near-dups: probe the novel set against its own bands
     // and drop every id with a smaller-id τ-partner (deterministic
     // keep-first; the agreement audit folds the identical rule)
@@ -515,23 +566,25 @@ object Incremental {
       case None =>
         // design size = the capacity the chosen width covers (at least
         // the tuned reference), so small corpora don't rebuild on
-        // every early doubling
-        writeEmbIndexMeta(indexDir,
+        // every early doubling; replaces the placeholder committed
+        // before the first append
+        writeEmbIndexMeta(sp, indexDir,
           EmbIndexMeta(0, effBits, math.max(indexedN, refN)))
       case Some(m) if indexedN > ReindexGrowthFactor * m.designN =>
         val newBits = Dedup.adaptiveBits(5, indexedN, refN)
         if (newBits > m.bits) {
           // rebuild at the wider setting into a fresh version dir; the
           // meta flip is atomic, then the stale version is dropped
+          // (a crash between the two is cleaned by the entry GC above)
           embeddingBandIndex(sp.read.parquet(vecDir), tables, newBits, dim)
             .write.mode("overwrite").parquet(verDir(m.version + 1))
-          writeEmbIndexMeta(indexDir,
+          writeEmbIndexMeta(sp, indexDir,
             EmbIndexMeta(m.version + 1, newBits, indexedN))
-          graft.Util.rmrf(new java.io.File(verDir(m.version)))
+          graft.Util.Fs.deleteRecursive(sp, verDir(m.version))
         } else
           // corpus doubled but the adaptive width didn't move (refN
           // floor): just advance the watermark so the check stays O(1)
-          writeEmbIndexMeta(indexDir, m.copy(designN = indexedN))
+          writeEmbIndexMeta(sp, indexDir, m.copy(designN = indexedN))
       case _ => ()
     }
   }

@@ -220,13 +220,13 @@ object Linkage {
       s"""WITH b AS (SELECT p_brand, count(*) AS bn
          |  FROM part GROUP BY p_brand)
          |SELECT count(*) AS n_blocks, max(bn) AS max_block,
-         |  coalesce(sum(CASE WHEN bn > $JwBlockCap
-         |    THEN 1 ELSE 0 END), 0) AS n_blocks_capped,
+         |  CAST(coalesce(sum(CASE WHEN bn > $JwBlockCap
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_blocks_capped,
          |  CAST(sum(bn * (bn - 1)) / 2 AS BIGINT) AS pairs_total,
-         |  coalesce(sum(CASE WHEN bn > $JwBlockCap
+         |  CAST(coalesce(sum(CASE WHEN bn > $JwBlockCap
          |    THEN CAST(bn * (bn - 1) / 2 AS BIGINT)
          |      - ${JwBlockCap.toLong * (JwBlockCap - 1) / 2}
-         |    END), 0) AS pairs_dropped
+         |    END), 0) AS BIGINT) AS pairs_dropped
          |FROM b""".stripMargin,
     // same closure + field-wise survivorship per multi-member entity
     "link_golden_record" ->

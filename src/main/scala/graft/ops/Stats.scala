@@ -1164,7 +1164,8 @@ object Stats {
         |    sum(ca * (2 * cum0 + c + 1)) AS r2a,
         |    sum(c * c * c - c) AS ties
         |  FROM rk GROUP BY 1)
-        |SELECT event_type, n_a, n_b,
+        |SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b,
         |  round(r2a / 2.0 - n_a * (n_a + 1) / 2.0, 6) AS u_a,
         |  round((r2a / 2.0 - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
         |    / sqrt((n_a * n_b / 12.0) * ((n_a + n_b + 1) - ties /
@@ -1185,7 +1186,8 @@ object Stats {
         |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
         |    sum(cb) OVER (PARTITION BY event_type) AS n_b
         |  FROM hist)
-        |SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+        |SELECT event_type, CAST(max(n_a) AS BIGINT) AS n_a,
+        |  CAST(max(n_b) AS BIGINT) AS n_b,
         |  round(max(abs(cuma * n_b - cumb * n_a))
         |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS d_stat,
         |  round(sqrt(CAST(max(n_a) AS DOUBLE) * max(n_b)
@@ -1291,7 +1293,8 @@ object Stats {
         |    sum(ca) OVER (PARTITION BY event_type) AS n_a,
         |    sum(cb) OVER (PARTITION BY event_type) AS n_b
         |  FROM hist)
-        |SELECT event_type, max(n_a) AS n_ref, max(n_b) AS n_cur,
+        |SELECT event_type, CAST(max(n_a) AS BIGINT) AS n_ref,
+        |  CAST(max(n_b) AS BIGINT) AS n_cur,
         |  round(max(abs(cuma * n_b - cumb * n_a))
         |    / (CAST(max(n_a) AS DOUBLE) * max(n_b)), 6) AS ks_drift
         |FROM cdf GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1324,7 +1327,7 @@ object Stats {
         |    CAST(n_a + n_b AS DOUBLE)
         |      / (SELECT max(n_a + n_b) FROM piv) AS frac
         |  FROM piv)
-        |SELECT day, n_a + n_b AS n, round(z, 6) AS z,
+        |SELECT day, CAST(n_a + n_b AS BIGINT) AS n, round(z, 6) AS z,
         |  round(2.963 / sqrt(frac), 6) AS obf_bound,
         |  CASE WHEN abs(z) > 2.963 / sqrt(frac) THEN 1 ELSE 0 END
         |    AS crossed

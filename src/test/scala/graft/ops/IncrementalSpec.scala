@@ -128,14 +128,14 @@ class IncrementalSpec extends AnyFunSuite {
     // bits = 0 → creation sizes the width from the arriving batch
     Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
       outDir, 1L, tau, bits = 0, refN = 4L)
-    val m1 = Incremental.readEmbIndexMeta(idxDir).get
+    val m1 = Incremental.readEmbIndexMeta(spark, idxDir).get
     assert(m1.version == 0 && m1.designN == 10L)
     // creation sized the width for the arriving 10 > refN vectors
     assert(m1.bits == Dedup.adaptiveBits(5, 10L, 4L) && m1.bits > 5)
     // batch 2 pushes the corpus past 2× designN → rebuild, wider, v1
     Incremental.processEmbeddingBatch(vecs(10L to 21L), idxDir, vecDir,
       outDir, 2L, tau, bits = 0, refN = 4L)
-    val m2 = Incremental.readEmbIndexMeta(idxDir).get
+    val m2 = Incremental.readEmbIndexMeta(spark, idxDir).get
     assert(m2.version == 1 && m2.bits > m1.bits && m2.designN == 22L,
       s"watermark did not rebuild: $m2")
     assert(new java.io.File(s"$idxDir/v1").exists)
@@ -150,6 +150,110 @@ class IncrementalSpec extends AnyFunSuite {
       "duplicate slipped past the rebuilt index")
     assert(out.keySet == (0L to 23L).toSet)
     assert(out(22L) == 3L && out(9L) == 1L && out(21L) == 2L)
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
+  test("legacy unversioned embedding index migrates to v0 instead of re-emitting dups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_legacy_idx_spec").toString
+    val (idxDir, vecDir, outDir) = (s"$tmp/index", s"$tmp/vec", s"$tmp/out")
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val v = Array.fill(64)(0.0); v((id % 64).toInt) = 1.0
+        (id, v, 1.0)
+      }.toDF("id", "v", "nrm")
+    Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
+      outDir, 1L, 0.8)
+    // legacy-ize: band rows directly in indexDir, no meta, no v0 —
+    // the pre-versioning on-disk layout
+    val idx = new java.io.File(idxDir)
+    new java.io.File(idx, "v0").listFiles.foreach(f =>
+      assert(f.renameTo(new java.io.File(idx, f.getName))))
+    assert(new java.io.File(idx, "v0").delete())
+    assert(new java.io.File(idx, "_graft_index_meta.json").delete())
+    // adaptive sizing cannot recover the legacy width → loud failure,
+    // and the failed call must not have touched the layout
+    intercept[IllegalArgumentException] {
+      Incremental.processEmbeddingBatch(vecs(Seq(10L)), idxDir, vecDir,
+        outDir, 2L, 0.8, bits = 0)
+    }
+    assert(!new java.io.File(idx, "v0").exists)
+    // with the legacy width named, the rows are adopted: id 64 shares
+    // id 0's axis and must still be recognized as a duplicate
+    Incremental.processEmbeddingBatch(vecs(Seq(10L, 64L)), idxDir, vecDir,
+      outDir, 2L, 0.8)
+    val m = Incremental.readEmbIndexMeta(spark, idxDir).get
+    assert(m.version == 0 && m.bits == 5, s"migration meta wrong: $m")
+    val out = spark.read.parquet(outDir)
+      .select($"id", $"batch_id").as[(Long, Long)].collect().toMap
+    assert(!out.contains(64L), "migrated index failed to dedup")
+    assert(out(10L) == 2L && out.keySet == (0L to 10L).toSet)
+    // nothing but the meta and the version dir remains at top level
+    val top = graft.Util.Fs.listNames(spark, idxDir).toSet
+    assert(top == Set("_graft_index_meta.json", "v0"), top.toString)
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
+  test("creation crash window: committed meta width wins over re-derivation; stale version dirs are GCed") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_crashwin_spec").toString
+    val (idxDir, vecDir, outDir) = (s"$tmp/index", s"$tmp/vec", s"$tmp/out")
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val v = Array.fill(64)(0.0); v((id % 64).toInt) = 1.0
+        (id, v, 1.0)
+      }.toDF("id", "v", "nrm")
+    // simulate a creation that died after the meta commit but before
+    // the first band append: meta fixes width 7, v0 absent
+    Incremental.writeEmbIndexMeta(spark, idxDir,
+      Incremental.EmbIndexMeta(0, 7, 5000L))
+    // the replay asks for adaptive sizing (bits = 0), which would have
+    // re-derived a DIFFERENT width — the committed 7 must win
+    Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
+      outDir, 1L, 0.8, bits = 0)
+    val m = Incremental.readEmbIndexMeta(spark, idxDir).get
+    assert(m.bits == 7, s"replay re-derived the width: $m")
+    // plant a stale version dir (rebuild crash between meta flip and
+    // delete); the next batch entry must collect it
+    val stale = new java.io.File(s"$idxDir/v3")
+    assert(stale.mkdirs())
+    java.nio.file.Files.write(stale.toPath.resolve("junk"),
+      "x".getBytes)
+    Incremental.processEmbeddingBatch(vecs(Seq(10L, 64L)), idxDir, vecDir,
+      outDir, 2L, 0.8, bits = 0)
+    assert(!stale.exists, "stale version dir not GCed")
+    val out = spark.read.parquet(outDir)
+      .select($"id", $"batch_id").as[(Long, Long)].collect().toMap
+    assert(!out.contains(64L) && out.keySet == (0L to 10L).toSet)
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
+  test("embedding index state dirs resolve through Hadoop: file:// URIs work end-to-end") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_uri_idx_spec").toString
+    // explicit-scheme URIs: java.io.File("file:///…") mangles these
+    // (it sees a relative path named "file:"), so this passing proves
+    // the state machinery resolves paths the way Spark itself does
+    val (idxDir, vecDir, outDir) =
+      (s"file://$tmp/index", s"file://$tmp/vec", s"file://$tmp/out")
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val v = Array.fill(64)(0.0); v((id % 64).toInt) = 1.0
+        (id, v, 1.0)
+      }.toDF("id", "v", "nrm")
+    Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
+      outDir, 1L, 0.8)
+    Incremental.processEmbeddingBatch(vecs(Seq(10L, 64L)), idxDir, vecDir,
+      outDir, 2L, 0.8)
+    val m = Incremental.readEmbIndexMeta(spark, idxDir).get
+    assert(m.version == 0 && m.bits == 5)
+    val out = spark.read.parquet(outDir)
+      .select($"id", $"batch_id").as[(Long, Long)].collect().toMap
+    assert(!out.contains(64L), "URI-addressed index failed to dedup")
+    assert(out.keySet == (0L to 10L).toSet)
     graft.Util.rmrf(new java.io.File(tmp))
   }
 

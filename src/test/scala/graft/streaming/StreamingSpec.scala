@@ -314,7 +314,7 @@ class StreamingSpec extends AnyFunSuite {
       // the state tables hold exactly the survivors' rows; the band
       // rows live under the metadata-owned version dir
       assert(spark.read.parquet(s"$dir/vec").count() == 3)
-      val meta = graft.ops.Incremental.readEmbIndexMeta(s"$dir/idx").get
+      val meta = graft.ops.Incremental.readEmbIndexMeta(spark, s"$dir/idx").get
       assert(meta.bits == 4, s"width floor not honored: $meta")
       assert(spark.read.parquet(s"$dir/idx/v${meta.version}").count() == 3 * 8)
     } finally {

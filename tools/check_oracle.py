@@ -5,9 +5,28 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads <verifyOutDir>/oracle_sql.json, registers the sf parquet tables
 as DuckDB views, runs each oracle SQL, and compares against the
-parquet the Spark Verify main wrote: columns sorted by name, rows
-sorted by all columns, values hashed. Exact compare; prints per-query
-verdict + first diff.
+parquet the Spark Verify main wrote. Three legs per query:
+
+1. Type lint: DESCRIBE the oracle SQL and fail if any output column
+   has a type outside Spark's rendering set. DuckDB promotes bare
+   integer sum() to HUGEINT (int128); a generic harness materializes
+   HUGEINT through pandas as float64, rendering "979.0" where Spark's
+   BIGINT renders "979" — hash-unequal with rows+schema equal. That
+   class shipped green locally for two rounds (r8/r9: six red driver
+   rows) because leg 2 alone normalizes it. Any oracle must CAST such
+   aggregates to BIGINT.
+2. VARCHAR leg: render both sides to VARCHAR inside DuckDB, then
+   compare. Type-faithful for DECIMAL scale (caught the round-7
+   events_ewma_hourly DECIMAL(,9)-vs-DOUBLE divergence that .df()
+   float64 coercion hides).
+3. Generic-renderer leg: render both sides through .df() (pandas) the
+   way a generic harness would, then compare as strings. Catches the
+   HUGEINT class directly (float64 "979.0" vs int64 "979") and any
+   future type whose dataframe rendering diverges from Spark's.
+   Both sides go through the identical duckdb->pandas pipeline, so a
+   mismatch here is a real type-contract violation, not noise.
+
+Exact compare; prints per-query verdict + first diff.
 """
 import json
 import sys
@@ -15,6 +34,31 @@ import sys
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# Types whose DuckDB pandas rendering matches Spark's rendering of the
+# corresponding Spark type. Anything else (HUGEINT, UHUGEINT, UBIGINT,
+# interval, ...) has no Spark equivalent with the same rendered form
+# and must be CAST in the oracle SQL.
+SPARK_RENDERABLE = (
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "DECIMAL", "VARCHAR", "DATE", "TIMESTAMP",
+    "BLOB",
+)
+
+
+def lint_types(con, sql):
+    """Return the list of (column, type) pairs whose oracle output type
+    is outside Spark's rendering set (e.g. HUGEINT from a bare integer
+    sum())."""
+    bad = []
+    for row in con.sql(f"DESCRIBE {sql}").fetchall():
+        col, typ = row[0], row[1]
+        base = typ.split("(")[0].strip().upper()
+        if base.endswith("[]"):  # list of a renderable base type is fine
+            base = base[:-2]
+        if base not in SPARK_RENDERABLE:
+            bad.append((col, typ))
+    return bad
 
 
 def normalize(rel):
@@ -29,6 +73,24 @@ def normalize(rel):
     df = rel.project(proj).df()
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
+
+
+def normalize_generic(rel):
+    # Second comparison leg: materialize through .df() the way a generic
+    # dataframe harness would (HUGEINT -> float64 -> "979.0"), then
+    # stringify. Stringify BEFORE sorting so array/list columns stay
+    # sortable.
+    df = rel.df()
+    df = df[sorted(df.columns)].astype(str)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def first_diff(exp, got):
+    neq = (exp.astype(str) != got.astype(str))
+    bad = neq.any(axis=1)
+    i = bad[bad].index[0]
+    return i, exp.loc[i].to_dict(), got.loc[i].to_dict()
 
 
 def main(sf_dir, out_dir, skip=()):
@@ -51,9 +113,25 @@ def main(sf_dir, out_dir, skip=()):
             print(f"SKIP {name}")
             continue
         try:
-            exp = normalize(con.sql(sql))
-            got = normalize(con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'"))
+            bad_types = lint_types(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: DESCRIBE lint error: {e}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(f"FAIL {name}: oracle output types outside Spark's "
+                  f"rendering set (CAST them): {bad_types}")
+            n_fail += 1
+            continue
+        try:
+            # materialize the oracle ONCE (CTAS keeps HUGEINT etc.
+            # faithfully); both comparison legs then read the temp
+            # tables instead of re-executing the SQL
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _exp AS {sql}")
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _got AS "
+                        f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            exp = normalize(con.sql("SELECT * FROM _exp"))
+            got = normalize(con.sql("SELECT * FROM _got"))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
@@ -66,11 +144,25 @@ def main(sf_dir, out_dir, skip=()):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             n_fail += 1
             continue
-        neq = (exp.astype(str) != got.astype(str))
-        if neq.any().any():
-            bad = neq.any(axis=1)
-            i = bad[bad].index[0]
-            print(f"FAIL {name}: first diff row {i}:\n  exp {exp.loc[i].to_dict()}\n  got {got.loc[i].to_dict()}")
+        if (exp.astype(str) != got.astype(str)).any().any():
+            i, e, g = first_diff(exp, got)
+            print(f"FAIL {name}: first diff row {i}:\n  exp {e}\n  got {g}")
+            n_fail += 1
+            continue
+        # leg 3: generic pandas rendering of both sides
+        try:
+            exp_g = normalize_generic(con.sql("SELECT * FROM _exp"))
+            got_g = normalize_generic(con.sql("SELECT * FROM _got"))
+        except Exception as e:
+            print(f"FAIL {name}: generic-render leg error: {e}")
+            n_fail += 1
+            continue
+        if len(exp_g) == len(got_g) and \
+                (exp_g.astype(str) != got_g.astype(str)).any().any():
+            i, e, g = first_diff(exp_g, got_g)
+            print(f"FAIL {name}: generic-render diff row {i} "
+                  f"(VARCHAR leg passed — type rendering divergence):\n"
+                  f"  exp {e}\n  got {g}")
             n_fail += 1
             continue
         print(f"PASS {name} ({len(exp)} rows)")
