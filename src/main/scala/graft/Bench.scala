@@ -124,6 +124,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // quiesce the heap before the timed section starts: in a full
+      // 65-query run the iterative-graph queries measured 2× their
+      // own same-hour isolated numbers (tight spreads, zero spill,
+      // identical shuffle bytes) — accumulated garbage from earlier
+      // queries was being collected inside later queries' timed runs.
+      // clear() is always called OUTSIDE the timing window, so the
+      // forced full GC costs wall clock but never inflates a number.
+      System.gc()
     }
     // post-query storage telemetry: cached bytes still pinned after
     // clearCache() reveal a leaked persist; total/free executor storage
