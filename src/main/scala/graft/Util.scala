@@ -68,15 +68,23 @@ object Util {
       } finally in.close()
     }
 
-    /** Write-then-rename with overwrite — atomic on both the local FS
-      * and HDFS ([[FileContext.rename]] with `Options.Rename.OVERWRITE`
-      * is the Hadoop API that guarantees it; `FileSystem.rename` would
-      * refuse an existing destination). */
+    /** Write-then-rename with overwrite — atomic on the local FS and
+      * HDFS ([[FileContext.rename]] with `Options.Rename.OVERWRITE` is
+      * the Hadoop API that guarantees it; `FileSystem.rename` would
+      * refuse an existing destination). NOT atomic on object stores
+      * (`s3a://` renames are copy+delete), so a concurrent reader there
+      * can observe a missing/partial file — state dirs on object
+      * stores additionally need an external writer lock or an
+      * HDFS/consistent-rename tier for their metadata. The temp name
+      * carries a random suffix so two writers racing past the RunGuard
+      * process lock (e.g. two hosts sharing a DFS state dir) can never
+      * interleave writes into ONE temp file; last rename still wins. */
     def writeUtf8Atomic(s: SparkSession, path: String,
         content: String): Unit = {
       val dst = new Path(path)
       val f = fs(s, dst)
-      val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+      val tmp = new Path(dst.getParent, dst.getName + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
       val out = f.create(tmp, true)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
@@ -96,8 +104,14 @@ object Util {
     }
 
     /** Driver-side metadata fingerprint of everything under `dir`:
-      * name:length:mtime of every file, recursively, name-ordered.
-      * Listing is metadata-only — no data read. */
+      * root-relative path:length:mtime of every file, recursively,
+      * name-ordered, MD5-digested. Listing is metadata-only — no data
+      * read. The entry key is the path RELATIVE to `dir` (not the
+      * basename: a same-name/len/mtime file moved between subdirs must
+      * change the print) and the digest is the full 128-bit MD5 of the
+      * joined string (a 32-bit `String.hashCode` collides at ~2^16
+      * snapshots — a silent collision would re-enable exactly the
+      * stale-τ reuse this fingerprint exists to prevent). */
     def fingerprint(s: SparkSession, dir: String): String = {
       val root = new Path(dir)
       val f = fs(s, root)
@@ -108,9 +122,18 @@ object Util {
         else Seq(st)
       val files =
         if (!f.exists(root)) Seq.empty else walk(f.getFileStatus(root))
-      files.map(st => s"${st.getPath.getName}:${st.getLen}:" +
+      val rootUri = f.makeQualified(root).toUri.getPath
+      def rel(p: Path): String = {
+        val full = p.toUri.getPath
+        if (full.startsWith(rootUri)) full.drop(rootUri.length).dropWhile(_ == '/')
+        else full
+      }
+      val joined = files.map(st => s"${rel(st.getPath)}:${st.getLen}:" +
           s"${st.getModificationTime}")
-        .mkString("|").hashCode.toHexString
+        .mkString("|")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(joined.getBytes(StandardCharsets.UTF_8))
+      md5.map("%02x".format(_)).mkString
     }
   }
 }

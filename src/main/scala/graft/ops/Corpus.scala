@@ -682,10 +682,175 @@ object Corpus {
             .as("max_abs_err"),
           round(avg(abs(col("jaccard_est") - col("jaccard"))), 6)
             .as("mean_abs_err"))
+    },
+
+    // ---- web-corpus intake (the C4/RefinedWeb step BEFORE any text
+    // filter): URL canonicalization + per-domain quota sampling ----
+
+    // URL canonicalization: lowercase scheme/host, strip the fragment,
+    // strip scheme-DEFAULT ports only (http:80 / https:443 — an
+    // explicit :443 on http survives), strip a leading `www.`, drop
+    // trailing path slashes (root stays `/`), remove tracking params
+    // (utm_*, gclid, fbclid, ref) and sort the survivors. The messy
+    // input URL is derived deterministically from (doc_id, source) —
+    // the testdata has no URL column — with the derivation repeated
+    // verbatim in the oracle, so the canonicalizer itself is
+    // hash-checked rule by rule. Pure per-row codegen (regexp +
+    // array ops), zero shuffle at any scale.
+    "pipeline_url_canonical" -> { (s, dir) =>
+      rawUrls(t(s, dir, "documents"))
+        .withColumn("url", canonicalizeUrl(col("raw_url")))
+        .select(col("doc_id"), col("raw_url"), col("url"))
+        .orderBy(col("doc_id"))
+    },
+
+    // per-domain quota: keep at most `DomainQuota` docs per registrable
+    // domain, priority = md5 of the doc id (a deterministic uniform
+    // sample, so re-crawls keep the SAME docs — no RNG). The window is
+    // row_number per domain: one shuffle on the domain key, and the
+    // top-k-per-key shape survives hot domains at 100 TB the same way
+    // pipeline_sample_k_per_source does (rank early-outs past k; a
+    // pathological mega-domain additionally pre-thins with the hash
+    // prefix filter before ranking — same pattern as the quantile gate).
+    "pipeline_domain_quota" -> { (s, dir) =>
+      val urls = rawUrls(t(s, dir, "documents"))
+        .withColumn("url", canonicalizeUrl(col("raw_url")))
+        .withColumn("domain",
+          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1))
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      urls.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainQuota)
+        .select(col("domain"), col("rk"), col("doc_id"))
+        .orderBy(col("domain"), col("rk"))
     }
   )
 
+  /** Per-domain cap for [[queries]]' `pipeline_domain_quota`. */
+  val DomainQuota = 20
+
+  /** Deterministic messy-URL derivation from (doc_id, source): mixed
+    * scheme/host case, `www.` prefixes, default and non-default ports,
+    * trailing slashes, tracking params in shuffled order, fragments —
+    * every rule [[canonicalizeUrl]] implements gets exercised. Repeated
+    * verbatim in the oracle SQL so both engines canonicalize the same
+    * input. */
+  private def rawUrls(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id,
+      concat(
+        when(id % 3 === 0, lit("HTTP")).when(id % 3 === 1, lit("https"))
+          .otherwise(lit("http")),
+        lit("://"),
+        when(id % 5 === 0, concat(lit("WWW."), upper(col("source"))))
+          .otherwise(col("source")),
+        lit(".Example.COM"),
+        when(id % 7 === 0, lit(":80")).when(id % 7 === 1, lit(":443"))
+          .when(id % 7 === 2, lit(":8080")).otherwise(lit("")),
+        lit("/docs/"), id.cast(StringType),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .when(id % 4 === 1, lit("?b=2&gclid=g1&a=1&utm_medium=cpc"))
+          .when(id % 4 === 2, lit("?a=1&fbclid=f&b=2&ref=tw"))
+          .otherwise(lit("")),
+        when(id % 6 === 0, lit("#frag")).otherwise(lit(""))
+      ).as("raw_url"))
+  }
+
+  /** URL canonicalization as one codegen'd column expression — regexp
+    * parses, scheme-aware default-port strip, `www.` strip, trailing
+    * slash collapse, tracking-param removal + param sort. Composed from
+    * built-in functions only (no UDF), so it inlines into whole-stage
+    * codegen and the oracle can reproduce it function by function. */
+  def canonicalizeUrl(u: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val path0 =
+      regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path1 = regexp_replace(path0, "/+$", "")
+    val path = when(path1 === "", lit("/")).otherwise(path1)
+    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
+        !p.startsWith("fbclid=") && !p.startsWith("ref=")))
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** The [[rawUrls]] derivation + [[canonicalizeUrl]] parse, as DuckDB
+    * CTEs shared by both web-intake oracles. */
+  private val urlCanonCte: String =
+    """r AS (SELECT doc_id, concat(
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+      |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END),
+      |    '://',
+      |    (CASE WHEN doc_id % 5 = 0 THEN concat('WWW.', upper(source))
+      |          ELSE source END),
+      |    '.Example.COM',
+      |    (CASE WHEN doc_id % 7 = 0 THEN ':80'
+      |          WHEN doc_id % 7 = 1 THEN ':443'
+      |          WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END),
+      |    '/docs/', CAST(doc_id AS VARCHAR),
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
+      |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |          WHEN doc_id % 4 = 1 THEN '?b=2&gclid=g1&a=1&utm_medium=cpc'
+      |          WHEN doc_id % 4 = 2 THEN '?a=1&fbclid=f&b=2&ref=tw'
+      |          ELSE '' END),
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)) AS raw_url
+      |  FROM documents),
+      |p AS (SELECT doc_id, raw_url,
+      |    lower(regexp_extract(raw_url,
+      |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(raw_url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |    regexp_extract(raw_url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+      |    regexp_extract(raw_url, '\?([^#]*)', 1) AS qry
+      |  FROM r),
+      |q AS (SELECT doc_id, raw_url, scheme,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+      |      '^www\.', '') AS host,
+      |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+      |         ELSE regexp_replace(path0, '/+$', '') END AS path,
+      |    list_sort(list_filter(string_split(qry, '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |        AND NOT starts_with(x, 'gclid=')
+      |        AND NOT starts_with(x, 'fbclid=')
+      |        AND NOT starts_with(x, 'ref='))) AS params
+      |  FROM p)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "pipeline_url_canonical" ->
+      s"""WITH $urlCanonCte
+         |SELECT doc_id, raw_url,
+         |  scheme || '://' || host ||
+         |  (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+         |          OR (scheme = 'https' AND port = '443'))
+         |        THEN ':' || port ELSE '' END) ||
+         |  path ||
+         |  (CASE WHEN len(params) > 0
+         |        THEN '?' || array_to_string(params, '&') ELSE '' END) AS url
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "pipeline_domain_quota" ->
+      s"""WITH $urlCanonCte
+         |SELECT domain, CAST(rk AS INT) AS rk, doc_id FROM (
+         |  SELECT host AS domain, doc_id,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM q)
+         |WHERE rk <= 20 ORDER BY domain, rk""".stripMargin,
     "pipeline_dataset_card" ->
       """WITH d AS (SELECT *,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -489,6 +489,30 @@ object Incremental {
           "recovered; pass the bits it was written with")
         legacy.foreach(n =>
           graft.Util.Fs.moveInto(sp, s"$indexDir/$n", verDir(0)))
+        // adopted-width sanity check (one agg over the legacy rows,
+        // paid once at migration): band keys live in [0, 2^bits), so a
+        // key at or above 2^bits PROVES the caller's claimed width is
+        // narrower than what the legacy writer used — committing it
+        // would make every probe silently miss duplicates. Fail loudly.
+        // The converse (claimed wider than written → all keys in the
+        // bottom half) is only probabilistic — a degenerate one-cluster
+        // corpus legitimately occupies few buckets — so it warns
+        // instead of failing.
+        val bkAgg = sp.read.parquet(verDir(0))
+          .agg(max(col("bk")).cast(LongType), count(lit(1))).head()
+        if (!bkAgg.isNullAt(0)) {
+          val (mxBk, nRows) = (bkAgg.getLong(0), bkAgg.getLong(1))
+          require(mxBk < (1L << bits), s"legacy index at $indexDir has " +
+            s"band key $mxBk >= 2^$bits: it was written at a WIDER " +
+            "band width than the passed bits — adopting this width " +
+            "would make probes silently miss duplicates")
+          if (nRows >= 64 && mxBk < (1L << (bits - 1)))
+            System.err.println(s"[incremental] WARNING: adopting legacy " +
+              s"index at $indexDir at width $bits but all $nRows band " +
+              s"keys are below 2^${bits - 1} — if the legacy writer " +
+              "used a narrower width, probes will miss duplicates; " +
+              "verify the original creation bits")
+        }
         val indexed0 =
           if (graft.Util.Fs.exists(sp, vecDir))
             sp.read.parquet(vecDir).count() else 0L
@@ -553,6 +577,20 @@ object Incremental {
     val survivors = novel.join(losers, Seq("id"), "left_anti")
       .withColumn("batch_id", lit(batchId))
       .localCheckpoint() // cut the read-then-append cycle on the state dirs
+    // AT-LEAST-ONCE batch semantics: the three appends below (outDir,
+    // band dir, vecDir) are not one transaction — parquet append can't
+    // give one — so a crash between them followed by a batch replay
+    // re-emits this batch's survivors (duplicate outDir/band rows; the
+    // meta-first ordering above already closes the width-divergence
+    // window). This order is chosen deliberately: appending vecDir
+    // FIRST would instead make a crash-after-band replay find the
+    // batch in the index and emit NOTHING — at-most-once, i.e.
+    // silently LOST survivors, strictly worse for a dedup pipeline
+    // than replay duplicates a downstream `distinct()` on
+    // (id, batch_id) can remove. Exactly-once needs an external
+    // commit protocol (e.g. the streaming entry point's foreachBatch
+    // with idempotent batchIds, or a table format with multi-file
+    // transactions).
     survivors.select(col("id"), col("batch_id"))
       .write.mode("append").parquet(outDir)
     val ver = meta.map(_.version).getOrElse(0)
@@ -822,6 +860,13 @@ object Incremental {
     // SQL, so this row proves the streaming handler's cross-batch
     // semantics, not just a batch query.
     "stream_incr_dedup" -> { (s, dir) =>
+      // NOTE on java.io.File/Files here and in the replay queries below:
+      // these `createTempDirectory` dirs are driver-LOCAL scratch by
+      // construction (this process creates them on the local disk,
+      // replays two microbatches through them, and deletes them) — the
+      // Hadoop-`Fs` migration that moved all USER-SUPPLIED state dirs
+      // to the session's filesystem deliberately skipped them; a DFS
+      // audit should too.
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_incr_stream").toString
       val (idxDir, outDir) = (s"$tmp/index", s"$tmp/out")

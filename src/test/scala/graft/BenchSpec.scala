@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The excursion-robust bench stat (r10 verdict item 2), verified by
+  * replaying the recorded r10 driver spreads through it — no Spark
+  * session needed; the policy is a pure function over run stats. */
+class BenchSpec extends AnyFunSuite {
+
+  private def rs(sec: Double) = Bench.RunStat(sec, 10.0, 10.0, 0.0)
+
+  test("r10 pagerank spread [5.79, 5.96, 44.2]: the 44.2 s GC " +
+      "excursion is discarded and replaced, median lands on the plan") {
+    val raw = Vector(rs(5.79), rs(5.96), rs(44.2))
+    val (out, n) = Bench.dropExcursions(raw, () => rs(6.1))
+    assert(n == 1)
+    assert(out.map(_.sec).sorted == Vector(5.79, 5.96, 6.1))
+  }
+
+  test("r10 kcore_ann spread [3.95, 4.85, 14.4] likewise") {
+    val raw = Vector(rs(3.95), rs(4.85), rs(14.4))
+    val (out, n) = Bench.dropExcursions(raw, () => rs(4.2))
+    assert(n == 1)
+    assert(!out.exists(_.sec > 2.5 * out.map(_.sec).min))
+  }
+
+  test("tight triple passes through untouched") {
+    val raw = Vector(rs(5.0), rs(5.2), rs(5.1))
+    val (out, n) = Bench.dropExcursions(raw, () => fail("must not re-run"))
+    assert(n == 0 && out == raw)
+  }
+
+  test("sub-second noise is not an excursion (absolute gap guard): " +
+      "0.6 s vs 0.2 s min is 3x but only 0.4 s apart") {
+    val raw = Vector(rs(0.2), rs(0.3), rs(0.6))
+    val (out, n) = Bench.dropExcursions(raw, () => fail("must not re-run"))
+    assert(n == 0 && out == raw)
+  }
+
+  test("a replacement that is itself an excursion is kept once " +
+      "retries are exhausted (evidence over silence)") {
+    val raw = Vector(rs(5.0), rs(5.2), rs(40.0))
+    val (out, n) = Bench.dropExcursions(raw, () => rs(41.0), maxRetries = 3)
+    assert(n == 3)
+    assert(out.map(_.sec).max >= 40.0) // still visible in the spread
+  }
+
+  test("two excursions in one triple both get replaced within budget") {
+    val raw = Vector(rs(5.0), rs(30.0), rs(40.0))
+    var i = 0
+    val (out, n) = Bench.dropExcursions(raw,
+      () => { i += 1; rs(5.0 + i * 0.1) })
+    assert(n == 2)
+    assert(out.map(_.sec).forall(_ < 6.0))
+  }
+}

@@ -157,8 +157,15 @@ def main(sf_dir, out_dir, skip=()):
             print(f"FAIL {name}: generic-render leg error: {e}")
             n_fail += 1
             continue
-        if len(exp_g) == len(got_g) and \
-                (exp_g.astype(str) != got_g.astype(str)).any().any():
+        # a length mismatch here is unreachable today (both legs read the
+        # same length-checked temp tables), but if normalize_generic ever
+        # drops rows it must FAIL loudly, not silently pass the leg
+        if len(exp_g) != len(got_g):
+            print(f"FAIL {name}: generic-render leg row count "
+                  f"exp={len(exp_g)} got={len(got_g)}")
+            n_fail += 1
+            continue
+        if (exp_g.astype(str) != got_g.astype(str)).any().any():
             i, e, g = first_diff(exp_g, got_g)
             print(f"FAIL {name}: generic-render diff row {i} "
                   f"(VARCHAR leg passed — type rendering divergence):\n"
