@@ -424,4 +424,27 @@ class PlanSpec extends AnyFunSuite {
       assert(exact(key) == r.getDouble(2), s"jaccard mismatch for $key")
     }
   }
+
+  test("url canonicalization is a pure map: no join, no agg, the only " +
+      "exchange is the final presentation sort") {
+    val plan = formatted(q("pipeline_url_canonical"))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    // one range exchange for the trailing orderBy, nothing else moves
+    // (count node-detail headers "(N) Exchange" — the formatted output
+    // names each node once in the tree and once in the details)
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("domain quota: one hash exchange on the domain key feeds the " +
+      "top-k window; no join, no second data shuffle") {
+    val plan = formatted(q("pipeline_domain_quota"))
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+    // hashpartitioning(domain) for the window + rangepartitioning for
+    // the final orderBy — exactly two exchanges
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("hashpartitioning(domain"), plan)
+  }
 }
