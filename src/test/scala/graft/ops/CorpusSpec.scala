@@ -159,4 +159,27 @@ class CorpusSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
     rows.foreach(r => assert(r.getLong(1) == toks(r.getLong(0)) - 1))
   }
+
+  test("url canonicalization is idempotent over the derived corpus " +
+      "and handles hand-picked edges") {
+    // canon(canon(x)) == canon(x): a canonicalizer that isn't a
+    // projection re-mangles already-clean URLs on every re-crawl pass
+    val out = Corpus.queries("pipeline_url_canonical")(spark, sf)
+      .withColumn("url2", Corpus.canonicalizeUrl(col("url")))
+    assert(out.filter(col("url2") =!= col("url")).count() == 0)
+    // scheme-specific default ports + root path + query-only tracking
+    val cases = Seq(
+      // default port stripped, www stripped, fragment dropped
+      ("HTTPS://WWW.A.COM:443/x/#f", "https://a.com/x"),
+      // NON-default port survives on the other scheme
+      ("http://a.com:443/x", "http://a.com:443/x"),
+      // empty path becomes /; all-tracking query drops the '?'
+      ("http://A.com?utm_a=1&ref=x", "http://a.com/"),
+      // params sort; empty segments from && are dropped
+      ("http://a.com/p?b=2&&a=1", "http://a.com/p?a=1&b=2"))
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("raw")
+      .select(Corpus.canonicalizeUrl(col("raw"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
 }
