@@ -106,7 +106,14 @@ object Bench {
     * excursion is kept (evidence over silence) once retries run out.
     * Returns the final runs plus how many raw runs were discarded —
     * the count lands in BENCH_DETAIL as `excursions` so the artifact
-    * self-explains. */
+    * self-explains.
+    *
+    * Statistic caveat: the policy biases a legitimately BIMODAL query
+    * (slow 1-in-N by plan nature, not by GC) toward its fast mode. A
+    * row with excursions>0 is therefore a different statistic than a
+    * raw median — cross-round comparisons must treat such rows as
+    * fast-mode medians and consult the preserved per-run evidence in
+    * `sec_shufw_runs` before calling a regression (SURVEY §9k). */
   def dropExcursions(raw: Vector[RunStat], rerun: () => RunStat,
       factor: Double = 2.5, minGapSec: Double = 1.0,
       maxRetries: Int = 3): (Vector[RunStat], Int) = {
@@ -140,9 +147,13 @@ object Bench {
     // regression.
     val guard = tools.RunGuard.acquire("graft.Bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // "*" is legal for local[*] but not for shuffle.partitions (an int
+    // conf) — resolve it to the actual core count so both stay in step
+    val shuffleParts = if (cpus.matches("[0-9]+")) cpus
+      else Runtime.getRuntime.availableProcessors().toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
@@ -317,7 +328,11 @@ object Bench {
     // fell out of the window and the official record went null. So the
     // stdout line stays in the compact round-5 shape (≈1.4 KB at 41
     // queries) and the full diagnostics go to a repo artifact + stderr.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","cpus":$cpus,${guard.metaJson},"spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills,"excursions":$excs,"sec_shufw_runs":$perRun}"""
+    // cpus is a raw env string and "*" is a legal value for local[*]:
+    // emit it as a bare number only when it IS one, else as a quoted
+    // JSON string, so BENCH_DETAIL stays parseable for any setting
+    val cpusJson = if (cpus.matches("[0-9]+")) cpus else "\"" + cpus + "\""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","cpus":$cpusJson,${guard.metaJson},"spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills,"excursions":$excs,"sec_shufw_runs":$perRun}"""
     // overridable path so local/probe chains never clobber the
     // committed official record (round-8 zombie-chain lesson: a stale
     // relaunch wrote its late detail over the repo artifact)
@@ -328,8 +343,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     System.err.println(s"[bench] detail: $detail")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median"}""")
+    // WARN/NOTE must precede the metric line: r11's trailing heapWarn()
+    // pushed the {"metric":"total"} line out of the driver's 2000-char
+    // tail-capture window and BENCH_r11.json parsed null. The metric
+    // line is the LAST thing this process prints.
     heapWarn()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median"}""")
     spark.stop()
     guard.release()
   }

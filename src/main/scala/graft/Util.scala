@@ -78,19 +78,41 @@ object Util {
       * HDFS/consistent-rename tier for their metadata. The temp name
       * carries a random suffix so two writers racing past the RunGuard
       * process lock (e.g. two hosts sharing a DFS state dir) can never
-      * interleave writes into ONE temp file; last rename still wins. */
+      * interleave writes into ONE temp file; last rename still wins.
+      *
+      * Orphan hygiene: the random suffix means a crash between create
+      * and rename would leak a uniquely-named temp forever — and such
+      * orphans would perturb [[fingerprint]] of any directory written
+      * this way. Two defenses: stale `<name>.tmp-*` siblings are
+      * best-effort swept before each write (they are by construction
+      * abandoned — the RunGuard lock serializes local writers, and a
+      * remote racer's LIVE temp existing in the sweep window only
+      * re-runs that writer's rename-loser path), and this writer's own
+      * temp is deleted on a failed write/rename. */
     def writeUtf8Atomic(s: SparkSession, path: String,
         content: String): Unit = {
       val dst = new Path(path)
       val f = fs(s, dst)
+      try {
+        val stale = f.globStatus(
+          new Path(dst.getParent, dst.getName + ".tmp-*"))
+        if (stale != null)
+          stale.foreach(st => f.delete(st.getPath, false))
+      } catch { case _: Throwable => () } // hygiene only, never fatal
       val tmp = new Path(dst.getParent, dst.getName + ".tmp-" +
         java.util.UUID.randomUUID().toString.take(8))
-      val out = f.create(tmp, true)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      val fc = FileContext.getFileContext(f.getUri,
-        s.sparkContext.hadoopConfiguration)
-      fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+      var renamed = false
+      try {
+        val out = f.create(tmp, true)
+        try out.write(content.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        val fc = FileContext.getFileContext(f.getUri,
+          s.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+        renamed = true
+      } finally if (!renamed) {
+        try f.delete(tmp, false) catch { case _: Throwable => () }
+      }
     }
 
     /** Move `src` (a file or dir) under `dstDir`, keeping its name. */

@@ -704,14 +704,17 @@ object Corpus {
         .orderBy(col("doc_id"))
     },
 
-    // per-domain quota: keep at most `DomainQuota` docs per registrable
-    // domain, priority = md5 of the doc id (a deterministic uniform
-    // sample, so re-crawls keep the SAME docs — no RNG). The window is
-    // row_number per domain: one shuffle on the domain key, and the
-    // top-k-per-key shape survives hot domains at 100 TB the same way
-    // pipeline_sample_k_per_source does (rank early-outs past k; a
-    // pathological mega-domain additionally pre-thins with the hash
-    // prefix filter before ranking — same pattern as the quantile gate).
+    // per-HOST quota: keep at most `DomainQuota` docs per canonical
+    // host (post-`www.`-strip — NOT per registrable domain; see
+    // pipeline_domain_quota_etld for PSL eTLD+1 keying), priority =
+    // md5 of the doc id (a deterministic uniform sample, so re-crawls
+    // keep the SAME docs — no RNG). The window is row_number per host:
+    // one shuffle on the host key, and the top-k-per-key shape
+    // survives hot hosts at 100 TB the same way
+    // pipeline_sample_k_per_source does (rank early-outs past k via
+    // the WindowGroupLimit rewrite — PlanSpec-locked; a pathological
+    // mega-host additionally pre-thins with the hash prefix filter
+    // before ranking — same pattern as the quantile gate).
     "pipeline_domain_quota" -> { (s, dir) =>
       val urls = rawUrls(t(s, dir, "documents"))
         .withColumn("url", canonicalizeUrl(col("raw_url")))
@@ -723,6 +726,32 @@ object Corpus {
         .filter(col("rk") <= DomainQuota)
         .select(col("domain"), col("rk"), col("doc_id"))
         .orderBy(col("domain"), col("rk"))
+    },
+
+    // per-REGISTRABLE-DOMAIN quota (C4/RefinedWeb semantics): same
+    // deterministic top-k-per-key, keyed on eTLD+1 via
+    // [[registrableDomain]] — `a.news.sample.co.uk` and
+    // `b.news.sample.co.uk` are ONE registrant (`sample.co.uk`) and
+    // share one quota, while `a.blogspot.com`-style sibling hosts
+    // under a mere TLD stay separate registrants. Plan shape is
+    // identical to the host-keyed variant: the suffix match is a
+    // per-row InSet probe (no join), then exactly one hash exchange
+    // on the domain key feeding a WindowGroupLimit-rewritten
+    // row_number. The oracle resolves the same suffix snapshot as a
+    // DuckDB CTE join, so host-keying vs eTLD+1-keying produce
+    // provably different (and both checked) answers on the corpus.
+    "pipeline_domain_quota_etld" -> { (s, dir) =>
+      val urls = rawUrls(t(s, dir, "documents"))
+        .withColumn("url", canonicalizeUrl(col("raw_url")))
+        .withColumn("host",
+          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1))
+        .withColumn("domain", registrableDomain(col("host")))
+      val w = Window.partitionBy(col("domain"))
+        .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+      urls.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= DomainQuota)
+        .select(col("domain"), col("host"), col("rk"), col("doc_id"))
+        .orderBy(col("domain"), col("rk"))
     }
   )
 
@@ -731,10 +760,16 @@ object Corpus {
 
   /** Deterministic messy-URL derivation from (doc_id, source): mixed
     * scheme/host case, `www.` prefixes, default and non-default ports,
-    * trailing slashes, tracking params in shuffled order, fragments —
-    * every rule [[canonicalizeUrl]] implements gets exercised. Repeated
-    * verbatim in the oracle SQL so both engines canonicalize the same
-    * input. */
+    * trailing slashes, tracking params (in shuffled order AND mixed
+    * case), percent-escapes (lowercase hex, unreserved and reserved),
+    * a punycode (`xn--`) host, and fragments — every rule
+    * [[canonicalizeUrl]] implements gets exercised. The host tail
+    * spans FOUR registrable domains across TWO multi-label public
+    * suffixes (`co.uk`, `com.au`) plus extra sub-labels, so host-keyed
+    * and eTLD+1-keyed grouping provably differ (`{src}.news.sample
+    * .co.uk` hosts differ per source but share one registrant).
+    * Repeated verbatim in the oracle SQL so both engines canonicalize
+    * the same input. */
   private def rawUrls(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     docs.select(id,
@@ -744,24 +779,73 @@ object Corpus {
         lit("://"),
         when(id % 5 === 0, concat(lit("WWW."), upper(col("source"))))
           .otherwise(col("source")),
-        lit(".Example.COM"),
+        when(id % 11 <= 3, lit(".Example.COM"))
+          .when(id % 11 <= 6, lit(".news.Sample.CO.UK"))
+          .when(id % 11 <= 8, lit(".Archive.ORG"))
+          .when(id % 11 === 9, lit(".media.Example.COM.AU"))
+          .otherwise(lit(".XN--BCHER-KVA.DE")),
         when(id % 7 === 0, lit(":80")).when(id % 7 === 1, lit(":443"))
           .when(id % 7 === 2, lit(":8080")).otherwise(lit("")),
-        lit("/docs/"), id.cast(StringType),
+        when(id % 9 <= 2, concat(lit("/docs/"), id.cast(StringType)))
+          .when(id % 9 <= 4, concat(lit("/d%6fcs/"), id.cast(StringType)))
+          .when(id % 9 <= 6,
+            concat(lit("/docs%2fv2/"), id.cast(StringType)))
+          .when(id % 9 === 7, concat(lit("/docs/%7e"), id.cast(StringType)))
+          .otherwise(concat(lit("/docs/"), id.cast(StringType), lit("%2a"))),
         when(id % 4 === 0, lit("/")).otherwise(lit("")),
-        when(id % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+        when(id % 4 === 0, lit("?UTM_SOURCE=feed&b=2&a=1"))
           .when(id % 4 === 1, lit("?b=2&gclid=g1&a=1&utm_medium=cpc"))
-          .when(id % 4 === 2, lit("?a=1&fbclid=f&b=2&ref=tw"))
+          .when(id % 4 === 2, lit("?a=1&fbclid=f&b=2&Ref=tw&c=%6a"))
           .otherwise(lit("")),
         when(id % 6 === 0, lit("#frag")).otherwise(lit(""))
       ).as("raw_url"))
   }
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization as built-in column
+    * ops: every `%XX` escape gets its hex digits uppercased, and
+    * escapes of UNRESERVED characters (ALPHA / DIGIT / `-` `.` `_`
+    * `~`) are decoded to the literal character. Reserved and non-ASCII
+    * escapes are preserved (decoding `%2F` would change path
+    * structure); a `%` not followed by two hex digits passes through
+    * untouched. Split-on-% + `transform` + `conv`/`char` keeps the
+    * whole thing inside whole-stage codegen — no UDF, no per-row
+    * regex backtracking beyond two tiny anchored patterns. */
+  private def normalizePercent(s: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val parts = split(s, "%", -1)
+    val head = element_at(parts, 1)
+    val rest = slice(parts, lit(2), size(parts))
+    val fixed = transform(rest, p => {
+      val hex = upper(substring(p, 1, 2))
+      val tl = substring(p, 3, Int.MaxValue)
+      val ch = org.apache.spark.sql.functions.char(
+        conv(hex, 16, 10).cast(IntegerType))
+      when(hex.rlike("^[0-9A-F]{2}$"),
+        concat(when(ch.rlike("^[A-Za-z0-9._~-]$"), ch)
+          .otherwise(concat(lit("%"), hex)), tl))
+        .otherwise(concat(lit("%"), p))
+    })
+    concat(head, array_join(fixed, ""))
+  }
+
   /** URL canonicalization as one codegen'd column expression — regexp
-    * parses, scheme-aware default-port strip, `www.` strip, trailing
-    * slash collapse, tracking-param removal + param sort. Composed from
-    * built-in functions only (no UDF), so it inlines into whole-stage
-    * codegen and the oracle can reproduce it function by function. */
+    * parses, scheme-aware default-port strip, `www.` strip,
+    * percent-encoding normalization ([[normalizePercent]]: uppercase
+    * hex, decode unreserved) on the path and every query param,
+    * trailing slash collapse, case-insensitive tracking-param removal
+    * + param sort. IDN hosts need no special rule: punycode (`xn--`)
+    * labels are ASCII and the host `lower()` is exactly the case-fold
+    * RFC 5890 prescribes for them. Composed from built-in functions
+    * only (no UDF), so it inlines into whole-stage codegen and the
+    * oracle can reproduce it function by function.
+    *
+    * Tracking-param scope is a deliberate fixed list — `utm_*`,
+    * `gclid`, `fbclid`, `ref`, `ref_src` (C4/RefinedWeb-style), each
+    * matched on the lowercased param so `UTM_SOURCE=`/`Ref=` variants
+    * are caught; anything else (`mc_cid`, `igshid`, ...) is out of
+    * scope by choice, not oversight. Params are normalized BEFORE the
+    * tracking filter so an escape-obfuscated name (`%75tm_x`) can't
+    * dodge it — which also keeps the whole canonicalizer idempotent. */
   def canonicalizeUrl(u: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -775,12 +859,15 @@ object Corpus {
         (scheme === "https" && port === "443"))
     val path0 =
       regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    val path1 = regexp_replace(path0, "/+$", "")
+    val path1 = regexp_replace(normalizePercent(path0), "/+$", "")
     val path = when(path1 === "", lit("/")).otherwise(path1)
     val query = regexp_extract(u, "\\?([^#]*)", 1)
-    val params = array_sort(filter(split(query, "&"), p =>
-      p =!= "" && !p.startsWith("utm_") && !p.startsWith("gclid=") &&
-        !p.startsWith("fbclid=") && !p.startsWith("ref=")))
+    val params = array_sort(filter(
+      transform(filter(split(query, "&"), p => p =!= ""),
+        p => normalizePercent(p)),
+      p => !lower(p).startsWith("utm_") && !lower(p).startsWith("gclid=") &&
+        !lower(p).startsWith("fbclid=") && !lower(p).startsWith("ref=") &&
+        !lower(p).startsWith("ref_src=")))
     concat(scheme, lit("://"), host,
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
@@ -788,24 +875,124 @@ object Corpus {
         .otherwise(lit("")))
   }
 
+  /** Public-suffix snapshot (publicsuffix.org ICANN section, snapshot
+    * date 2026-08-15): a compact embedded subset — the major gTLDs +
+    * ccTLDs and the common second-level registry suffixes (`co.uk`
+    * style) up to three labels deep. Deliberately NOT the full list
+    * (no wildcard `*.ck` / exception `!www.ck` rules): at production
+    * scale the full ~9k-entry list drops in as a bigger literal set
+    * with the identical plan (the membership test is a broadcast-free
+    * `InSet` hash probe, size-independent per row). One Scala value is
+    * the single source of truth — the DuckDB oracle's suffix CTE is
+    * generated from it. */
+  val PublicSuffixes: Seq[String] = Seq(
+    // generic + common country TLDs
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "ai", "co", "de", "fr", "uk", "au", "jp", "cn", "ru", "br",
+    "in", "it", "nl", "es", "se", "no", "fi", "dk", "pl", "ch", "at",
+    "be", "cz", "pt", "gr", "ie", "nz", "kr", "mx", "ar", "ca", "us",
+    "eu", "dev", "app", "xyz", "site", "online",
+    // second-level registry suffixes
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
+    "plc.uk", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "id.au", "asn.au", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "com.br", "net.br",
+    "org.br", "gov.br", "co.in", "net.in", "org.in", "gen.in",
+    "firm.in", "co.nz", "net.nz", "org.nz", "govt.nz", "co.kr",
+    "ne.kr", "or.kr", "go.kr", "com.mx", "org.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "gc.ca", "on.ca", "qc.ca", "bc.ca",
+    "ma.us", "ca.us", "ny.us",
+    // third-level registry suffixes (US school districts)
+    "k12.ma.us", "cc.ma.us", "k12.ca.us", "k12.ny.us")
+
+  /** Registrable domain (eTLD+1) of a canonical (lowercased,
+    * port-free) host: the longest [[PublicSuffixes]] entry matching a
+    * PROPER suffix of the host's dot-labels, plus one more label —
+    * `news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` →
+    * `example.com`. Hosts matching NO suffix
+    * (IPs, intranet names) and hosts that ARE a bare public suffix
+    * map to themselves — the conservative grouping for a quota (the
+    * PSL calls the latter "no registrable domain"; keying them on the
+    * host beats dropping them).
+    *
+    * Plan shape: pure per-row column ops — `split` + three
+    * `slice`/`array_join` tail probes, each membership tested with
+    * `isin` over the literal snapshot, which Catalyst converts to an
+    * `InSet` O(1) hash probe (threshold 10). No UDF, no join, no
+    * broadcast: at 100 TB the suffix table rides inside the codegen'd
+    * expression, never on the wire. */
+  def registrableDomain(host: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def tailK(k: Int) =
+      array_join(slice(labels, n - lit(k) + lit(1), lit(k)), ".")
+    val byLen = PublicSuffixes.groupBy(_.count(_ == '.') + 1)
+    def inSet(k: Int) = byLen.get(k) match {
+      case Some(ss) => tailK(k).isin(ss: _*)
+      case None     => lit(false)
+    }
+    // longest match wins; `n > k` keeps the match a PROPER suffix
+    // unless the host IS the suffix (then no k matches with slack and
+    // the shorter-k probes land on the self-mapping branch below)
+    val kM = when(n > 3 && inSet(3), 3)
+      .when(n > 2 && inSet(2), 2)
+      .when(n > 1 && inSet(1), 1)
+      .otherwise(0)
+    when(kM > 0, array_join(slice(labels, n - kM, kM + lit(1)), "."))
+      .otherwise(host)
+  }
+
+  /** DuckDB twin of [[normalizePercent]] over expression `e`, with
+    * lambda variable name `v` (callers nesting inside an outer lambda
+    * pass a fresh name). Same decomposition as the Spark side:
+    * split-on-%, uppercase the hex, decode via chr() when the decoded
+    * character is unreserved, else keep the uppercased escape;
+    * malformed escapes pass through. The `coalesce` covers DuckDB's
+    * NULL tail-slice of a single-element list (no `%` in the input). */
+  private def pnormSql(e: String, v: String): String = {
+    val hex = s"upper(substr($v,1,2))"
+    val code = s"CAST((strpos('0123456789ABCDEF', substr($hex,1,1))-1)*16" +
+      s" + strpos('0123456789ABCDEF', substr($hex,2,1)) - 1 AS INT)"
+    s"(string_split($e,'%')[1] || coalesce(array_to_string(" +
+      s"list_transform(string_split($e,'%')[2:], $v -> " +
+      s"CASE WHEN regexp_matches($hex, '^[0-9A-F]{2}$$') " +
+      s"THEN (CASE WHEN regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$') " +
+      s"THEN chr($code) ELSE '%' || $hex END) || substr($v,3) " +
+      s"ELSE '%' || $v END), ''), ''))"
+  }
+
   /** The [[rawUrls]] derivation + [[canonicalizeUrl]] parse, as DuckDB
-    * CTEs shared by both web-intake oracles. */
+    * CTEs shared by the web-intake oracles. */
   private val urlCanonCte: String =
-    """r AS (SELECT doc_id, concat(
+    s"""r AS (SELECT doc_id, concat(
       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
       |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END),
       |    '://',
       |    (CASE WHEN doc_id % 5 = 0 THEN concat('WWW.', upper(source))
       |          ELSE source END),
-      |    '.Example.COM',
+      |    (CASE WHEN doc_id % 11 <= 3 THEN '.Example.COM'
+      |          WHEN doc_id % 11 <= 6 THEN '.news.Sample.CO.UK'
+      |          WHEN doc_id % 11 <= 8 THEN '.Archive.ORG'
+      |          WHEN doc_id % 11 = 9 THEN '.media.Example.COM.AU'
+      |          ELSE '.XN--BCHER-KVA.DE' END),
       |    (CASE WHEN doc_id % 7 = 0 THEN ':80'
       |          WHEN doc_id % 7 = 1 THEN ':443'
       |          WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END),
-      |    '/docs/', CAST(doc_id AS VARCHAR),
+      |    (CASE WHEN doc_id % 9 <= 2
+      |            THEN concat('/docs/', CAST(doc_id AS VARCHAR))
+      |          WHEN doc_id % 9 <= 4
+      |            THEN concat('/d%6fcs/', CAST(doc_id AS VARCHAR))
+      |          WHEN doc_id % 9 <= 6
+      |            THEN concat('/docs%2fv2/', CAST(doc_id AS VARCHAR))
+      |          WHEN doc_id % 9 = 7
+      |            THEN concat('/docs/%7e', CAST(doc_id AS VARCHAR))
+      |          ELSE concat('/docs/', CAST(doc_id AS VARCHAR), '%2a')
+      |          END),
       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END),
-      |    (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |    (CASE WHEN doc_id % 4 = 0 THEN '?UTM_SOURCE=feed&b=2&a=1'
       |          WHEN doc_id % 4 = 1 THEN '?b=2&gclid=g1&a=1&utm_medium=cpc'
-      |          WHEN doc_id % 4 = 2 THEN '?a=1&fbclid=f&b=2&ref=tw'
+      |          WHEN doc_id % 4 = 2 THEN '?a=1&fbclid=f&b=2&Ref=tw&c=%6a'
       |          ELSE '' END),
       |    (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)) AS raw_url
       |  FROM documents),
@@ -816,20 +1003,24 @@ object Corpus {
       |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
       |    regexp_extract(raw_url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
-      |    regexp_extract(raw_url, '\?([^#]*)', 1) AS qry
+      |    regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
       |  FROM r),
       |q AS (SELECT doc_id, raw_url, scheme,
-      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-      |    regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
-      |      '^www\.', '') AS host,
-      |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
-      |         ELSE regexp_replace(path0, '/+$', '') END AS path,
-      |    list_sort(list_filter(string_split(qry, '&'),
-      |      x -> x <> '' AND NOT starts_with(x, 'utm_')
-      |        AND NOT starts_with(x, 'gclid=')
-      |        AND NOT starts_with(x, 'fbclid=')
-      |        AND NOT starts_with(x, 'ref='))) AS params
-      |  FROM p)""".stripMargin
+      |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+      |    regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''),
+      |      '^www\\.', '') AS host,
+      |    CASE WHEN regexp_replace(pathn, '/+$$', '') = '' THEN '/'
+      |         ELSE regexp_replace(pathn, '/+$$', '') END AS path,
+      |    list_sort(list_filter(paramsn,
+      |      x -> NOT starts_with(lower(x), 'utm_')
+      |        AND NOT starts_with(lower(x), 'gclid=')
+      |        AND NOT starts_with(lower(x), 'fbclid=')
+      |        AND NOT starts_with(lower(x), 'ref=')
+      |        AND NOT starts_with(lower(x), 'ref_src='))) AS params
+      |  FROM (SELECT *, ${pnormSql("path0", "y")} AS pathn,
+      |      list_transform(list_filter(string_split(qry, '&'),
+      |        x -> x <> ''), x -> ${pnormSql("x", "y")}) AS paramsn
+      |    FROM p))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pipeline_url_canonical" ->
@@ -850,6 +1041,34 @@ object Corpus {
          |    row_number() OVER (PARTITION BY host
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
          |  FROM q)
+         |WHERE rk <= 20 ORDER BY domain, rk""".stripMargin,
+    // the suffix snapshot resolved as a CTE join (candidate k-label
+    // tails × suffix table, longest match per host), deliberately a
+    // DIFFERENT mechanism than the Spark side's per-row InSet probe —
+    // agreement between the two is the test
+    "pipeline_domain_quota_etld" ->
+      s"""WITH $urlCanonCte,
+         |sfx AS (SELECT unnest([${PublicSuffixes
+               .map(s => s"'$s'").mkString(",")}]) AS suffix),
+         |hh AS (SELECT doc_id, host, string_split(host, '.') AS ls
+         |  FROM q),
+         |cand AS (SELECT hh.doc_id, k.k FROM hh
+         |  CROSS JOIN (VALUES (1),(2),(3)) k(k)
+         |  JOIN sfx ON len(hh.ls) > k.k
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-k.k+1:len(hh.ls)], '.') = sfx.suffix),
+         |best AS (SELECT doc_id, max(k) AS k FROM cand GROUP BY doc_id),
+         |regd AS (SELECT hh.doc_id, hh.host,
+         |    CASE WHEN best.k IS NOT NULL
+         |      THEN array_to_string(
+         |        hh.ls[len(hh.ls)-best.k:len(hh.ls)], '.')
+         |      ELSE hh.host END AS domain
+         |  FROM hh LEFT JOIN best USING (doc_id))
+         |SELECT domain, host, CAST(rk AS INT) AS rk, doc_id FROM (
+         |  SELECT domain, host, doc_id,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM regd)
          |WHERE rk <= 20 ORDER BY domain, rk""".stripMargin,
     "pipeline_dataset_card" ->
       """WITH d AS (SELECT *,

@@ -176,10 +176,53 @@ class CorpusSpec extends AnyFunSuite {
       // empty path becomes /; all-tracking query drops the '?'
       ("http://A.com?utm_a=1&ref=x", "http://a.com/"),
       // params sort; empty segments from && are dropped
-      ("http://a.com/p?b=2&&a=1", "http://a.com/p?a=1&b=2"))
+      ("http://a.com/p?b=2&&a=1", "http://a.com/p?a=1&b=2"),
+      // percent-encoding: unreserved escapes decode (%6f='o', %7E='~'),
+      // reserved escapes keep their (uppercased) hex
+      ("http://a.com/d%6fcs/%7e5", "http://a.com/docs/~5"),
+      ("http://a.com/a%2fb%2A", "http://a.com/a%2Fb%2A"),
+      // malformed escapes pass through untouched
+      ("http://a.com/x%g1%2", "http://a.com/x%g1%2"),
+      // tracking params match case-insensitively; escape-obfuscated
+      // names (%75tm → utm) are normalized BEFORE the filter
+      ("http://a.com/p?UTM_SOURCE=x&Ref=y&a=%6a&ref_src=t",
+        "http://a.com/p?a=j"),
+      ("http://a.com/p?%75tm_x=1&b=1", "http://a.com/p?b=1"),
+      // punycode host: plain ASCII case-fold, label preserved
+      ("HTTP://XN--BCHER-KVA.DE/x", "http://xn--bcher-kva.de/x"))
     import spark.implicits._
     val got = cases.map(_._1).toDF("raw")
       .select(Corpus.canonicalizeUrl(col("raw"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
+    // the hand-picked edges are themselves fixed points
+    val twice = cases.map(_._2).toDF("u")
+      .select(Corpus.canonicalizeUrl(col("u"))).as[String].collect()
+    assert(twice.toSeq == cases.map(_._2))
+  }
+
+  test("registrableDomain: longest-suffix-plus-one-label over the " +
+      "bundled snapshot; non-matching and bare-suffix hosts self-map") {
+    val cases = Seq(
+      ("news.bbc.co.uk", "bbc.co.uk"),      // 2-label suffix
+      ("a.b.example.com", "example.com"),   // deep subdomain collapses
+      ("example.com", "example.com"),       // already registrable
+      ("media.example.com.au", "example.com.au"),
+      ("x.y.k12.ma.us", "y.k12.ma.us"),     // 3-label suffix
+      ("co.uk", "co.uk"),                   // bare public suffix
+      ("weird.local", "weird.local"),       // unknown TLD
+      ("xn--bcher-kva.de", "xn--bcher-kva.de"), // punycode eTLD+1
+      ("a.xn--bcher-kva.de", "xn--bcher-kva.de"))
+    import spark.implicits._
+    val got = cases.map(_._1).toDF("h")
+      .select(Corpus.registrableDomain(col("h"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+    // longest match is an invariant of the snapshot itself: every
+    // multi-label suffix's own tail must also be in the snapshot (so
+    // the k=3 probe can never be shadowed by a missing k=2 entry)
+    Corpus.PublicSuffixes.filter(_.contains('.')).foreach { s =>
+      val parent = s.split('.').drop(1).mkString(".")
+      assert(Corpus.PublicSuffixes.contains(parent) || parent.isEmpty,
+        s"suffix $s lacks its parent $parent in the snapshot")
+    }
   }
 }

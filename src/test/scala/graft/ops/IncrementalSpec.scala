@@ -299,4 +299,26 @@ class IncrementalSpec extends AnyFunSuite {
     assert(byCol("o_orderkey").getAs[Long]("n_null") == 0L)
     assert(byCol("o_orderstatus").getAs[Long]("n_distinct") <= 3L)
   }
+
+  test("writeUtf8Atomic sweeps stale tmp orphans and leaves one file") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_fs_spec").toFile
+    val dst = new java.io.File(tmp, "_meta.json")
+    // a crashed prior writer left a uniquely-suffixed orphan: without
+    // the sweep it would live forever and perturb Fs.fingerprint()
+    val orphan = new java.io.File(tmp, "_meta.json.tmp-deadbeef")
+    java.nio.file.Files.writeString(orphan.toPath, "stale")
+    // Hadoop's ChecksumFileSystem writes .crc sidecars on local disk —
+    // not ours to assert on, so compare the non-sidecar names only
+    def names = tmp.listFiles.map(_.getName).filterNot(_.endsWith(".crc")).toSet
+    graft.Util.Fs.writeUtf8Atomic(spark, dst.getPath, "v1")
+    assert(!orphan.exists, "stale orphan must be swept")
+    assert(names == Set("_meta.json"), s"unexpected files: $names")
+    assert(graft.Util.Fs.readUtf8(spark, dst.getPath) == "v1")
+    // overwrite path still atomic-replaces and leaves no temp behind
+    graft.Util.Fs.writeUtf8Atomic(spark, dst.getPath, "v2")
+    assert(names == Set("_meta.json"), s"unexpected files: $names")
+    assert(graft.Util.Fs.readUtf8(spark, dst.getPath) == "v2")
+    graft.Util.rmrf(tmp)
+  }
 }

@@ -447,4 +447,33 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(plan).size == 2, plan)
     assert(plan.contains("hashpartitioning(domain"), plan)
   }
+
+  test("quota/sample windows early-out past k: the WindowGroupLimit " +
+      "rewrite must be present (rank<=k never materializes full groups)") {
+    // The "rank early-outs past k" scale claim was a comment until
+    // r12 — on Spark 4.x it is the WindowGroupLimit physical rewrite
+    // (map-side partial limit + final limit per key). A Spark upgrade
+    // or plan drift that silently loses it would turn a hot-key quota
+    // into a full-group materialization at 100 TB; fail here instead.
+    Seq("pipeline_domain_quota", "pipeline_domain_quota_etld",
+        "pipeline_sample_k_per_source").foreach { name =>
+      val plan = formatted(q(name))
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit early-out\n$plan")
+    }
+  }
+
+  test("eTLD+1 quota: suffix matching is per-row InSet (no join, no " +
+      "broadcast); one hash exchange on the registrable-domain key") {
+    val plan = formatted(q("pipeline_domain_quota_etld"))
+    // the public-suffix snapshot must ride inside the row expression,
+    // never as a join/broadcast relation
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Broadcast"), plan)
+    assert(plan.contains("Window"), plan)
+    // hashpartitioning(domain) for the window + rangepartitioning for
+    // the final orderBy — exactly two exchanges, same as host keying
+    assert("""\(\d+\) Exchange""".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("hashpartitioning(domain"), plan)
+  }
 }
