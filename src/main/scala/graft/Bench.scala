@@ -83,7 +83,12 @@ object Bench {
     // round-9 additions: exact Shapley attribution (one pass to channel
     // bitmasks, coalition math on 16-row frames) and item-item cosine
     // recommendations (AQE-planned marginal joins, per-item top-k)
-    "events_shapley_attribution", "rec_item_item_cosine")
+    "events_shapley_attribution", "rec_item_item_cosine",
+    // round-12 addition: the web-intake representative — URL parse +
+    // eTLD+1 InSet probe + one hash exchange into a WindowGroupLimit
+    // top-k (pipeline_url_canonical itself is zero-shuffle and mostly
+    // re-measures the scan, so the quota variant carries the family)
+    "pipeline_domain_quota_etld")
 
   /** One timed run's measurements: wall seconds plus the shuffle/spill
     * byte deltas attributed to exactly this run (listener bus flushed

@@ -25,6 +25,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     what match {
+      case "quota_skew" => profileQuotaSkew(spark, sfDir)
       case "containment" => profileContainment(spark, sfDir)
       case "containment2" => profileContainment2(spark, sfDir)
       case "containment3" => profileContainment3(spark, sfDir)
@@ -48,6 +49,45 @@ object Profile {
     val r = f
     println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+
+  /** Mega-host probe for the eTLD+1 quota: runs
+    * `pipeline_domain_quota_etld` on `dir` (point it at a corpus where
+    * ONE registrable domain owns ~100% of the rows) twice — with the
+    * WindowGroupLimit rewrite active and with it excluded — printing
+    * per-run wall + shuffle-write bytes. The delta IS the 100 TB
+    * hot-domain story: with the rewrite, every map partition forwards
+    * at most k rows per key, so the exchange carries O(k·maps) rows no
+    * matter how skewed the corpus; without it, the full mega-group
+    * crosses the wire into a single reducer. */
+  private def profileQuotaSkew(s: SparkSession, dir: String): Unit = {
+    val shufW = new java.util.concurrent.atomic.AtomicLong
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def run(): Long =
+      SparkEntry.queries("pipeline_domain_quota_etld")(s, dir).count()
+    val wgl = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
+    Seq("wgl_on" -> "", "wgl_off" -> wgl).foreach { case (label, excl) =>
+      s.conf.set("spark.sql.optimizer.excludedRules", excl)
+      val rows = time(s"$label warm")(run())
+      println(s"[profile] $label output_rows $rows")
+      (1 to 3).foreach { i =>
+        s.catalog.clearCache()
+        org.apache.spark.sql.GraftBridge.flushListenerBus(s)
+        val b0 = shufW.get
+        time(s"$label run$i")(run())
+        org.apache.spark.sql.GraftBridge.flushListenerBus(s)
+        println(f"[profile] $label run$i shuffle_write_mb " +
+          f"${(shufW.get - b0) / 1e6}%.1f")
+      }
+    }
+    s.conf.set("spark.sql.optimizer.excludedRules", "")
   }
 
   private def profilePageRank(s: SparkSession, dir: String): Unit = {

@@ -687,11 +687,12 @@ object Corpus {
     // ---- web-corpus intake (the C4/RefinedWeb step BEFORE any text
     // filter): URL canonicalization + per-domain quota sampling ----
 
-    // URL canonicalization: lowercase scheme/host, strip the fragment,
-    // strip scheme-DEFAULT ports only (http:80 / https:443 — an
-    // explicit :443 on http survives), strip a leading `www.`, drop
-    // trailing path slashes (root stays `/`), remove tracking params
-    // (utm_*, gclid, fbclid, ref) and sort the survivors. The messy
+    // URL canonicalization: lowercase scheme/host, drop userinfo,
+    // strip the fragment, strip scheme-DEFAULT ports only (http:80 /
+    // https:443 — an explicit :443 on http survives), strip a leading
+    // `www.` and a trailing DNS root dot, drop trailing path slashes
+    // (root stays `/`), remove tracking params (utm_*, gclid, fbclid,
+    // ref, ref_src) and sort the survivors. The messy
     // input URL is derived deterministically from (doc_id, source) —
     // the testdata has no URL column — with the derivation repeated
     // verbatim in the oracle, so the canonicalizer itself is
@@ -759,11 +760,12 @@ object Corpus {
   val DomainQuota = 20
 
   /** Deterministic messy-URL derivation from (doc_id, source): mixed
-    * scheme/host case, `www.` prefixes, default and non-default ports,
-    * trailing slashes, tracking params (in shuffled order AND mixed
-    * case), percent-escapes (lowercase hex, unreserved and reserved),
-    * a punycode (`xn--`) host, and fragments — every rule
-    * [[canonicalizeUrl]] implements gets exercised. The host tail
+    * scheme/host case, userinfo (`Crawler:Secr3t@`, on id%13=0),
+    * `www.` prefixes, FQDN root-dot hosts (id%10=7), default and
+    * non-default ports, trailing slashes, tracking params (in shuffled
+    * order AND mixed case), percent-escapes (lowercase hex, unreserved
+    * and reserved), a punycode (`xn--`) host, and fragments — every
+    * rule [[canonicalizeUrl]] implements gets exercised. The host tail
     * spans FOUR registrable domains across TWO multi-label public
     * suffixes (`co.uk`, `com.au`) plus extra sub-labels, so host-keyed
     * and eTLD+1-keyed grouping provably differ (`{src}.news.sample
@@ -777,6 +779,7 @@ object Corpus {
         when(id % 3 === 0, lit("HTTP")).when(id % 3 === 1, lit("https"))
           .otherwise(lit("http")),
         lit("://"),
+        when(id % 13 === 0, lit("Crawler:Secr3t@")).otherwise(lit("")),
         when(id % 5 === 0, concat(lit("WWW."), upper(col("source"))))
           .otherwise(col("source")),
         when(id % 11 <= 3, lit(".Example.COM"))
@@ -784,6 +787,7 @@ object Corpus {
           .when(id % 11 <= 8, lit(".Archive.ORG"))
           .when(id % 11 === 9, lit(".media.Example.COM.AU"))
           .otherwise(lit(".XN--BCHER-KVA.DE")),
+        when(id % 10 === 7, lit(".")).otherwise(lit("")),
         when(id % 7 === 0, lit(":80")).when(id % 7 === 1, lit(":443"))
           .when(id % 7 === 2, lit(":8080")).otherwise(lit("")),
         when(id % 9 <= 2, concat(lit("/docs/"), id.cast(StringType)))
@@ -829,15 +833,26 @@ object Corpus {
   }
 
   /** URL canonicalization as one codegen'd column expression — regexp
-    * parses, scheme-aware default-port strip, `www.` strip,
-    * percent-encoding normalization ([[normalizePercent]]: uppercase
-    * hex, decode unreserved) on the path and every query param,
-    * trailing slash collapse, case-insensitive tracking-param removal
-    * + param sort. IDN hosts need no special rule: punycode (`xn--`)
-    * labels are ASCII and the host `lower()` is exactly the case-fold
-    * RFC 5890 prescribes for them. Composed from built-in functions
-    * only (no UDF), so it inlines into whole-stage codegen and the
-    * oracle can reproduce it function by function.
+    * parses, userinfo drop, scheme-aware default-port strip, `www.`
+    * strip, FQDN root-dot strip, percent-encoding normalization
+    * ([[normalizePercent]]: uppercase hex, decode unreserved) on the
+    * path and every query param, trailing slash collapse,
+    * case-insensitive tracking-param removal + param sort. IDN hosts
+    * need no special rule: punycode (`xn--`) labels are ASCII and the
+    * host `lower()` is exactly the case-fold RFC 5890 prescribes for
+    * them. Composed from built-in functions only (no UDF), so it
+    * inlines into whole-stage codegen and the oracle can reproduce it
+    * function by function.
+    *
+    * Userinfo (`user:pass@host`) is DROPPED, not preserved: RFC 9110
+    * deprecates it for http(s), crawlers treat `u@h/p` and `h/p` as
+    * one resource, and keeping credentials in a training corpus is a
+    * leak. The strip is greedy-to-the-LAST-`@` (an unescaped `@`
+    * inside userinfo is malformed but real; everything left of the
+    * final `@` is by construction not the host). A lone trailing dot
+    * on the host (`example.com.` — the DNS root label) folds to the
+    * dotless form: both names resolve identically and a quota keyed
+    * on the dotted spelling would double-count the host.
     *
     * Tracking-param scope is a deliberate fixed list — `utm_*`,
     * `gclid`, `fbclid`, `ref`, `ref_src` (C4/RefinedWeb-style), each
@@ -849,11 +864,14 @@ object Corpus {
   def canonicalizeUrl(u: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport =
-      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    // authority = [userinfo@]host[:port]; the userinfo strip must
+    // precede the port parse (userinfo may itself contain `:digits`)
+    val hostport = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^.*@", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
-    val host = regexp_replace(
-      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val host = regexp_replace(regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "\\.$", ""), "^www\\.", "")
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -969,6 +987,7 @@ object Corpus {
       |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
       |          WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END),
       |    '://',
+      |    (CASE WHEN doc_id % 13 = 0 THEN 'Crawler:Secr3t@' ELSE '' END),
       |    (CASE WHEN doc_id % 5 = 0 THEN concat('WWW.', upper(source))
       |          ELSE source END),
       |    (CASE WHEN doc_id % 11 <= 3 THEN '.Example.COM'
@@ -976,6 +995,7 @@ object Corpus {
       |          WHEN doc_id % 11 <= 8 THEN '.Archive.ORG'
       |          WHEN doc_id % 11 = 9 THEN '.media.Example.COM.AU'
       |          ELSE '.XN--BCHER-KVA.DE' END),
+      |    (CASE WHEN doc_id % 10 = 7 THEN '.' ELSE '' END),
       |    (CASE WHEN doc_id % 7 = 0 THEN ':80'
       |          WHEN doc_id % 7 = 1 THEN ':443'
       |          WHEN doc_id % 7 = 2 THEN ':8080' ELSE '' END),
@@ -999,16 +1019,17 @@ object Corpus {
       |p AS (SELECT doc_id, raw_url,
       |    lower(regexp_extract(raw_url,
       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-      |    lower(regexp_extract(raw_url,
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |    regexp_replace(lower(regexp_extract(raw_url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^.*@', '')
+      |      AS hostport,
       |    regexp_extract(raw_url,
       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
       |    regexp_extract(raw_url, '\\?([^#]*)', 1) AS qry
       |  FROM r),
       |q AS (SELECT doc_id, raw_url, scheme,
       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-      |    regexp_replace(regexp_replace(hostport, ':[0-9]+$$', ''),
-      |      '^www\\.', '') AS host,
+      |    regexp_replace(regexp_replace(regexp_replace(hostport,
+      |      ':[0-9]+$$', ''), '\\.$$', ''), '^www\\.', '') AS host,
       |    CASE WHEN regexp_replace(pathn, '/+$$', '') = '' THEN '/'
       |         ELSE regexp_replace(pathn, '/+$$', '') END AS path,
       |    list_sort(list_filter(paramsn,
