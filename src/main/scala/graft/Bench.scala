@@ -119,6 +119,19 @@ object Bench {
     * raw median — cross-round comparisons must treat such rows as
     * fast-mode medians and consult the preserved per-run evidence in
     * `sec_shufw_runs` before calling a regression (SURVEY §9k). */
+  /** Median-of-2 top-up (r12 lesson): two consecutive rounds produced
+    * >1.2× cross-round 10× "regressions" (adamic_adar r11 18.6 s vs a
+    * 13.7 s truth, kcore_ann r12 13.85 vs 9.3) that median-of-3
+    * re-runs dissolved — with only 2 runs the reported value is the
+    * SLOWER run, and the excursion policy can't fire when the pair is
+    * within 2.5× of itself. For any multi-second row measured with
+    * fewer than 3 runs, one extra run buys a real median; sub-second
+    * rows aren't worth the wall clock (their absolute error is
+    * bounded by the threshold). Returns how many runs to add. */
+  def topUpRuns(stats: Vector[RunStat], thresholdSec: Double = 5.0): Int =
+    if (stats.size == 2 && !stats.exists(_.sec < 0) &&
+      stats.map(_.sec).max > thresholdSec) 1 else 0
+
   def dropExcursions(raw: Vector[RunStat], rerun: () => RunStat,
       factor: Double = 2.5, minGapSec: Double = 1.0,
       maxRetries: Int = 3): (Vector[RunStat], Int) = {
@@ -281,7 +294,11 @@ object Bench {
         (Vector(RunStat(-1.0, 0, 0, 0)), 0)
       else {
         val raw = (1 to timedRuns).map(_ => timedOnce(name)).toVector
-        dropExcursions(raw, () => timedOnce(name))
+        val topped = raw ++ (1 to topUpRuns(raw)).map(_ => timedOnce(name))
+        if (topped.size > raw.size)
+          System.err.println(s"[bench] $name: multi-second row at " +
+            s"$timedRuns runs — topped up to a real median (r12 lesson)")
+        dropExcursions(topped, () => timedOnce(name))
       }
       val times = stats.map(_.sec).sorted
       // per-query per-run means, comparable across timedRuns settings

@@ -886,11 +886,15 @@ object Corpus {
       p => !lower(p).startsWith("utm_") && !lower(p).startsWith("gclid=") &&
         !lower(p).startsWith("fbclid=") && !lower(p).startsWith("ref=") &&
         !lower(p).startsWith("ref_src=")))
-    concat(scheme, lit("://"), host,
-      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
-      path,
-      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
-        .otherwise(lit("")))
+    // non-absolute input (relative refs, garbage lines a crawl always
+    // contains) canonicalizes to NULL — a filterable sentinel — rather
+    // than a mangled "://…" string that would form phantom quota groups
+    when(scheme === "", lit(null).cast(StringType)).otherwise(
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+          .otherwise(lit(""))))
   }
 
   /** Public-suffix snapshot (publicsuffix.org ICANN section, snapshot
@@ -1047,13 +1051,15 @@ object Corpus {
     "pipeline_url_canonical" ->
       s"""WITH $urlCanonCte
          |SELECT doc_id, raw_url,
+         |  (CASE WHEN scheme = '' THEN NULL ELSE
          |  scheme || '://' || host ||
          |  (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
          |          OR (scheme = 'https' AND port = '443'))
          |        THEN ':' || port ELSE '' END) ||
          |  path ||
          |  (CASE WHEN len(params) > 0
-         |        THEN '?' || array_to_string(params, '&') ELSE '' END) AS url
+         |        THEN '?' || array_to_string(params, '&') ELSE '' END)
+         |  END) AS url
          |FROM q ORDER BY doc_id""".stripMargin,
     "pipeline_domain_quota" ->
       s"""WITH $urlCanonCte

@@ -53,4 +53,14 @@ class BenchSpec extends AnyFunSuite {
     assert(n == 2)
     assert(out.map(_.sec).forall(_ < 6.0))
   }
+
+  test("median-of-2 top-up (r12 lesson): a multi-second 2-run row gets " +
+      "one extra run; sub-second, 3-run, and failed rows do not") {
+    // the r11 adamic_adar false alarm: [18.6, 18.7]-style pairs report
+    // the slower run as "median" and the excursion policy can't fire
+    assert(Bench.topUpRuns(Vector(rs(13.2), rs(18.6))) == 1)
+    assert(Bench.topUpRuns(Vector(rs(0.4), rs(0.5))) == 0) // sub-second
+    assert(Bench.topUpRuns(Vector(rs(6.0), rs(6.1), rs(6.2))) == 0) // 3 runs
+    assert(Bench.topUpRuns(Vector(rs(-1.0), rs(9.0))) == 0) // failed query
+  }
 }

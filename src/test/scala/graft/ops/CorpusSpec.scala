@@ -198,7 +198,17 @@ class CorpusSpec extends AnyFunSuite {
       ("http://a@b@c.com/x", "http://c.com/x"),
       // FQDN root dot folds; combined with www/port strips
       ("http://example.com./", "http://example.com/"),
-      ("https://WWW.Example.COM.:443/p/", "https://example.com/p"))
+      ("https://WWW.Example.COM.:443/p/", "https://example.com/p"),
+      // IPv6 literals pass through neutrally: the bracket form is
+      // preserved, the port parse stops at the closing bracket, and
+      // none of www/root-dot/userinfo strips misfire on the colons
+      ("http://[2001:DB8::1]/x", "http://[2001:db8::1]/x"),
+      ("http://u@[::1]:8080/x", "http://[::1]:8080/x"),
+      // non-absolute input → NULL (a filterable sentinel), never a
+      // mangled "://…" string that would form a phantom quota group
+      ("example.com/x", null),
+      ("/relative/path?a=1", null),
+      ("mailto:user@example.com", null))
     import spark.implicits._
     val got = cases.map(_._1).toDF("raw")
       .select(Corpus.canonicalizeUrl(col("raw"))).as[String].collect()
