@@ -167,6 +167,31 @@ class CorpusSpec extends AnyFunSuite {
     val out = Corpus.queries("pipeline_url_canonical")(spark, sf)
       .withColumn("url2", Corpus.canonicalizeUrl(col("url")))
     assert(out.filter(col("url2") =!= col("url")).count() == 0)
+    // negative invariants over the whole derived corpus: things a
+    // canonical URL must NEVER carry, asserted corpus-wide so a new
+    // derivation arm can't silently slip one past the hand-picked
+    // edges. (Default-port and root-dot checks are anchored to the
+    // authority, not the path, where ':443'/dots are legitimate.)
+    val banned = Seq(
+      "#" -> "fragment",                       // fragments dropped
+      "@" -> "userinfo",                       // credentials dropped
+      "utm_" -> "tracking param",              // filter is pre-sort
+      "gclid=" -> "tracking param",
+      "?&" -> "empty leading param",
+      "&&" -> "empty param")
+    banned.foreach { case (tok, why) =>
+      assert(out.filter(col("url").contains(tok)).count() == 0,
+        s"canonical URL carries a $why ('$tok')")
+    }
+    val auth = regexp_extract(col("url"), "^[a-z]+://([^/?]*)", 1)
+    assert(out.filter(col("url").startsWith("http://") &&
+      auth.endsWith(":80")).count() == 0, "http default port survived")
+    assert(out.filter(col("url").startsWith("https://") &&
+      auth.endsWith(":443")).count() == 0, "https default port survived")
+    assert(out.filter(auth.rlike("\\.(:|$)")).count() == 0,
+      "FQDN root dot survived in the authority")
+    assert(out.filter(auth.startsWith("www.")).count() == 0,
+      "www. prefix survived")
     // scheme-specific default ports + root path + query-only tracking
     val cases = Seq(
       // default port stripped, www stripped, fragment dropped
