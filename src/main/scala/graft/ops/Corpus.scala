@@ -766,7 +766,10 @@ object Corpus {
     * order AND mixed case), percent-escapes (lowercase hex, unreserved
     * and reserved), a punycode (`xn--`) host, and fragments — every
     * rule [[canonicalizeUrl]] implements gets exercised. The host tail
-    * spans FOUR registrable domains across TWO multi-label public
+    * spans FIVE registrable domains (one of them also in an
+    * escape-obfuscated spelling, `Archi%56e.ORG`, that must merge
+    * with plain `archive.org` under host percent-normalization)
+    * across TWO multi-label public
     * suffixes (`co.uk`, `com.au`) plus extra sub-labels, so host-keyed
     * and eTLD+1-keyed grouping provably differ (`{src}.news.sample
     * .co.uk` hosts differ per source but share one registrant).
@@ -784,7 +787,10 @@ object Corpus {
           .otherwise(col("source")),
         when(id % 11 <= 3, lit(".Example.COM"))
           .when(id % 11 <= 6, lit(".news.Sample.CO.UK"))
-          .when(id % 11 <= 8, lit(".Archive.ORG"))
+          // %56 = 'V': the escaped spelling MUST merge with the plain
+          // archive.org group once the host decode-unreserved runs
+          .when(id % 11 === 7, lit(".Archive.ORG"))
+          .when(id % 11 === 8, lit(".Archi%56e.ORG"))
           .when(id % 11 === 9, lit(".media.Example.COM.AU"))
           .otherwise(lit(".XN--BCHER-KVA.DE")),
         when(id % 10 === 7, lit(".")).otherwise(lit("")),
@@ -814,18 +820,22 @@ object Corpus {
     * untouched. Split-on-% + `transform` + `conv`/`char` keeps the
     * whole thing inside whole-stage codegen — no UDF, no per-row
     * regex backtracking beyond two tiny anchored patterns. */
-  private def normalizePercent(s: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
+  private def normalizePercent(s: org.apache.spark.sql.Column,
+      lowerDecoded: Boolean = false): org.apache.spark.sql.Column = {
     val parts = split(s, "%", -1)
     val head = element_at(parts, 1)
     val rest = slice(parts, lit(2), size(parts))
     val fixed = transform(rest, p => {
       val hex = upper(substring(p, 1, 2))
       val tl = substring(p, 3, Int.MaxValue)
-      val ch = org.apache.spark.sql.functions.char(
+      val ch0 = org.apache.spark.sql.functions.char(
         conv(hex, 16, 10).cast(IntegerType))
+      // host component: decoded letters join an already-lowercased
+      // host, so they fold too (RFC 3986 §6.2.2.1 lowercases the host
+      // but keeps escape HEX uppercase — the flag keeps both rules)
+      val ch = if (lowerDecoded) lower(ch0) else ch0
       when(hex.rlike("^[0-9A-F]{2}$"),
-        concat(when(ch.rlike("^[A-Za-z0-9._~-]$"), ch)
+        concat(when(ch0.rlike("^[A-Za-z0-9._~-]$"), ch)
           .otherwise(concat(lit("%"), hex)), tl))
         .otherwise(concat(lit("%"), p))
     })
@@ -865,13 +875,21 @@ object Corpus {
       : org.apache.spark.sql.Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     // authority = [userinfo@]host[:port]; the userinfo strip must
-    // precede the port parse (userinfo may itself contain `:digits`)
+    // precede the port parse (userinfo may itself contain `:digits`).
+    // An ESCAPED `@` (%40) is reserved, stays encoded, and so can
+    // never trip the greedy strip.
     val hostport = regexp_replace(
       lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
       "^.*@", "")
     val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    // host percent-normalization (decode-unreserved with lowercase
+    // fold, uppercase surviving hex) runs BEFORE the www/root-dot
+    // strips so an escape-obfuscated `%77ww.` or `%2E` can't dodge
+    // them — same normalize-then-filter principle as the params
     val host = regexp_replace(regexp_replace(
-      regexp_replace(hostport, ":[0-9]+$", ""), "\\.$", ""), "^www\\.", "")
+      normalizePercent(regexp_replace(hostport, ":[0-9]+$", ""),
+        lowerDecoded = true),
+      "\\.$", ""), "^www\\.", "")
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -972,15 +990,17 @@ object Corpus {
     * character is unreserved, else keep the uppercased escape;
     * malformed escapes pass through. The `coalesce` covers DuckDB's
     * NULL tail-slice of a single-element list (no `%` in the input). */
-  private def pnormSql(e: String, v: String): String = {
+  private def pnormSql(e: String, v: String,
+      lowerDecoded: Boolean = false): String = {
     val hex = s"upper(substr($v,1,2))"
     val code = s"CAST((strpos('0123456789ABCDEF', substr($hex,1,1))-1)*16" +
       s" + strpos('0123456789ABCDEF', substr($hex,2,1)) - 1 AS INT)"
+    val dec = if (lowerDecoded) s"lower(chr($code))" else s"chr($code)"
     s"(string_split($e,'%')[1] || coalesce(array_to_string(" +
       s"list_transform(string_split($e,'%')[2:], $v -> " +
       s"CASE WHEN regexp_matches($hex, '^[0-9A-F]{2}$$') " +
       s"THEN (CASE WHEN regexp_matches(chr($code), '^[A-Za-z0-9._~-]$$') " +
-      s"THEN chr($code) ELSE '%' || $hex END) || substr($v,3) " +
+      s"THEN $dec ELSE '%' || $hex END) || substr($v,3) " +
       s"ELSE '%' || $v END), ''), ''))"
   }
 
@@ -996,7 +1016,8 @@ object Corpus {
       |          ELSE source END),
       |    (CASE WHEN doc_id % 11 <= 3 THEN '.Example.COM'
       |          WHEN doc_id % 11 <= 6 THEN '.news.Sample.CO.UK'
-      |          WHEN doc_id % 11 <= 8 THEN '.Archive.ORG'
+      |          WHEN doc_id % 11 = 7 THEN '.Archive.ORG'
+      |          WHEN doc_id % 11 = 8 THEN '.Archi%56e.ORG'
       |          WHEN doc_id % 11 = 9 THEN '.media.Example.COM.AU'
       |          ELSE '.XN--BCHER-KVA.DE' END),
       |    (CASE WHEN doc_id % 10 = 7 THEN '.' ELSE '' END),
@@ -1032,8 +1053,10 @@ object Corpus {
       |  FROM r),
       |q AS (SELECT doc_id, raw_url, scheme,
       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-      |    regexp_replace(regexp_replace(regexp_replace(hostport,
-      |      ':[0-9]+$$', ''), '\\.$$', ''), '^www\\.', '') AS host,
+      |    regexp_replace(regexp_replace(
+      |      ${pnormSql("regexp_replace(hostport, ':[0-9]+$', '')", "hv",
+                        lowerDecoded = true)},
+      |      '\\.$$', ''), '^www\\.', '') AS host,
       |    CASE WHEN regexp_replace(pathn, '/+$$', '') = '' THEN '/'
       |         ELSE regexp_replace(pathn, '/+$$', '') END AS path,
       |    list_sort(list_filter(paramsn,

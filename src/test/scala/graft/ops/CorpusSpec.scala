@@ -233,7 +233,14 @@ class CorpusSpec extends AnyFunSuite {
       // mangled "://…" string that would form a phantom quota group
       ("example.com/x", null),
       ("/relative/path?a=1", null),
-      ("mailto:user@example.com", null))
+      ("mailto:user@example.com", null),
+      // host percent-normalization: decoded letters fold to lowercase
+      // (RFC 3986 §6.2.2.1), escape-obfuscated www./root-dot can't
+      // dodge their strips, reserved host escapes keep uppercase hex
+      ("http://EX%41MPLE.com/x", "http://example.com/x"),
+      ("http://%77WW.a.com/", "http://a.com/"),
+      ("http://a.com%2e/", "http://a.com/"),
+      ("http://a%2fb.com/x", "http://a%2Fb.com/x"))
     import spark.implicits._
     val got = cases.map(_._1).toDF("raw")
       .select(Corpus.canonicalizeUrl(col("raw"))).as[String].collect()
