@@ -717,10 +717,17 @@ object Corpus {
     // mega-host additionally pre-thins with the hash prefix filter
     // before ranking — same pattern as the quantile gate).
     "pipeline_domain_quota" -> { (s, dir) =>
+      // NULL url = the canonicalizer's non-absolute sentinel: filter it
+      // here (its stated purpose) so garbage lines can never pool into
+      // a phantom quota group. Host extraction is bracket-aware so an
+      // IPv6 literal keys as `[2001:db8::1]`, not the `[2001` fragment
+      // a first-colon stop would produce.
       val urls = rawUrls(t(s, dir, "documents"))
         .withColumn("url", canonicalizeUrl(col("raw_url")))
+        .filter(col("url").isNotNull)
         .withColumn("domain",
-          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1))
+          regexp_extract(col("url"),
+            "^[a-z][a-z0-9+.-]*://(\\[[^\\]]*\\]|[^:/?#]*)", 1))
       val w = Window.partitionBy(col("domain"))
         .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
       urls.withColumn("rk", row_number().over(w))
@@ -742,10 +749,14 @@ object Corpus {
     // DuckDB CTE join, so host-keying vs eTLD+1-keying produce
     // provably different (and both checked) answers on the corpus.
     "pipeline_domain_quota_etld" -> { (s, dir) =>
+      // same NULL-sentinel filter + bracket-aware host parse as the
+      // host-keyed variant (see pipeline_domain_quota above)
       val urls = rawUrls(t(s, dir, "documents"))
         .withColumn("url", canonicalizeUrl(col("raw_url")))
+        .filter(col("url").isNotNull)
         .withColumn("host",
-          regexp_extract(col("url"), "^[a-z][a-z0-9+.-]*://([^:/?#]*)", 1))
+          regexp_extract(col("url"),
+            "^[a-z][a-z0-9+.-]*://(\\[[^\\]]*\\]|[^:/?#]*)", 1))
         .withColumn("domain", registrableDomain(col("host")))
       val w = Window.partitionBy(col("domain"))
         .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
@@ -1090,7 +1101,7 @@ object Corpus {
          |  SELECT host AS domain, doc_id,
          |    row_number() OVER (PARTITION BY host
          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-         |  FROM q)
+         |  FROM q WHERE scheme <> '')
          |WHERE rk <= 20 ORDER BY domain, rk""".stripMargin,
     // the suffix snapshot resolved as a CTE join (candidate k-label
     // tails × suffix table, longest match per host), deliberately a
@@ -1101,7 +1112,7 @@ object Corpus {
          |sfx AS (SELECT unnest([${PublicSuffixes
                .map(s => s"'$s'").mkString(",")}]) AS suffix),
          |hh AS (SELECT doc_id, host, string_split(host, '.') AS ls
-         |  FROM q),
+         |  FROM q WHERE scheme <> ''),
          |cand AS (SELECT hh.doc_id, k.k FROM hh
          |  CROSS JOIN (VALUES (1),(2),(3)) k(k)
          |  JOIN sfx ON len(hh.ls) > k.k

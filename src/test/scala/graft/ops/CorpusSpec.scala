@@ -251,6 +251,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(twice.toSeq == cases.map(_._2))
   }
 
+  test("quota keying: IPv6 canonical URLs key on the full bracket " +
+      "literal and NULL-sentinel urls are filtered, not grouped") {
+    import spark.implicits._
+    // the quota pipelines' host parse, verbatim (bracket-aware: the
+    // first-colon stop would key an IPv6 literal under '[2001')
+    val hostOf = regexp_extract(col("url"),
+      "^[a-z][a-z0-9+.-]*://(\\[[^\\]]*\\]|[^:/?#]*)", 1)
+    val cases = Seq(
+      ("http://[2001:DB8::1]/x", "[2001:db8::1]"),
+      ("http://u@[::1]:8080/x", "[::1]"),
+      ("http://A.com:8080/x", "a.com"),
+      ("https://WWW.B.co.uk:443/", "b.co.uk"))
+    val got = cases.map(_._1).toDF("raw")
+      .withColumn("url", Corpus.canonicalizeUrl(col("raw")))
+      .select(hostOf).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+    // an IPv6 host self-maps under eTLD+1 (no dot-label suffix match)
+    val rd = Seq("[2001:db8::1]", "[::1]").toDF("h")
+      .select(Corpus.registrableDomain(col("h"))).as[String].collect()
+    assert(rd.toSeq == Seq("[2001:db8::1]", "[::1]"))
+    // non-absolute garbage canonicalizes to the NULL sentinel and the
+    // quota pipelines' isNotNull filter drops it — no phantom group
+    val mixed = Seq("http://a.com/x", "not a url", "/rel/p").toDF("raw")
+      .withColumn("url", Corpus.canonicalizeUrl(col("raw")))
+      .filter(col("url").isNotNull)
+    assert(mixed.count() == 1)
+  }
+
   test("registrableDomain: longest-suffix-plus-one-label over the " +
       "bundled snapshot; non-matching and bare-suffix hosts self-map") {
     val cases = Seq(

@@ -25,10 +25,13 @@ def main(src, out):
               FROM (SELECT row_number() OVER (ORDER BY doc_id) - 1 AS i,
                            * FROM '{src}/documents.parquet'))
         TO '{out}/documents.parquet' (FORMAT PARQUET)""")
+    # bool_and, not count(DISTINCT …)==1: the latter is also 1 when every
+    # row is uniformly OUTSIDE the bucket, so it never catches a broken
+    # remap (r12 ADVICE)
     n, d = con.sql(f"""
-        SELECT count(*), count(DISTINCT doc_id % 11 <= 3)
+        SELECT count(*), bool_and(doc_id % 11 <= 3)
         FROM '{out}/documents.parquet'""").fetchone()
-    assert d == 1, "skew derivation must put every row in the %11<=3 bucket"
+    assert d is True, "skew derivation must put every row in the %11<=3 bucket"
     print(f"{out}/documents.parquet: {n} rows, all doc_id%11<=3")
 
 
