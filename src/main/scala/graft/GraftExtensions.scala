@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharShingleHashes, CharShingles, DotProduct, GramAgg, JaroWinkler, JaroWinklerGte, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
+import graft.functions.{CharShingleHashes, CharShingles, DotProduct, GramAgg, IdnHostAscii, JaroWinkler, JaroWinklerGte, LshBuckets, MinHashSig, RollingHash, SimHashAgg, TopKTokens, WordShingles}
 
 /** The custom-expression SQL surface, shared by both registration
   * paths: cluster-wide via `--conf spark.sql.extensions=graft.
@@ -83,6 +83,11 @@ object GraftFunctions {
     ("graft_jaro_winkler", classOf[JaroWinkler], exprs => {
       two("graft_jaro_winkler", exprs)
       JaroWinkler(exprs(0), exprs(1))
+    }),
+    ("graft_idn_host_ascii", classOf[IdnHostAscii], exprs => {
+      require(exprs.length == 1,
+        s"graft_idn_host_ascii expects 1 argument, got ${exprs.length}")
+      IdnHostAscii(exprs(0))
     }),
     // thresholded variant: exact score when >= tau is reachable, 0.0
     // when the lossless length-ratio bound proves it is not — only

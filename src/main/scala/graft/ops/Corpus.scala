@@ -777,13 +777,17 @@ object Corpus {
     * order AND mixed case), percent-escapes (lowercase hex, unreserved
     * and reserved), a punycode (`xn--`) host, and fragments — every
     * rule [[canonicalizeUrl]] implements gets exercised. The host tail
-    * spans FIVE registrable domains (one of them also in an
-    * escape-obfuscated spelling, `Archi%56e.ORG`, that must merge
-    * with plain `archive.org` under host percent-normalization)
-    * across TWO multi-label public
-    * suffixes (`co.uk`, `com.au`) plus extra sub-labels, so host-keyed
-    * and eTLD+1-keyed grouping provably differ (`{src}.news.sample
-    * .co.uk` hosts differ per source but share one registrant).
+    * spans the registrable-domain spectrum: an escape-obfuscated
+    * spelling (`Archi%56e.ORG`) that must merge with plain
+    * `archive.org` under host percent-normalization; a raw-Unicode
+    * IDN spelling (`BÜCHER.DE`) that must merge with its punycode
+    * twin (`XN--BCHER-KVA.DE`) under the IDNA fold; TWO multi-label
+    * public suffixes (`co.uk`, `com.au`) plus extra sub-labels so
+    * host-keyed and eTLD+1-keyed grouping provably differ
+    * (`{src}.news.sample.co.uk` hosts differ per source but share one
+    * registrant); a private-section suffix (`blogspot.com` — each
+    * subdomain its own registrant); and the PSL wildcard/exception
+    * pair (`south.CK` under `*.ck`, `www.CK` under `!www.ck`).
     * Repeated verbatim in the oracle SQL so both engines canonicalize
     * the same input. */
   private def rawUrls(docs: DataFrame): DataFrame = {
@@ -796,13 +800,27 @@ object Corpus {
         when(id % 13 === 0, lit("Crawler:Secr3t@")).otherwise(lit("")),
         when(id % 5 === 0, concat(lit("WWW."), upper(col("source"))))
           .otherwise(col("source")),
-        when(id % 11 <= 3, lit(".Example.COM"))
-          .when(id % 11 <= 6, lit(".news.Sample.CO.UK"))
+        when(id % 11 <= 2, lit(".Example.COM"))
+          // private-section PSL suffix: every {source}.blogspot.com is
+          // its own registrant under eTLD+1
+          .when(id % 11 === 3, lit(".Blogspot.COM"))
+          .when(id % 11 <= 5, lit(".news.Sample.CO.UK"))
+          // wildcard rule *.ck (even ids: suffix = south.ck, so each
+          // {source}.south.ck is a separate registrant) vs exception
+          // rule !www.ck (odd ids: suffix = ck, so EVERY
+          // {source}.www.ck host folds into the single www.ck
+          // registrant — provably different from host keying)
+          .when(id % 11 === 6 && id % 2 === 0, lit(".south.CK"))
+          .when(id % 11 === 6, lit(".www.CK"))
           // %56 = 'V': the escaped spelling MUST merge with the plain
           // archive.org group once the host decode-unreserved runs
           .when(id % 11 === 7, lit(".Archive.ORG"))
           .when(id % 11 === 8, lit(".Archi%56e.ORG"))
           .when(id % 11 === 9, lit(".media.Example.COM.AU"))
+          // raw-Unicode IDN spelling (even ids) MUST merge with its
+          // punycode twin (odd ids) under the IDNA host fold — the two
+          // spellings of ONE registrable domain share one quota group
+          .when(id % 11 === 10 && id % 2 === 0, lit(".BÜCHER.DE"))
           .otherwise(lit(".XN--BCHER-KVA.DE")),
         when(id % 10 === 7, lit(".")).otherwise(lit("")),
         when(id % 7 === 0, lit(":80")).when(id % 7 === 1, lit(":443"))
@@ -896,11 +914,19 @@ object Corpus {
     // host percent-normalization (decode-unreserved with lowercase
     // fold, uppercase surviving hex) runs BEFORE the www/root-dot
     // strips so an escape-obfuscated `%77ww.` or `%2E` can't dodge
-    // them — same normalize-then-filter principle as the params
-    val host = regexp_replace(regexp_replace(
-      normalizePercent(regexp_replace(hostport, ":[0-9]+$", ""),
-        lowerDecoded = true),
-      "\\.$", ""), "^www\\.", "")
+    // them — same normalize-then-filter principle as the params.
+    // The IDNA fold runs LAST, over the fully-normalized host, so a
+    // raw-Unicode spelling (`bücher.de`) and its punycode twin
+    // (`xn--bcher-kva.de`) emit one canonical host — all-ASCII hosts
+    // skip it on a zero-copy fast path ([[graft.functions
+    // .IdnHostAscii]])
+    val host = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IdnHostAscii(
+        org.apache.spark.sql.GraftBridge.expression(
+          regexp_replace(regexp_replace(
+            normalizePercent(regexp_replace(hostport, ":[0-9]+$", ""),
+              lowerDecoded = true),
+            "\\.$", ""), "^www\\.", ""))))
     val keepPort = port =!= "" &&
       !((scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"))
@@ -926,16 +952,46 @@ object Corpus {
           .otherwise(lit(""))))
   }
 
+  /** Unicode-label → punycode A-label pairs: the raw-Unicode host
+    * labels the derived corpus (and the CorpusSpec edges) exercise,
+    * with their RFC 3492 encodings. Single source of truth for BOTH
+    * sides of the IDN check — the DuckDB oracle resolves the fold
+    * through this literal mapping (generated into the CTE by
+    * [[idnSql]]) while the Spark side runs the real IDNA algorithm
+    * ([[graft.functions.IdnHostAscii]] → `java.net.IDN`), so
+    * agreement between the two is the test, and CorpusSpec
+    * additionally pins every pair against the JDK reference so the
+    * mapping itself can't drift. */
+  val IdnSamples: Seq[(String, String)] = Seq(
+    "bücher" -> "xn--bcher-kva",
+    "café" -> "xn--caf-dma",
+    "münchen" -> "xn--mnchen-3ya")
+
+  /** DuckDB twin of the IDNA host fold over host expression `e`:
+    * label-wise replacement from the [[IdnSamples]] snapshot (ASCII
+    * labels — the ELSE branch — pass through, mirroring the Spark
+    * side's fast path). */
+  private def idnSql(e: String): String = {
+    val cases = IdnSamples
+      .map { case (u, p) => s"WHEN il = '$u' THEN '$p'" }.mkString(" ")
+    s"array_to_string(list_transform(string_split($e, '.'), " +
+      s"il -> CASE $cases ELSE il END), '.')"
+  }
+
   /** Public-suffix snapshot (publicsuffix.org ICANN section, snapshot
-    * date 2026-08-15): a compact embedded subset — the major gTLDs +
-    * ccTLDs and the common second-level registry suffixes (`co.uk`
-    * style) up to three labels deep. Deliberately NOT the full list
-    * (no wildcard `*.ck` / exception `!www.ck` rules): at production
-    * scale the full ~9k-entry list drops in as a bigger literal set
-    * with the identical plan (the membership test is a broadcast-free
-    * `InSet` hash probe, size-independent per row). One Scala value is
-    * the single source of truth — the DuckDB oracle's suffix CTE is
-    * generated from it. */
+    * date 2026-08-15, plus representative private-section entries): a
+    * compact embedded subset — the major gTLDs + ccTLDs, the common
+    * second-level registry suffixes (`co.uk` style) up to three labels
+    * deep, and private-section suffixes (`blogspot.com`, `github.io`)
+    * where every subdomain is its own registrant. Wildcard (`*.ck`)
+    * and exception (`!www.ck`) rules live in [[WildcardSuffixBases]] /
+    * [[SuffixExceptions]] — the three rule kinds together cover the
+    * full PSL grammar, so at production scale the complete ~9k-entry
+    * list drops in as bigger literal sets with the identical plan (each
+    * membership test is a broadcast-free `InSet` hash probe,
+    * size-independent per row). One Scala value per rule kind is the
+    * single source of truth — the DuckDB oracle's suffix CTEs are
+    * generated from them. */
   val PublicSuffixes: Seq[String] = Seq(
     // generic + common country TLDs
     "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
@@ -954,7 +1010,24 @@ object Corpus {
     "com.ar", "net.ar", "org.ar", "gc.ca", "on.ca", "qc.ca", "bc.ca",
     "ma.us", "ca.us", "ny.us",
     // third-level registry suffixes (US school districts)
-    "k12.ma.us", "cc.ma.us", "k12.ca.us", "k12.ny.us")
+    "k12.ma.us", "cc.ma.us", "k12.ca.us", "k12.ny.us",
+    // private-section entries (PSL PRIVATE DOMAINS): hosting platforms
+    // where each subdomain is an independent registrant
+    "blogspot.com", "github.io", "gitlab.io")
+
+  /** PSL wildcard rules (`*.<base>`): any single label directly under
+    * the base is itself a public suffix — `foo.ck` is a suffix, so
+    * `a.foo.ck` is the registrable domain. Snapshot of the PSL's
+    * one-label-base wildcards that real crawls hit (the full list adds
+    * `*.er`, `*.fk`, … — same shape, bigger literal). */
+  val WildcardSuffixBases: Seq[String] = Seq("ck", "mm", "bd", "np")
+
+  /** PSL exception rules (`!<host>`): carve-outs from a wildcard — the
+    * named host is NOT a public suffix but a registrable domain itself
+    * (`!www.ck` inside `*.ck`: `www.ck` and everything under it group
+    * as the single registrant `www.ck`). All bundled exceptions are
+    * two-label, matching the PSL's real inventory shape. */
+  val SuffixExceptions: Seq[String] = Seq("www.ck")
 
   /** Registrable domain (eTLD+1) of a canonical (lowercased,
     * port-free) host: the longest [[PublicSuffixes]] entry matching a
@@ -966,9 +1039,16 @@ object Corpus {
     * PSL calls the latter "no registrable domain"; keying them on the
     * host beats dropping them).
     *
-    * Plan shape: pure per-row column ops — `split` + three
+    * Wildcard and exception rules resolve per the PSL algorithm:
+    * exceptions beat everything (`!www.ck` ⇒ the suffix is `ck`, so
+    * any host ending `www.ck` keys as the registrant `www.ck`);
+    * a wildcard `*.<base>` makes `<label>.<base>` a suffix (effective
+    * length base+1), competing with literal matches on length —
+    * prevailing rule = most labels, exactly the published algorithm.
+    *
+    * Plan shape: pure per-row column ops — `split` + five
     * `slice`/`array_join` tail probes, each membership tested with
-    * `isin` over the literal snapshot, which Catalyst converts to an
+    * `isin` over a literal snapshot, which Catalyst converts to an
     * `InSet` O(1) hash probe (threshold 10). No UDF, no join, no
     * broadcast: at 100 TB the suffix table rides inside the codegen'd
     * expression, never on the wire. */
@@ -985,9 +1065,17 @@ object Corpus {
     }
     // longest match wins; `n > k` keeps the match a PROPER suffix
     // unless the host IS the suffix (then no k matches with slack and
-    // the shorter-k probes land on the self-mapping branch below)
-    val kM = when(n > 3 && inSet(3), 3)
-      .when(n > 2 && inSet(2), 2)
+    // the shorter-k probes land on the self-mapping branch below).
+    // Exception probe first (PSL: exceptions beat all other rules) —
+    // all bundled exceptions are 2 labels, so the effective suffix is
+    // their 1-label tail and the registrable domain is the exception
+    // host itself (`n > 1`, not `n > 2`: the host may BE `www.ck`).
+    // The wildcard probe shares the k=2 slot with the 2-label literal
+    // suffixes: `*.<1-label base>` ⇒ effective suffix length 2.
+    val kM = when(n > 1 && tailK(2).isin(SuffixExceptions: _*), 1)
+      .when(n > 3 && inSet(3), 3)
+      .when(n > 2 && (inSet(2) ||
+        tailK(1).isin(WildcardSuffixBases: _*)), 2)
       .when(n > 1 && inSet(1), 1)
       .otherwise(0)
     when(kM > 0, array_join(slice(labels, n - kM, kM + lit(1)), "."))
@@ -1025,11 +1113,16 @@ object Corpus {
       |    (CASE WHEN doc_id % 13 = 0 THEN 'Crawler:Secr3t@' ELSE '' END),
       |    (CASE WHEN doc_id % 5 = 0 THEN concat('WWW.', upper(source))
       |          ELSE source END),
-      |    (CASE WHEN doc_id % 11 <= 3 THEN '.Example.COM'
-      |          WHEN doc_id % 11 <= 6 THEN '.news.Sample.CO.UK'
+      |    (CASE WHEN doc_id % 11 <= 2 THEN '.Example.COM'
+      |          WHEN doc_id % 11 = 3 THEN '.Blogspot.COM'
+      |          WHEN doc_id % 11 <= 5 THEN '.news.Sample.CO.UK'
+      |          WHEN doc_id % 11 = 6 AND doc_id % 2 = 0 THEN '.south.CK'
+      |          WHEN doc_id % 11 = 6 THEN '.www.CK'
       |          WHEN doc_id % 11 = 7 THEN '.Archive.ORG'
       |          WHEN doc_id % 11 = 8 THEN '.Archi%56e.ORG'
       |          WHEN doc_id % 11 = 9 THEN '.media.Example.COM.AU'
+      |          WHEN doc_id % 11 = 10 AND doc_id % 2 = 0
+      |            THEN '.BÜCHER.DE'
       |          ELSE '.XN--BCHER-KVA.DE' END),
       |    (CASE WHEN doc_id % 10 = 7 THEN '.' ELSE '' END),
       |    (CASE WHEN doc_id % 7 = 0 THEN ':80'
@@ -1064,10 +1157,11 @@ object Corpus {
       |  FROM r),
       |q AS (SELECT doc_id, raw_url, scheme,
       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
-      |    regexp_replace(regexp_replace(
+      |    ${idnSql(
+             s"""regexp_replace(regexp_replace(
       |      ${pnormSql("regexp_replace(hostport, ':[0-9]+$', '')", "hv",
                         lowerDecoded = true)},
-      |      '\\.$$', ''), '^www\\.', '') AS host,
+      |      '\\.$$', ''), '^www\\.', '')""")} AS host,
       |    CASE WHEN regexp_replace(pathn, '/+$$', '') = '' THEN '/'
       |         ELSE regexp_replace(pathn, '/+$$', '') END AS path,
       |    list_sort(list_filter(paramsn,
@@ -1111,20 +1205,36 @@ object Corpus {
       s"""WITH $urlCanonCte,
          |sfx AS (SELECT unnest([${PublicSuffixes
                .map(s => s"'$s'").mkString(",")}]) AS suffix),
+         |wild AS (SELECT unnest([${WildcardSuffixBases
+               .map(s => s"'$s'").mkString(",")}]) AS base),
+         |exc AS (SELECT unnest([${SuffixExceptions
+               .map(s => s"'$s'").mkString(",")}]) AS rule),
          |hh AS (SELECT doc_id, host, string_split(host, '.') AS ls
          |  FROM q WHERE scheme <> ''),
          |cand AS (SELECT hh.doc_id, k.k FROM hh
          |  CROSS JOIN (VALUES (1),(2),(3)) k(k)
          |  JOIN sfx ON len(hh.ls) > k.k
          |    AND array_to_string(
-         |      hh.ls[len(hh.ls)-k.k+1:len(hh.ls)], '.') = sfx.suffix),
+         |      hh.ls[len(hh.ls)-k.k+1:len(hh.ls)], '.') = sfx.suffix
+         |  UNION ALL
+         |  SELECT hh.doc_id, 2 AS k FROM hh
+         |  JOIN wild ON len(hh.ls) > 2
+         |    AND hh.ls[len(hh.ls)] = wild.base),
+         |excm AS (SELECT hh.doc_id, 1 AS k FROM hh
+         |  JOIN exc ON len(hh.ls) >= 2
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = exc.rule),
          |best AS (SELECT doc_id, max(k) AS k FROM cand GROUP BY doc_id),
          |regd AS (SELECT hh.doc_id, hh.host,
-         |    CASE WHEN best.k IS NOT NULL
+         |    CASE WHEN ek.k IS NOT NULL
+         |      THEN array_to_string(
+         |        hh.ls[len(hh.ls)-ek.k:len(hh.ls)], '.')
+         |      WHEN best.k IS NOT NULL
          |      THEN array_to_string(
          |        hh.ls[len(hh.ls)-best.k:len(hh.ls)], '.')
          |      ELSE hh.host END AS domain
-         |  FROM hh LEFT JOIN best USING (doc_id))
+         |  FROM hh LEFT JOIN best USING (doc_id)
+         |    LEFT JOIN excm ek USING (doc_id))
          |SELECT domain, host, CAST(rk AS INT) AS rk, doc_id FROM (
          |  SELECT domain, host, doc_id,
          |    row_number() OVER (PARTITION BY domain

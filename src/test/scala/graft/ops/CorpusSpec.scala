@@ -215,6 +215,14 @@ class CorpusSpec extends AnyFunSuite {
       ("http://a.com/p?%75tm_x=1&b=1", "http://a.com/p?b=1"),
       // punycode host: plain ASCII case-fold, label preserved
       ("HTTP://XN--BCHER-KVA.DE/x", "http://xn--bcher-kva.de/x"),
+      // raw-Unicode IDN host folds to the SAME punycode spelling —
+      // the two spellings of one registrable domain merge (RFC 3492
+      // via the IdnHostAscii expression); ASCII labels untouched
+      ("HTTP://BÜCHER.DE/x", "http://xn--bcher-kva.de/x"),
+      ("https://news.Café.FR/p", "https://news.xn--caf-dma.fr/p"),
+      // Unicode + www/root-dot strips compose (strips run first, the
+      // IDNA fold last, over the fully-normalized host)
+      ("http://WWW.München.DE./", "http://xn--mnchen-3ya.de/"),
       // userinfo drops (credentials never reach the corpus); the strip
       // is greedy to the LAST @, so a malformed unescaped @ inside
       // userinfo can't leak its tail into the host
@@ -279,6 +287,34 @@ class CorpusSpec extends AnyFunSuite {
     assert(mixed.count() == 1)
   }
 
+  test("IdnSamples snapshot is pinned to the JDK IDNA reference and " +
+      "the IdnHostAscii expression matches it label-wise") {
+    // the oracle resolves the IDN fold through the IdnSamples literal
+    // mapping; this pin is what stops that mapping drifting from the
+    // real RFC 3490/3492 algorithm the Spark side runs
+    Corpus.IdnSamples.foreach { case (u, p) =>
+      assert(java.net.IDN.toASCII(u) == p,
+        s"IdnSamples '$u' -> '$p' disagrees with java.net.IDN")
+    }
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val toA = (s: String) =>
+      graft.functions.IdnHostAscii.toAscii(u8(s)).toString
+    Corpus.IdnSamples.foreach { case (u, p) =>
+      assert(toA(s"news.$u.de") == s"news.$p.de")
+      // idempotent: the punycode result is all-ASCII → fast path
+      assert(toA(s"news.$p.de") == s"news.$p.de")
+    }
+    // all-ASCII fast path returns the input object itself (zero-copy)
+    val ascii = u8("plain.example.com")
+    assert(graft.functions.IdnHostAscii.toAscii(ascii) eq ascii)
+    // a label the JDK rejects (punycode expansion > 63 chars) passes
+    // through unchanged instead of poisoning the host
+    val big = "é" * 63
+    assert(toA(s"$big.com") == s"$big.com")
+    // mixed-case Unicode namepreps to the same A-label
+    assert(toA("BÜcher.de") == "xn--bcher-kva.de")
+  }
+
   test("registrableDomain: longest-suffix-plus-one-label over the " +
       "bundled snapshot; non-matching and bare-suffix hosts self-map") {
     val cases = Seq(
@@ -290,7 +326,22 @@ class CorpusSpec extends AnyFunSuite {
       ("co.uk", "co.uk"),                   // bare public suffix
       ("weird.local", "weird.local"),       // unknown TLD
       ("xn--bcher-kva.de", "xn--bcher-kva.de"), // punycode eTLD+1
-      ("a.xn--bcher-kva.de", "xn--bcher-kva.de"))
+      ("a.xn--bcher-kva.de", "xn--bcher-kva.de"),
+      // wildcard *.ck: south.ck is itself a suffix, so the +1 label
+      // is the registrant — NOT south.ck, which a literal `ck` entry
+      // would produce (wildcard ≠ literal, spec-locked)
+      ("a.south.ck", "a.south.ck"),
+      ("b.a.south.ck", "a.south.ck"),
+      ("south.ck", "south.ck"),             // bare wildcard suffix
+      // exception !www.ck beats the wildcard: www.ck IS a registrant
+      ("www.ck", "www.ck"),
+      ("x.www.ck", "www.ck"),
+      ("y.x.www.ck", "www.ck"),
+      // private-section suffix: every blogspot subdomain is its own
+      // registrant (blogspot.com itself is a bare suffix → self-map)
+      ("foo.blogspot.com", "foo.blogspot.com"),
+      ("a.foo.blogspot.com", "foo.blogspot.com"),
+      ("blogspot.com", "blogspot.com"))
     import spark.implicits._
     val got = cases.map(_._1).toDF("h")
       .select(Corpus.registrableDomain(col("h"))).as[String].collect()
