@@ -155,6 +155,34 @@ object Bench {
     (stats, discarded)
   }
 
+  /** The r12 standing comparison rule, mechanized (r12 verdict ask 4):
+    * cross-round wall-total deltas under 15% with per-query shuffle
+    * bytes stable within 1% are box-window noise; anything more is
+    * signal worth a root-cause. Totals are computed over the COMMON
+    * query set only (the r12 advice lesson: a new query's seconds are
+    * not a regression), failed rows (sec < 0) excluded. Byte
+    * resolution is 0.1 MB, so the 1% test carries a 0.3 MB absolute
+    * floor — sub-floor rows cannot express a meaningful 1%. Returns
+    * (class, commonPriorTotal, commonTotal, driftedBytes). */
+  def classifyVsPrior(priorSec: Map[String, Double],
+      curSec: Map[String, Double], priorBytes: Map[String, Double],
+      curBytes: Map[String, Double])
+      : (String, Double, Double, Seq[(String, Double, Double)]) = {
+    val common = curSec.keySet.intersect(priorSec.keySet)
+      .filter(q => curSec(q) >= 0 && priorSec(q) >= 0)
+    val pTot = common.toSeq.map(priorSec).sum
+    val cTot = common.toSeq.map(curSec).sum
+    val drifted = common.toSeq.sorted.flatMap { q =>
+      for {
+        p <- priorBytes.get(q); c <- curBytes.get(q)
+        if math.abs(c - p) > math.max(0.01 * p, 0.3)
+      } yield (q, p, c)
+    }
+    val wallNoise = pTot > 0 && math.abs(cTot / pTot - 1.0) <= 0.15
+    (if (wallNoise && drifted.isEmpty) "noise" else "signal",
+      pTot, cTot, drifted)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Exclusive run lock + quiescence report: round 8's driver bench
@@ -354,7 +382,52 @@ object Bench {
     // emit it as a bare number only when it IS one, else as a quoted
     // JSON string, so BENCH_DETAIL stays parseable for any setting
     val cpusJson = if (cpus.matches("[0-9]+")) cpus else "\"" + cpus + "\""
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","cpus":$cpusJson,${guard.metaJson},"spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills,"excursions":$excs,"sec_shufw_runs":$perRun}"""
+    // --- vs_prior: the noise|signal classification, emitted (not just
+    // narrated) per r12 verdict ask 4. The prior is the COMMITTED
+    // record (read before this run overwrites it); a probe run at a
+    // different sf/cpus is incomparable by the §9k rule and says so.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_PRIOR_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
+    val curSecMap = results.map { case (k, ts, _, _, _, _, _, _) =>
+      k -> ts(ts.size / 2) }.toMap
+    val curBytesMap = results.map { case (k, _, _, w, _, _, _, _) =>
+      k -> w }.toMap
+    val vsPrior: String = try {
+      import org.json4s._
+      val j = org.json4s.jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(priorPath)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      val pSf = j \ "sf" match { case JString(s) => s; case _ => "" }
+      val pCpus = j \ "cpus" match {
+        case JInt(i) => i.toString
+        case JString(s) => s
+        case _ => ""
+      }
+      if (pSf != sfDir || pCpus != cpus)
+        s""""vs_prior":{"compared":false,"reason":"prior $pSf@${pCpus}cpus vs $sfDir@${cpus}cpus — bytes/wall only comparable within one config (SURVEY 9k)"}"""
+      else {
+        def dmap(field: String): Map[String, Double] = j \ field match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty
+        }
+        val (cls, pTot, cTot, drifted) =
+          classifyVsPrior(dmap("queries"), curSecMap,
+            dmap("shuffle_write_mb"), curBytesMap)
+        val ratio = if (pTot > 0)
+          math.round(cTot / pTot * 1000) / 1000.0 else -1.0
+        val dj = drifted.map { case (q, p, c) => s""""$q":[$p,$c]""" }
+          .mkString("{", ",", "}")
+        val nCommon = curSecMap.keySet.intersect(dmap("queries").keySet).size
+        s""""vs_prior":{"compared":true,"common_queries":$nCommon,"prior_total_common":${math.round(pTot * 1000) / 1000.0},"total_common":${math.round(cTot * 1000) / 1000.0},"wall_ratio":$ratio,"drifted_bytes":$dj,"class":"$cls"}"""
+      }
+    } catch { case e: Throwable =>
+      s""""vs_prior":{"compared":false,"reason":"no parseable prior (${e.getClass.getSimpleName})"}"""
+    }
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$timedRuns,"stat":"median","cpus":$cpusJson,${guard.metaJson},"spread":$spreads,"storage_used_mb_after":$leaked,"shuffle_write_mb":$shuffles,"shuffle_read_mb":$shuffleReads,"spill_mb":$spills,"excursions":$excs,"sec_shufw_runs":$perRun,$vsPrior}"""
     // overridable path so local/probe chains never clobber the
     // committed official record (round-8 zombie-chain lesson: a stale
     // relaunch wrote its late detail over the repo artifact)

@@ -73,21 +73,40 @@ object Profile {
     def run(): Long =
       SparkEntry.queries("pipeline_domain_quota_etld")(s, dir).count()
     val wgl = "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit"
-    Seq("wgl_on" -> "", "wgl_off" -> wgl).foreach { case (label, excl) =>
-      s.conf.set("spark.sql.optimizer.excludedRules", excl)
-      val rows = time(s"$label warm")(run())
-      println(s"[profile] $label output_rows $rows")
-      (1 to 3).foreach { i =>
-        s.catalog.clearCache()
-        org.apache.spark.sql.GraftBridge.flushListenerBus(s)
-        val b0 = shufW.get
-        time(s"$label run$i")(run())
-        org.apache.spark.sql.GraftBridge.flushListenerBus(s)
-        println(f"[profile] $label run$i shuffle_write_mb " +
-          f"${(shufW.get - b0) / 1e6}%.1f")
-      }
+    // median-of-3 per leg + a machine-readable record: the probe is a
+    // STANDING per-round invariant (r12 verdict ask 5) — the assembled
+    // BENCH_SCALE artifact embeds this JSON so "0.0 MB shuffled at
+    // 100% skew" is re-measured and re-committed every round, not a
+    // one-off table in SURVEY prose
+    val legs = Seq("wgl_on" -> "", "wgl_off" -> wgl).map {
+      case (label, excl) =>
+        s.conf.set("spark.sql.optimizer.excludedRules", excl)
+        val rows = time(s"$label warm")(run())
+        println(s"[profile] $label output_rows $rows")
+        val stats = (1 to 3).map { i =>
+          s.catalog.clearCache()
+          org.apache.spark.sql.GraftBridge.flushListenerBus(s)
+          val b0 = shufW.get
+          val t0 = System.nanoTime()
+          time(s"$label run$i")(run())
+          val sec = math.round((System.nanoTime() - t0) / 1e9 * 1000) / 1000.0
+          org.apache.spark.sql.GraftBridge.flushListenerBus(s)
+          val mb = math.round((shufW.get - b0) / 1e6 * 10) / 10.0
+          println(f"[profile] $label run$i shuffle_write_mb $mb%.1f")
+          (sec, mb)
+        }.toVector
+        val secMed = stats.map(_._1).sorted.apply(1)
+        val mbMed = stats.map(_._2).sorted.apply(1)
+        s""""$label":{"sec_median":$secMed,"shuffle_write_mb_median":$mbMed,"output_rows":$rows,"runs":3}"""
     }
     s.conf.set("spark.sql.optimizer.excludedRules", "")
+    val rec = s"""{"probe":"quota_skew","dir":"$dir",${legs.mkString(",")}}"""
+    sys.env.get("SPARK_GRAFT_DETAIL_PATH").foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), rec + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[profile] record write failed: ${e.getMessage}") }
+    }
+    println(rec)
   }
 
   private def profilePageRank(s: SparkSession, dir: String): Unit = {

@@ -280,11 +280,18 @@ class CorpusSpec extends AnyFunSuite {
       .select(Corpus.registrableDomain(col("h"))).as[String].collect()
     assert(rd.toSeq == Seq("[2001:db8::1]", "[::1]"))
     // non-absolute garbage canonicalizes to the NULL sentinel and the
-    // quota pipelines' isNotNull filter drops it — no phantom group
-    val mixed = Seq("http://a.com/x", "not a url", "/rel/p").toDF("raw")
+    // quota pipelines drop it via isAbsoluteUrl — the cheap one-regexp
+    // predicate must agree with the sentinel row-for-row (the
+    // pipelines filter on the predicate, not the sentinel, so a
+    // pushed-down filter doesn't clone the whole canonicalizer chain)
+    val mixed = Seq("http://a.com/x", "not a url", "/rel/p",
+      "ftp+x://b.org/f", "mailto:u@e.com", "//proto-relative/x")
+      .toDF("raw")
       .withColumn("url", Corpus.canonicalizeUrl(col("raw")))
-      .filter(col("url").isNotNull)
-    assert(mixed.count() == 1)
+    assert(mixed.filter(Corpus.isAbsoluteUrl(col("raw")) =!=
+      col("url").isNotNull).count() == 0,
+      "isAbsoluteUrl must be exactly the NULL-sentinel predicate")
+    assert(mixed.filter(Corpus.isAbsoluteUrl(col("raw"))).count() == 2)
   }
 
   test("IdnSamples snapshot is pinned to the JDK IDNA reference and " +
