@@ -1,7 +1,13 @@
 #!/usr/bin/env python3
 """Collect the audit_* guard metrics into one committed JSON artifact.
 
-Usage: python3 tools/collect_audits.py <verify_out_dir> <out_json> [prior_json]
+Usage: python3 tools/collect_audits.py <verify_out_dir> <out_json> \
+           [prior_json] [extra_verify_dir]
+
+The optional extra_verify_dir (e.g. the sf0.1 sweep output) contributes
+a supplementary `headlines_extra` map — recall/agreement values at the
+bigger SF, where cluster-count artifacts of the tiny gate corpus (IVF
+recall at 500 docs) wash out.
 
 The ~27 `audit_*` queries are the recall/agreement/error guards behind
 the rows-only (no-oracle) query families — ANN recall vs the exact
@@ -51,9 +57,16 @@ def collect(verify_dir):
 def main():
     verify_dir, out_json = sys.argv[1], sys.argv[2]
     prior_json = sys.argv[3] if len(sys.argv) > 3 else None
+    extra_dir = sys.argv[4] if len(sys.argv) > 4 else None
     audits = collect(verify_dir)
     art = {"verify_dir": verify_dir, "n_audits": len(audits),
            "audits": audits}
+    if extra_dir:
+        art["extra_verify_dir"] = extra_dir
+        art["headlines_extra"] = {
+            name: ent["headline"]
+            for name, ent in collect(extra_dir).items()
+            if "headline" in ent}
     if prior_json and os.path.exists(prior_json):
         with open(prior_json) as f:
             prior = json.load(f)
