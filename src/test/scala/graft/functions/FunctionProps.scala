@@ -106,4 +106,32 @@ object FunctionProps extends Properties("functions") {
         (0 until d).forall(i => (0 until d).forall(j =>
           single(i * d + j) == single(j * d + i)))
     }
+
+  private val hostLabel: Gen[String] = Gen.frequency(
+    6 -> Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+    2 -> Gen.nonEmptyListOf(Gen.oneOf('b', 'ü', 'c', 'é', 'h'))
+      .map(_.mkString),
+    1 -> Gen.const("xn--bcher-kva"))
+  private val hostGen: Gen[String] =
+    Gen.choose(1, 4).flatMap(n =>
+      Gen.listOfN(n, hostLabel).map(_.mkString(".")))
+
+  property("idn host fold: idempotent, ascii output or passthrough, " +
+      "ascii hosts identical (zero-copy fast path)") =
+    forAll(hostGen) { h =>
+      val u = UTF8String.fromString(h)
+      val once = IdnHostAscii.toAscii(u)
+      val twice = IdnHostAscii.toAscii(once)
+      val labelsIn = h.split("\\.", -1)
+      val labelsOut = once.toString.split("\\.", -1)
+      // a fold is a projection; labels map 1:1; each output label is
+      // either all-ASCII (converted) or the untouched input label
+      // (JDK-rejected passthrough); all-ASCII input returns the same
+      // object (the fast path is genuinely zero-copy)
+      twice == once &&
+        labelsOut.length == labelsIn.length &&
+        labelsOut.zip(labelsIn).forall { case (o, i) =>
+          o.forall(_ < 0x80) || o == i } &&
+        (!h.forall(_ < 0x80) || (once eq u))
+    }
 }

@@ -82,5 +82,10 @@ class JaroSpec extends AnyFunSuite {
     val p = spark.sql("SELECT graft_jaro_winkler_gte('abcdefgh', 'abc', 0.9)" +
       " AS jw").head.getDouble(0)
     assert(p == 0.0)
+    // the IDNA host fold rides the same registration path
+    val idn = spark.sql(
+      "SELECT graft_idn_host_ascii('news.bücher.de') AS h")
+      .head.getString(0)
+    assert(idn == "news.xn--bcher-kva.de")
   }
 }
