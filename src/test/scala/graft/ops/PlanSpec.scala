@@ -476,4 +476,28 @@ class PlanSpec extends AnyFunSuite {
     assert("""\(\d+\) Exchange""".r.findAllIn(plan).size == 2, plan)
     assert(plan.contains("hashpartitioning(domain"), plan)
   }
+
+  test("quota NULL-sentinel filter stays cheap: the pushed Filter must " +
+      "not contain a clone of the canonicalizer chain") {
+    // Filtering on `url IS NOT NULL` made predicate pushdown inline
+    // the ENTIRE canonicalizer expression into the Filter — every row
+    // paid the chain twice (measured 1.84 s vs 0.74 s at the pinned
+    // bench). The pipelines filter on isAbsoluteUrl(raw_url) instead;
+    // the IDNA fold's function name is a marker that exists ONLY
+    // inside the canonicalizer, so a Filter carrying it means the
+    // clone came back.
+    Seq("pipeline_domain_quota", "pipeline_domain_quota_etld")
+      .foreach { name =>
+        val plan = formatted(q(name))
+        assert(plan.contains("graft_idn_host_ascii"),
+          s"$name lost the IDNA fold entirely\n$plan")
+        val filters = plan.split("\n").filter(_.contains("Condition"))
+        assert(filters.nonEmpty, s"$name lost the sentinel filter\n$plan")
+        filters.foreach { f =>
+          assert(!f.contains("graft_idn_host_ascii"),
+            s"$name Filter carries a canonicalizer clone (the r13 " +
+              s"double-eval regression)\n$f")
+        }
+      }
+  }
 }
