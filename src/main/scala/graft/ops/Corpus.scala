@@ -786,8 +786,10 @@ object Corpus {
     * host-keyed and eTLD+1-keyed grouping provably differ
     * (`{src}.news.sample.co.uk` hosts differ per source but share one
     * registrant); a private-section suffix (`blogspot.com` — each
-    * subdomain its own registrant); and the PSL wildcard/exception
-    * pair (`south.CK` under `*.ck`, `www.CK` under `!www.ck`).
+    * subdomain its own registrant); and BOTH PSL wildcard/exception
+    * shapes — 1-label base (`south.CK` under `*.ck`, `www.CK` under
+    * `!www.ck`) and 2-label base (`ward.Kawasaki.JP` under
+    * `*.kawasaki.jp`, `city.Kawasaki.JP` under `!city.kawasaki.jp`).
     * Repeated verbatim in the oracle SQL so both engines canonicalize
     * the same input. */
   private def rawUrls(docs: DataFrame): DataFrame = {
@@ -804,7 +806,13 @@ object Corpus {
           // private-section PSL suffix: every {source}.blogspot.com is
           // its own registrant under eTLD+1
           .when(id % 11 === 3, lit(".Blogspot.COM"))
-          .when(id % 11 <= 5, lit(".news.Sample.CO.UK"))
+          .when(id % 11 === 4, lit(".news.Sample.CO.UK"))
+          // 2-label wildcard base *.kawasaki.jp (even: suffix =
+          // ward.kawasaki.jp → per-source registrants) vs its 3-label
+          // exception !city.kawasaki.jp (odd: every host folds into
+          // the single registrant city.kawasaki.jp)
+          .when(id % 11 === 5 && id % 2 === 0, lit(".ward.Kawasaki.JP"))
+          .when(id % 11 === 5, lit(".city.Kawasaki.JP"))
           // wildcard rule *.ck (even ids: suffix = south.ck, so each
           // {source}.south.ck is a separate registrant) vs exception
           // rule !www.ck (odd ids: suffix = ck, so EVERY
@@ -1034,12 +1042,30 @@ object Corpus {
     * `*.er`, `*.fk`, … — same shape, bigger literal). */
   val WildcardSuffixBases: Seq[String] = Seq("ck", "mm", "bd", "np")
 
+  /** Two-label wildcard bases (`*.kawasaki.jp` style — the Japanese
+    * city registries are the real PSL's main instance): any single
+    * label directly under the base is a suffix, so
+    * `a.ward.kawasaki.jp` registers under `a.ward.kawasaki.jp`'s
+    * 3-label tail `ward.kawasaki.jp` + one label. Same InSet probe,
+    * k=3 slot. */
+  val WildcardSuffixBases2: Seq[String] =
+    Seq("kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+      "sapporo.jp", "sendai.jp", "yokohama.jp")
+
   /** PSL exception rules (`!<host>`): carve-outs from a wildcard — the
     * named host is NOT a public suffix but a registrable domain itself
     * (`!www.ck` inside `*.ck`: `www.ck` and everything under it group
-    * as the single registrant `www.ck`). All bundled exceptions are
-    * two-label, matching the PSL's real inventory shape. */
+    * as the single registrant `www.ck`). Split by label count exactly
+    * like the literal suffixes: the real PSL carries 2-label
+    * (`!www.ck`) and 3-label (`!city.kawasaki.jp`, carved from
+    * `*.kawasaki.jp`) exceptions and nothing deeper. */
   val SuffixExceptions: Seq[String] = Seq("www.ck")
+
+  /** Three-label exception rules (see [[SuffixExceptions]]). */
+  val SuffixExceptions3: Seq[String] =
+    Seq("city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+      "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+      "city.yokohama.jp")
 
   /** Registrable domain (eTLD+1) of a canonical (lowercased,
     * port-free) host: the longest [[PublicSuffixes]] entry matching a
@@ -1078,14 +1104,24 @@ object Corpus {
     // longest match wins; `n > k` keeps the match a PROPER suffix
     // unless the host IS the suffix (then no k matches with slack and
     // the shorter-k probes land on the self-mapping branch below).
-    // Exception probe first (PSL: exceptions beat all other rules) —
-    // all bundled exceptions are 2 labels, so the effective suffix is
-    // their 1-label tail and the registrable domain is the exception
-    // host itself (`n > 1`, not `n > 2`: the host may BE `www.ck`).
-    // The wildcard probe shares the k=2 slot with the 2-label literal
-    // suffixes: `*.<1-label base>` ⇒ effective suffix length 2.
-    val kM = when(n > 1 && tailK(2).isin(SuffixExceptions: _*), 1)
-      .when(n > 3 && inSet(3), 3)
+    // Probe order = the PSL algorithm: exceptions beat all other
+    // rules (a (j+1)-label exception means the effective suffix is
+    // its j-label tail, so the registrable domain is the exception
+    // host itself — `n > j`, not `n > j+1`: the host may BE the
+    // exception); then two explicit self-map guards for hosts that
+    // ARE a wildcard-generated suffix (`ward.kawasaki.jp` under
+    // `*.kawasaki.jp` has no registrable domain even though the
+    // literal `jp` rule would otherwise claim it — prevailing rule =
+    // most labels, and the wildcard rule has more); then the literal
+    // probes, each length slot sharing its `InSet` test with the
+    // wildcard bases one label shorter (`*.<j-label base>` ⇒
+    // effective suffix length j+1).
+    val kM = when(n > 2 && tailK(3).isin(SuffixExceptions3: _*), 2)
+      .when(n > 1 && tailK(2).isin(SuffixExceptions: _*), 1)
+      .when(n === 3 && tailK(2).isin(WildcardSuffixBases2: _*), 0)
+      .when(n === 2 && tailK(1).isin(WildcardSuffixBases: _*), 0)
+      .when(n > 3 && (inSet(3) ||
+        tailK(2).isin(WildcardSuffixBases2: _*)), 3)
       .when(n > 2 && (inSet(2) ||
         tailK(1).isin(WildcardSuffixBases: _*)), 2)
       .when(n > 1 && inSet(1), 1)
@@ -1127,7 +1163,10 @@ object Corpus {
       |          ELSE source END),
       |    (CASE WHEN doc_id % 11 <= 2 THEN '.Example.COM'
       |          WHEN doc_id % 11 = 3 THEN '.Blogspot.COM'
-      |          WHEN doc_id % 11 <= 5 THEN '.news.Sample.CO.UK'
+      |          WHEN doc_id % 11 = 4 THEN '.news.Sample.CO.UK'
+      |          WHEN doc_id % 11 = 5 AND doc_id % 2 = 0
+      |            THEN '.ward.Kawasaki.JP'
+      |          WHEN doc_id % 11 = 5 THEN '.city.Kawasaki.JP'
       |          WHEN doc_id % 11 = 6 AND doc_id % 2 = 0 THEN '.south.CK'
       |          WHEN doc_id % 11 = 6 THEN '.www.CK'
       |          WHEN doc_id % 11 = 7 THEN '.Archive.ORG'
@@ -1219,7 +1258,11 @@ object Corpus {
                .map(s => s"'$s'").mkString(",")}]) AS suffix),
          |wild AS (SELECT unnest([${WildcardSuffixBases
                .map(s => s"'$s'").mkString(",")}]) AS base),
+         |wild2 AS (SELECT unnest([${WildcardSuffixBases2
+               .map(s => s"'$s'").mkString(",")}]) AS base),
          |exc AS (SELECT unnest([${SuffixExceptions
+               .map(s => s"'$s'").mkString(",")}]) AS rule),
+         |exc3 AS (SELECT unnest([${SuffixExceptions3
                .map(s => s"'$s'").mkString(",")}]) AS rule),
          |hh AS (SELECT doc_id, host, string_split(host, '.') AS ls
          |  FROM q WHERE scheme <> ''),
@@ -1231,22 +1274,44 @@ object Corpus {
          |  UNION ALL
          |  SELECT hh.doc_id, 2 AS k FROM hh
          |  JOIN wild ON len(hh.ls) > 2
-         |    AND hh.ls[len(hh.ls)] = wild.base),
-         |excm AS (SELECT hh.doc_id, 1 AS k FROM hh
+         |    AND hh.ls[len(hh.ls)] = wild.base
+         |  UNION ALL
+         |  SELECT hh.doc_id, 3 AS k FROM hh
+         |  JOIN wild2 ON len(hh.ls) > 3
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = wild2.base),
+         |excm AS (SELECT doc_id, max(k) AS k FROM (
+         |  SELECT hh.doc_id, 1 AS k FROM hh
          |  JOIN exc ON len(hh.ls) >= 2
          |    AND array_to_string(
-         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = exc.rule),
+         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = exc.rule
+         |  UNION ALL
+         |  SELECT hh.doc_id, 2 AS k FROM hh
+         |  JOIN exc3 ON len(hh.ls) >= 3
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-2:len(hh.ls)], '.') = exc3.rule)
+         |  GROUP BY doc_id),
+         |ssm AS (SELECT hh.doc_id FROM hh
+         |  JOIN wild2 ON len(hh.ls) = 3
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = wild2.base
+         |  UNION
+         |  SELECT hh.doc_id FROM hh
+         |  JOIN wild ON len(hh.ls) = 2
+         |    AND hh.ls[len(hh.ls)] = wild.base),
          |best AS (SELECT doc_id, max(k) AS k FROM cand GROUP BY doc_id),
          |regd AS (SELECT hh.doc_id, hh.host,
          |    CASE WHEN ek.k IS NOT NULL
          |      THEN array_to_string(
          |        hh.ls[len(hh.ls)-ek.k:len(hh.ls)], '.')
+         |      WHEN ssm.doc_id IS NOT NULL THEN hh.host
          |      WHEN best.k IS NOT NULL
          |      THEN array_to_string(
          |        hh.ls[len(hh.ls)-best.k:len(hh.ls)], '.')
          |      ELSE hh.host END AS domain
          |  FROM hh LEFT JOIN best USING (doc_id)
-         |    LEFT JOIN excm ek USING (doc_id))
+         |    LEFT JOIN excm ek USING (doc_id)
+         |    LEFT JOIN ssm USING (doc_id))
          |SELECT domain, host, CAST(rk AS INT) AS rk, doc_id FROM (
          |  SELECT domain, host, doc_id,
          |    row_number() OVER (PARTITION BY domain

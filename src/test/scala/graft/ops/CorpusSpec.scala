@@ -340,10 +340,21 @@ class CorpusSpec extends AnyFunSuite {
       ("a.south.ck", "a.south.ck"),
       ("b.a.south.ck", "a.south.ck"),
       ("south.ck", "south.ck"),             // bare wildcard suffix
+      ("foo.ck", "foo.ck"),                 // host IS a *.ck suffix
       // exception !www.ck beats the wildcard: www.ck IS a registrant
       ("www.ck", "www.ck"),
       ("x.www.ck", "www.ck"),
       ("y.x.www.ck", "www.ck"),
+      // 2-label wildcard base *.kawasaki.jp: ward.kawasaki.jp IS a
+      // suffix (the literal `jp` rule must NOT claim it — prevailing
+      // rule = most labels), its children are registrants
+      ("ward.kawasaki.jp", "ward.kawasaki.jp"),
+      ("a.ward.kawasaki.jp", "a.ward.kawasaki.jp"),
+      ("b.a.ward.kawasaki.jp", "a.ward.kawasaki.jp"),
+      ("kawasaki.jp", "kawasaki.jp"),       // base registers under jp
+      // 3-label exception !city.kawasaki.jp carves the city back out
+      ("city.kawasaki.jp", "city.kawasaki.jp"),
+      ("x.city.kawasaki.jp", "city.kawasaki.jp"),
       // private-section suffix: every blogspot subdomain is its own
       // registrant (blogspot.com itself is a bare suffix → self-map)
       ("foo.blogspot.com", "foo.blogspot.com"),
