@@ -26,6 +26,7 @@ object Profile {
 
     what match {
       case "quota_skew" => profileQuotaSkew(spark, sfDir)
+      case "incr_candidates" => profileIncrCandidates(spark, sfDir)
       case "containment" => profileContainment(spark, sfDir)
       case "containment2" => profileContainment2(spark, sfDir)
       case "containment3" => profileContainment3(spark, sfDir)
@@ -49,6 +50,38 @@ object Profile {
     val r = f
     println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
     r
+  }
+
+  /** Machine-readable probe record sink. DEDICATED env var — the skew
+    * probe used to reuse Bench's SPARK_GRAFT_DETAIL_PATH, so a var
+    * exported once for a bench chain silently truncated the bench
+    * detail artifact with the probe record (the exact clobber class
+    * the override path was added to prevent). */
+  private def writeRecord(rec: String): Unit =
+    sys.env.get("SPARK_GRAFT_PROFILE_RECORD_PATH").foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        rec + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[profile] record write failed: ${e.getMessage}") }
+    }
+
+  /** Candidate-volume probe of the adaptive-width embedding band join
+    * (r13 ask 1): one JSON record with the deployed widths and
+    * candidates-per-batch-row at `dir` — run at 1×/3×/10× scale dirs
+    * and embedded in BENCH_SCALE so the scale curve of
+    * dedup_incr_embedding's governed quantity is a frozen number. */
+  private def profileIncrCandidates(s: SparkSession, dir: String): Unit = {
+    import graft.ops.Incremental
+    val r = time("incr_candidates")(Incremental.incrCandidateStats(
+      Incremental.vecSets(s, dir, base = false),
+      Incremental.vecSets(s, dir, base = true)).head())
+    val rec = s"""{"probe":"incr_candidates","dir":"$dir"""" +
+      s""","bits_low":${r.getInt(0)},"k_high":${r.getInt(1)}""" +
+      s""","n_batch":${r.getLong(2)},"n_base":${r.getLong(3)}""" +
+      s""","n_candidates":${r.getLong(4)}""" +
+      s""","cand_per_batch_row":${r.getDouble(5)}}"""
+    writeRecord(rec)
+    println(rec)
   }
 
   /** Mega-host probe for the eTLD+1 quota: runs
@@ -101,11 +134,7 @@ object Profile {
     }
     s.conf.set("spark.sql.optimizer.excludedRules", "")
     val rec = s"""{"probe":"quota_skew","dir":"$dir",${legs.mkString(",")}}"""
-    sys.env.get("SPARK_GRAFT_DETAIL_PATH").foreach { p =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), rec + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[profile] record write failed: ${e.getMessage}") }
-    }
+    writeRecord(rec)
     println(rec)
   }
 

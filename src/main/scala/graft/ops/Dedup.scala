@@ -288,6 +288,45 @@ object Dedup {
     else base + (64 - java.lang.Long.numberOfLeadingZeros(
       (n + refN - 1) / refN - 1)).toInt
 
+  /** CONTINUOUS band-width policy: a mixed-width table assignment
+    * (bLow, kHigh) where the first `kHigh` of `tables` LSH tables hash
+    * at bLow+1 bits and the rest at bLow. [[adaptiveBits]]'s integer
+    * step leaks quadratic candidate growth BETWEEN corpus doublings —
+    * bucket occupancy n/2^bits doubles before the next step lands, so
+    * per-probe candidates grow ~n²/2^⌊…⌋ across a fractional doubling
+    * (the r13 10×-probe read dedup_incr_embedding at 10.31× wall on
+    * 3.33× data, all of it this oscillation). Here the REAL-valued
+    * width b* = base + 1 + log₂(n/refN) is realized fractionally:
+    * ⌊(b*−⌊b*⌋)·tables⌉ tables take the extra bit, so total expected
+    * occupancy Σ_t n/2^(b_t) tracks the constant refN/2^(base+1)·tables
+    * within ~6% instead of oscillating 2×, and candidate volume — and
+    * with it wall — scales LINEARLY in n. The +1 anchor matches
+    * adaptiveBits exactly at n = refN⁺ (both jump to base+1) and is
+    * never WIDER than one extra bit past it, so the policy is
+    * everywhere ≤ the integer policy's candidate volume (bench can
+    * only improve). Identity at n ≤ refN — every tuned
+    * recall/correctness number at the audited SFs is untouched.
+    * Per-pair recall at width b with Hamming-1 multiprobe is
+    * p^b + b·p^(b−1)(1−p) per table (p = 1 − acos(τ)/π): one extra
+    * bit costs ~p per table, which the per-round recall audits price
+    * at the width actually deployed — deployments that must hold a
+    * fixed miss budget at ≫ refN scale `tables` by ~1/p per bit.
+    * A bit-b bucket is EXACTLY the bit-(b+1) bucket with the top bit
+    * masked off ([[graft.functions.LshBuckets]] hyperplane (tb,b,i)
+    * does not depend on the width), so mixed widths cost one mask —
+    * no second hashing pass (property-locked in IncrementalSpec). */
+  def adaptiveWidths(base: Int, n: Long, refN: Long,
+      tables: Int): (Int, Int) = {
+    if (n <= refN) (base, 0)
+    else {
+      val bStar =
+        base + 1.0 + math.log(n.toDouble / refN.toDouble) / math.log(2.0)
+      val bLow = math.floor(bStar).toInt
+      val k = math.round((bStar - bLow) * tables).toInt
+      if (k >= tables) (bLow + 1, 0) else (bLow, k)
+    }
+  }
+
   /** Density-governing similarity threshold — the τ analogue of
     * [[adaptiveBits]]. At a fixed loose τ the similarity graph's edge
     * count grows ~quadratically with corpus size because the ANSWER

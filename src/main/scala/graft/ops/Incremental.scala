@@ -312,14 +312,26 @@ object Incremental {
     * production this parquet table is maintained across runs (append
     * survivors' bands nightly); here it is derived from the md5 split.
     * One row per (table, vector): bytes proportional to tables·|corpus|,
-    * never the vectors themselves. */
+    * never the vectors themselves.
+    *
+    * Mixed widths ([[Dedup.adaptiveWidths]]): tables tb < `kHigh` hash
+    * at bits+1, the rest at `bits`. ONE LshBuckets evaluation at the
+    * wide width, narrow tables mask off the top bit — valid because
+    * hyperplane (tb, b, i) is width-independent, so the bit-b bucket IS
+    * the bit-(b+1) bucket's low b bits (locked in IncrementalSpec). */
   def embeddingBandIndex(vecs: DataFrame, tables: Int, bits: Int,
-      dim: Int): DataFrame = {
+      dim: Int, kHigh: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftBridge
-    vecs.select(col("id"), posexplode(GraftBridge.column(
+    val w = if (kHigh > 0) bits + 1 else bits
+    val raw = vecs.select(col("id"), posexplode(GraftBridge.column(
         graft.functions.LshBuckets(
-          GraftBridge.expression(col("v")), tables, bits, dim))))
-      .select(col("pos").as("tb"), col("col").as("bk"), col("id"))
+          GraftBridge.expression(col("v")), tables, w, dim))))
+    val bk =
+      if (kHigh > 0)
+        when(col("pos") < kHigh, col("col"))
+          .otherwise(col("col").bitwiseAND(lit((1 << bits) - 1)))
+      else col("col")
+    raw.select(col("pos").as("tb"), bk.as("bk"), col("id"))
   }
 
   /** Semantic incremental dedup: batch vectors with a cosine ≥ τ
@@ -335,15 +347,20 @@ object Incremental {
   def nearDupEmbeddingAgainstIndex(batch: DataFrame, base: DataFrame,
       threshold: Double, tables: Int = 24, bits: Int = 0,
       dim: Int = 64): DataFrame = {
-    // bits = 0 → derive from the BASE corpus size: 5 bits is the tuned
-    // width (recall 1.0 audited) up to 5k vectors, +1 per doubling past
-    // it so index bucket size stays bounded (the 3× scale probe
-    // measured 10.7× runtime growth with the width left fixed). A
-    // persisted production index stores its width; here both halves
-    // derive it from the same base frame.
-    val b = if (bits > 0) bits else Dedup.adaptiveBits(5, base.count(), 5000L)
-    probeEmbeddingIndex(batch, embeddingBandIndex(base, tables, b, dim),
-      base, threshold, tables, b, dim)
+    // bits = 0 → derive MIXED widths from the BASE corpus size
+    // ([[Dedup.adaptiveWidths]]): 5 bits is the tuned width (recall 1.0
+    // audited) up to 5k vectors; past it the fractional-width policy
+    // holds expected bucket occupancy (and so candidates-per-probe —
+    // audit_incr_candidates freezes the measured number) constant,
+    // where the old integer step let it oscillate 2× across a doubling
+    // (r13 10×-probe: 10.31× wall on 3.33× data). A persisted
+    // production index stores its widths; here both halves derive them
+    // from the same base frame.
+    val (bl, kh) =
+      if (bits > 0) (bits, 0)
+      else Dedup.adaptiveWidths(5, base.count(), 5000L, tables)
+    probeEmbeddingIndex(batch, embeddingBandIndex(base, tables, bl, dim, kh),
+      base, threshold, tables, bl, dim, kh)
   }
 
   /** The probe half of [[nearDupEmbeddingAgainstIndex]] against an
@@ -351,14 +368,27 @@ object Incremental {
     * the streaming handler below maintains one): multiprobe batch-side
     * bucket expansion, (table, bucket) equi-join, exact-cosine verify
     * against `base` vectors joined by candidate id. */
-  def probeEmbeddingIndex(batch: DataFrame, index: DataFrame,
-      base: DataFrame, threshold: Double, tables: Int, bits: Int,
-      dim: Int): DataFrame = {
-    val masks = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
-    val probes = embeddingBandIndex(batch, tables, bits, dim)
+  /** Batch-side multiprobe band rows (id_batch, tb, bk): each band row
+    * expands to its bucket plus the Hamming-1 neighbors of its TABLE'S
+    * width — wide tables (tb < kHigh) flip any of bits+1 positions,
+    * narrow ones any of `bits`. */
+  private def multiprobeBands(batch: DataFrame, tables: Int, bits: Int,
+      dim: Int, kHigh: Int): DataFrame = {
+    def maskArr(b: Int) =
+      array((0 +: (0 until b).map(1 << _)).map(lit(_)): _*)
+    val masks =
+      if (kHigh == 0) maskArr(bits)
+      else when(col("tb") < kHigh, maskArr(bits + 1)).otherwise(maskArr(bits))
+    embeddingBandIndex(batch, tables, bits, dim, kHigh)
       .withColumnRenamed("id", "id_batch")
       .select(col("id_batch"), col("tb"),
         explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
+  }
+
+  def probeEmbeddingIndex(batch: DataFrame, index: DataFrame,
+      base: DataFrame, threshold: Double, tables: Int, bits: Int,
+      dim: Int, kHigh: Int = 0): DataFrame = {
+    val probes = multiprobeBands(batch, tables, bits, dim, kHigh)
     // verify FIRST, dedup the answer: candidate instances (multiple
     // (tb, bk) hits for the same pair) flow straight into the vector
     // joins and the τ filter, and only the answer-sized survivor set
@@ -391,6 +421,29 @@ object Incremental {
       .distinct()
   }
 
+  /** Candidate-volume audit of the adaptive embedding band probe: the
+    * quantity [[Dedup.adaptiveWidths]] governs is candidate (probe ⋈
+    * resident) band matches PER BATCH ROW — constant occupancy makes it
+    * grow only with the Hamming-1 probe count (~log n), never with the
+    * corpus. One row: the deployed widths, batch/base sizes, total
+    * candidate instances, and candidates per batch row. Frozen per
+    * round in AUDITS at the verify SFs; `graft.Profile
+    * incr_candidates <dir>` measures the same number at the 1×/3×/10×
+    * scale dirs so the curve is mechanical (r13 ask 1). */
+  def incrCandidateStats(batch: DataFrame, base: DataFrame,
+      tables: Int = 24, dim: Int = 64, refN: Long = 5000L): DataFrame = {
+    val (nBatch, nBase) = (batch.count(), base.count())
+    val (bl, kh) = Dedup.adaptiveWidths(5, nBase, refN, tables)
+    multiprobeBands(batch, tables, bl, dim, kh)
+      .join(embeddingBandIndex(base, tables, bl, dim, kh), Seq("tb", "bk"))
+      .agg(count(lit(1)).as("n_candidates"))
+      .select(lit(bl).as("bits_low"), lit(kh).as("k_high"),
+        lit(nBatch).as("n_batch"), lit(nBase).as("n_base"),
+        col("n_candidates"),
+        round(col("n_candidates").cast(DoubleType) /
+          lit(math.max(1L, nBatch).toDouble), 2).as("cand_per_batch_row"))
+  }
+
   /** One microbatch of streaming SEMANTIC incremental dedup — the
     * embedding analogue of [[processBatch]]. The persisted state is two
     * parquet tables: `indexDir` holds the (tb, bk, id) band rows (what
@@ -414,11 +467,16 @@ object Incremental {
     * candidate pairs grow quadratically). The re-index watermark below
     * closes it: when the indexed corpus doubles past `designN`, the
     * index is REBUILT from the survivor vectors at the
-    * [[Dedup.adaptiveBits]] width for the new size, into a fresh
+    * [[Dedup.adaptiveWidths]] widths for the new size, into a fresh
     * version directory — an O(|corpus|) band recomputation amortized
     * over the doubling that triggered it, exactly a hash table's
     * resize policy. */
-  final case class EmbIndexMeta(version: Int, bits: Int, designN: Long)
+  /** `bits`/`kHigh` are the mixed-width pair of [[Dedup.adaptiveWidths]]
+    * (kHigh tables at bits+1, the rest at bits); pre-mixed-width meta
+    * files carry no k_high field and read back as kHigh = 0 — exactly
+    * the uniform width they were written at. */
+  final case class EmbIndexMeta(version: Int, bits: Int, designN: Long,
+      kHigh: Int = 0)
 
   private def metaPath(indexDir: String) =
     s"$indexDir/_graft_index_meta.json"
@@ -433,11 +491,13 @@ object Incremental {
     if (!graft.Util.Fs.exists(sp, metaPath(indexDir))) None
     else {
       val s = graft.Util.Fs.readUtf8(sp, metaPath(indexDir))
-      def num(k: String): Long =
+      def numOpt(k: String): Option[Long] =
         ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s)
-          .getOrElse(sys.error(s"corrupt index meta: $s")).group(1).toLong
+          .map(_.group(1).toLong)
+      def num(k: String): Long =
+        numOpt(k).getOrElse(sys.error(s"corrupt index meta: $s"))
       Some(EmbIndexMeta(num("version").toInt, num("bits").toInt,
-        num("design_n")))
+        num("design_n"), numOpt("k_high").getOrElse(0L).toInt))
     }
   }
 
@@ -447,26 +507,27 @@ object Incremental {
       m: EmbIndexMeta): Unit = {
     graft.Util.Fs.mkdirs(sp, indexDir)
     graft.Util.Fs.writeUtf8Atomic(sp, metaPath(indexDir),
-      s"""{"version":${m.version},"bits":${m.bits},"design_n":${m.designN}}""")
+      s"""{"version":${m.version},"bits":${m.bits},""" +
+        s""""k_high":${m.kHigh},"design_n":${m.designN}}""")
   }
 
   /** Corpus size that doubles the design size → rebuild. */
   val ReindexGrowthFactor = 2L
 
-  /** NOTE on `bits`: the CREATION width. A caller that knows the corpus
-    * the index will grow to sizes it up front
-    * ([[Dedup.adaptiveBits]](5, expectedN, 5000) — the registered
-    * replays derive it from the full replayed corpus, so their 2-batch
-    * fold probes at the steady-state width instead of paying one
-    * narrow-width batch then rebuilding); `bits = 0` sizes creation
-    * adaptively from the first batch's novel count. Either way the
-    * width is afterwards owned by the persisted metadata and advanced
-    * by the re-index watermark (see [[EmbIndexMeta]]), so an
+  /** NOTE on `bits`/`kHigh`: the CREATION widths. A caller that knows
+    * the corpus the index will grow to sizes them up front
+    * ([[Dedup.adaptiveWidths]](5, expectedN, 5000, tables) — the
+    * registered replays derive them from the full replayed corpus, so
+    * their 2-batch fold probes at the steady-state widths instead of
+    * paying one narrow-width batch then rebuilding); `bits = 0` sizes
+    * creation adaptively from the first batch's novel count. Either
+    * way the widths are afterwards owned by the persisted metadata and
+    * advanced by the re-index watermark (see [[EmbIndexMeta]]), so an
     * UNDER-estimate is a transient cost, never a frozen quadratic. */
   def processEmbeddingBatch(batch: DataFrame, indexDir: String,
       vecDir: String, outDir: String, batchId: Long, threshold: Double,
       tables: Int = 24, bits: Int = 5, dim: Int = 64,
-      refN: Long = 5000L): Unit = {
+      refN: Long = 5000L, kHigh: Int = 0): Unit = {
     val sp = batch.sparkSession
     def verDir(v: Int) = s"$indexDir/v$v"
     // legacy-layout migration: a pre-versioning index has its band
@@ -531,7 +592,6 @@ object Incremental {
         .filter(n => n.matches("v\\d+") && n != s"v${m.version}")
         .foreach(n => graft.Util.Fs.deleteRecursive(sp, s"$indexDir/$n"))
     }
-    val curBits = meta.map(_.bits).getOrElse(bits)
     // checkpoint: the novel frame feeds the self-probe THREE times
     // (its band index, the probe side, and the verify base) plus the
     // survivor anti-join — without materialization the cross-batch
@@ -541,7 +601,7 @@ object Incremental {
       case Some(m) if graft.Util.Fs.exists(sp, verDir(m.version)) =>
         val dup = probeEmbeddingIndex(batch,
             sp.read.parquet(verDir(m.version)), sp.read.parquet(vecDir),
-            threshold, tables, m.bits, dim)
+            threshold, tables, m.bits, dim, m.kHigh)
           .select(col("id_batch").as("id")).distinct()
         batch.join(dup, Seq("id"), "left_anti")
       // meta committed but no band rows yet — the creation-crash
@@ -550,28 +610,30 @@ object Incremental {
       case _ => batch
     }).localCheckpoint()
     // first creation: the caller's sizing wins when given; bits = 0
-    // sizes the width for the corpus actually arriving, so even a
-    // blind first batch starts at its adaptive width instead of paying
+    // sizes the widths for the corpus actually arriving, so even a
+    // blind first batch starts at its adaptive widths instead of paying
     // one quadratic batch then rebuilding
-    val effBits =
-      if (meta.isDefined) curBits
-      else if (bits > 0) bits
-      else Dedup.adaptiveBits(5, novel.count(), refN)
+    val (effBits, effKHigh) = meta match {
+      case Some(m) => (m.bits, m.kHigh)
+      case None if bits > 0 => (bits, kHigh)
+      case None => Dedup.adaptiveWidths(5, novel.count(), refN, tables)
+    }
     // the creation meta is committed BEFORE the first band append: if
     // the process died between an append and a trailing meta write, a
-    // replay would re-derive a possibly DIFFERENT adaptive width and
+    // replay would re-derive possibly DIFFERENT adaptive widths and
     // append mixed-width band rows into the same v0, after which
-    // probes silently miss duplicates. Fixing effBits first makes any
-    // replay read the committed width. designN stays a placeholder
+    // probes silently miss duplicates. Fixing the widths first makes
+    // any replay read the committed pair. designN stays a placeholder
     // until the post-append count below.
     if (meta.isEmpty)
-      writeEmbIndexMeta(sp, indexDir, EmbIndexMeta(0, effBits, refN))
+      writeEmbIndexMeta(sp, indexDir,
+        EmbIndexMeta(0, effBits, refN, effKHigh))
     // within-batch near-dups: probe the novel set against its own bands
     // and drop every id with a smaller-id τ-partner (deterministic
     // keep-first; the agreement audit folds the identical rule)
     val losers = probeEmbeddingIndex(novel,
-        embeddingBandIndex(novel, tables, effBits, dim), novel,
-        threshold, tables, effBits, dim)
+        embeddingBandIndex(novel, tables, effBits, dim, effKHigh), novel,
+        threshold, tables, effBits, dim, effKHigh)
       .filter(col("id_batch") > col("id_base"))
       .select(col("id_batch").as("id")).distinct()
     val survivors = novel.join(losers, Seq("id"), "left_anti")
@@ -594,7 +656,7 @@ object Incremental {
     survivors.select(col("id"), col("batch_id"))
       .write.mode("append").parquet(outDir)
     val ver = meta.map(_.version).getOrElse(0)
-    embeddingBandIndex(survivors, tables, effBits, dim)
+    embeddingBandIndex(survivors, tables, effBits, dim, effKHigh)
       .write.mode("append").parquet(verDir(ver))
     survivors.select(col("id"), col("v"), col("nrm"))
       .write.mode("append").parquet(vecDir)
@@ -607,20 +669,22 @@ object Incremental {
         // every early doubling; replaces the placeholder committed
         // before the first append
         writeEmbIndexMeta(sp, indexDir,
-          EmbIndexMeta(0, effBits, math.max(indexedN, refN)))
+          EmbIndexMeta(0, effBits, math.max(indexedN, refN), effKHigh))
       case Some(m) if indexedN > ReindexGrowthFactor * m.designN =>
-        val newBits = Dedup.adaptiveBits(5, indexedN, refN)
-        if (newBits > m.bits) {
+        val (newBits, newKHigh) =
+          Dedup.adaptiveWidths(5, indexedN, refN, tables)
+        if (newBits > m.bits || (newBits == m.bits && newKHigh > m.kHigh)) {
           // rebuild at the wider setting into a fresh version dir; the
           // meta flip is atomic, then the stale version is dropped
           // (a crash between the two is cleaned by the entry GC above)
-          embeddingBandIndex(sp.read.parquet(vecDir), tables, newBits, dim)
+          embeddingBandIndex(sp.read.parquet(vecDir), tables, newBits,
+              dim, newKHigh)
             .write.mode("overwrite").parquet(verDir(m.version + 1))
           writeEmbIndexMeta(sp, indexDir,
-            EmbIndexMeta(m.version + 1, newBits, indexedN))
+            EmbIndexMeta(m.version + 1, newBits, indexedN, newKHigh))
           graft.Util.Fs.deleteRecursive(sp, verDir(m.version))
         } else
-          // corpus doubled but the adaptive width didn't move (refN
+          // corpus doubled but the adaptive widths didn't move (refN
           // floor): just advance the watermark so the check stays O(1)
           writeEmbIndexMeta(sp, indexDir, m.copy(designN = indexedN))
       case _ => ()
@@ -631,11 +695,12 @@ object Incremental {
     * dedups against the accumulated band index and appends to it. */
   def embeddingDedupStream(stream: DataFrame, indexDir: String,
       vecDir: String, outDir: String, threshold: Double,
-      tables: Int = 24, bits: Int = 5, dim: Int = 64) =
+      tables: Int = 24, bits: Int = 5, dim: Int = 64,
+      kHigh: Int = 0) =
     stream.writeStream.foreachBatch {
       (b: DataFrame, id: Long) =>
         processEmbeddingBatch(b, indexDir, vecDir, outDir, id, threshold,
-          tables, bits, dim)
+          tables, bits, dim, kHigh = kHigh)
     }
 
   /** The exact (all-pairs) twin of the two-batch semantic-dedup fold —
@@ -680,7 +745,7 @@ object Incremental {
   private def incrEmbTau(s: SparkSession, dir: String): Double =
     Dedup.memoTau(s, dir, 0.45)
 
-  private def vecSets(s: SparkSession, dir: String,
+  private[graft] def vecSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {
     import graft.functions.Vectors
     t(s, dir, "embeddings")
@@ -971,16 +1036,16 @@ object Incremental {
         .select(col("vec_id").cast(LongType).as("id"),
           graft.functions.Vectors.toDouble(col("embedding")).as("v"))
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
-      // creation width sized for the full replayed corpus (identity
+      // creation widths sized for the full replayed corpus (identity
       // ≤ 5k vectors, so every tuned recall/correctness number holds);
-      // past creation the width is owned by the persisted metadata and
-      // the re-index watermark covers any growth beyond this sizing
-      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
+      // past creation the widths are owned by the persisted metadata
+      // and the re-index watermark covers any growth beyond this sizing
+      val (bl, kh) = Dedup.adaptiveWidths(5, vecs.count(), 5000L, 24)
       val tau = incrEmbTau(s, dir)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 0),
-        idxDir, vecDir, outDir, 1L, tau, bits = bits)
+        idxDir, vecDir, outDir, 1L, tau, bits = bl, kHigh = kh)
       processEmbeddingBatch(vecs.filter(col("id") % 2 === 1),
-        idxDir, vecDir, outDir, 2L, tau, bits = bits)
+        idxDir, vecDir, outDir, 2L, tau, bits = bl, kHigh = kh)
       val out = s.read.parquet(outDir)
         .select(col("id"), col("batch_id"))
         .orderBy(col("id"))
@@ -1043,10 +1108,12 @@ object Incremental {
         .withColumn("nrm", graft.functions.Vectors.norm(col("v")))
       val (b1, b2) = (vecs.filter(col("id") % 2 === 0),
         vecs.filter(col("id") % 2 === 1))
-      val bits = Dedup.adaptiveBits(5, vecs.count(), 5000L)
+      val (bl, kh) = Dedup.adaptiveWidths(5, vecs.count(), 5000L, 24)
       val tau = incrEmbTau(s, dir)
-      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau, bits = bits)
-      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau, bits = bits)
+      processEmbeddingBatch(b1, idxDir, vecDir, outDir, 1L, tau,
+        bits = bl, kHigh = kh)
+      processEmbeddingBatch(b2, idxDir, vecDir, outDir, 2L, tau,
+        bits = bl, kHigh = kh)
       val streamed = s.read.parquet(outDir)
         .select(col("id"), col("batch_id")).localCheckpoint()
       graft.Util.rmrf(new java.io.File(tmp))
@@ -1130,6 +1197,14 @@ object Incremental {
           when(col("n_exact") === 0, lit(1.0)).otherwise(
             round(col("n_matched").cast(DoubleType) / col("n_exact"), 4))
             .as("recall"))
+    },
+
+    // candidate pairs per batch row of the adaptive-width embedding
+    // probe — the number the mixed-width policy holds ~constant across
+    // corpus growth (rows-only: it measures the engine, not data)
+    "audit_incr_candidates" -> { (s, dir) =>
+      incrCandidateStats(vecSets(s, dir, base = false),
+        vecSets(s, dir, base = true))
     },
 
     "audit_incr_minhash_recall" -> { (s, dir) =>

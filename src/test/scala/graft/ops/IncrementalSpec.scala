@@ -300,6 +300,112 @@ class IncrementalSpec extends AnyFunSuite {
     assert(byCol("o_orderstatus").getAs[Long]("n_distinct") <= 3L)
   }
 
+  test("adaptiveWidths: identity below refN, continuous above, occupancy within 2x of target") {
+    val (refN, tables) = (5000L, 24)
+    // identity at and below the tuned reference — every audited
+    // recall/correctness number at the shipped SFs is untouched
+    for (n <- Seq(1L, 100L, 2000L, 5000L))
+      assert(Dedup.adaptiveWidths(5, n, refN, tables) == (5, 0))
+    // boundary: both policies jump to base+1 just past refN
+    assert(Dedup.adaptiveWidths(5, refN + 1, refN, tables) == (6, 0))
+    assert(Dedup.adaptiveBits(5, refN + 1, refN) == 6)
+    var prevW = 0.0
+    for (n <- 5001L to 80000L by 37L) {
+      val (bl, kh) = Dedup.adaptiveWidths(5, n, refN, tables)
+      assert(kh >= 0 && kh < tables, s"kHigh $kh out of range at n=$n")
+      // the realized real-valued width is monotone non-decreasing
+      val w = bl + kh.toDouble / tables
+      assert(w >= prevW - 1e-9, s"width regressed at n=$n: $prevW -> $w")
+      prevW = w
+      // expected total occupancy Σ_t n/2^(b_t) stays within a 1/tables
+      // rounding step of the constant target refN/2^(base+1) per table
+      // — the 2× oscillation of the integer policy is gone
+      val occ = ((tables - kh) * n.toDouble / (1L << bl) +
+        kh * n.toDouble / (1L << (bl + 1))) / tables
+      val target = refN.toDouble / (1 << 6)
+      assert(occ > target * 0.9 && occ < target * 1.1,
+        s"occupancy $occ off target $target at n=$n (bl=$bl kh=$kh)")
+      // never wider than one bit past the integer policy, never
+      // narrower than it minus one full bit (candidates strictly ≤)
+      val ib = Dedup.adaptiveBits(5, n, refN)
+      assert(w >= ib - 1e-9 && w <= ib + 1.0 + 1e-9,
+        s"width $w vs integer $ib at n=$n")
+    }
+  }
+
+  test("mixed-width band index: narrow tables are the wide bucket's low bits") {
+    import spark.implicits._
+    val v = (0L to 40L).map { id =>
+      val arr = Array.tabulate(64)(i =>
+        math.sin(id * 37.0 + i * 1.7)) // dense, deterministic
+      (id, arr, 1.0)
+    }.toDF("id", "v", "nrm")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tb", $"id", $"bk").as[(Int, Long, Int)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val mixed = keyed(Incremental.embeddingBandIndex(v, 4, 5, 64, kHigh = 2))
+    val wide = keyed(Incremental.embeddingBandIndex(v, 4, 6, 64))
+    val narrow = keyed(Incremental.embeddingBandIndex(v, 4, 5, 64))
+    assert(mixed.nonEmpty && mixed.keySet == wide.keySet)
+    mixed.foreach { case ((tb, id), bk) =>
+      if (tb < 2) assert(bk == wide((tb, id)),
+        s"wide table $tb must keep all 6 bits")
+      else assert(bk == narrow((tb, id)),
+        s"narrow table $tb must equal the 5-bit bucket")
+      // and the 5-bit bucket IS the 6-bit bucket masked — the
+      // width-independent hyperplane property the one-pass hashing
+      // of mixed widths relies on
+      assert(narrow((tb, id)) == (wide((tb, id)) & 31))
+    }
+  }
+
+  test("mixed-width creation: meta round-trips k_high and the index dedups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_mixedw_spec").toString
+    val (idxDir, vecDir, outDir) = (s"$tmp/index", s"$tmp/vec", s"$tmp/out")
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val v = Array.fill(64)(0.0); v((id % 64).toInt) = 1.0
+        (id, v, 1.0)
+      }.toDF("id", "v", "nrm")
+    // refN = 7, 10 novel vectors → bStar = 6 + log2(10/7) ≈ 6.515:
+    // a genuinely fractional width (kHigh strictly inside (0, tables))
+    val expected = Dedup.adaptiveWidths(5, 10L, 7L, 24)
+    assert(expected._2 > 0 && expected._2 < 24, s"fixture not fractional: $expected")
+    Incremental.processEmbeddingBatch(vecs(0L to 9L), idxDir, vecDir,
+      outDir, 1L, 0.8, bits = 0, refN = 7L)
+    val m = Incremental.readEmbIndexMeta(spark, idxDir).get
+    assert((m.bits, m.kHigh) == expected, s"creation widths wrong: $m")
+    // batch 2 probes the mixed-width index: id 64 shares id 0's axis
+    // (cosine 1) and must be caught; id 10 is novel
+    Incremental.processEmbeddingBatch(vecs(Seq(10L, 64L)), idxDir, vecDir,
+      outDir, 2L, 0.8, bits = 0, refN = 7L)
+    val out = spark.read.parquet(outDir)
+      .select($"id", $"batch_id").as[(Long, Long)].collect().toMap
+    assert(!out.contains(64L), "mixed-width index failed to dedup")
+    assert(out.keySet == (0L to 10L).toSet)
+    // legacy meta without k_high reads back as uniform width
+    Incremental.writeEmbIndexMeta(spark, s"$tmp/legacy",
+      Incremental.EmbIndexMeta(0, 7, 5000L))
+    val legacyJson = graft.Util.Fs.readUtf8(spark,
+      s"$tmp/legacy/_graft_index_meta.json")
+      .replaceAll(""""k_high":\d+,""", "")
+    graft.Util.Fs.writeUtf8Atomic(spark,
+      s"$tmp/legacy/_graft_index_meta.json", legacyJson)
+    val lm = Incremental.readEmbIndexMeta(spark, s"$tmp/legacy").get
+    assert(lm == Incremental.EmbIndexMeta(0, 7, 5000L, 0))
+    graft.Util.rmrf(new java.io.File(tmp))
+  }
+
+  test("incr candidate stats: sane shape at sf0.001 (identity widths)") {
+    val r = Incremental.queries("audit_incr_candidates")(spark, sf).head()
+    assert(r.getAs[Int]("bits_low") == 5 && r.getAs[Int]("k_high") == 0)
+    assert(r.getAs[Long]("n_batch") > 0 && r.getAs[Long]("n_base") > 0)
+    assert(r.getAs[Long]("n_candidates") > 0)
+    assert(r.getAs[Double]("cand_per_batch_row") > 0.0)
+  }
+
   test("writeUtf8Atomic sweeps stale tmp orphans and leaves one file") {
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_fs_spec").toFile
