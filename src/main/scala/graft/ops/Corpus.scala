@@ -919,7 +919,20 @@ object Corpus {
     * are caught; anything else (`mc_cid`, `igshid`, ...) is out of
     * scope by choice, not oversight. Params are normalized BEFORE the
     * tracking filter so an escape-obfuscated name (`%75tm_x`) can't
-    * dodge it — which also keeps the whole canonicalizer idempotent. */
+    * dodge it — which also keeps the whole canonicalizer idempotent.
+    *
+    * KNOWN LIMIT (documented invariant, r13 advice): the IDNA fold
+    * merges the raw-Unicode and punycode spellings of a host
+    * (`bücher.de` ≡ `xn--bcher-kva.de`), but a PERCENT-ENCODED UTF-8
+    * host spelling (`b%C3%BCcher.de`) stays encoded —
+    * [[normalizePercent]] decodes unreserved ASCII only, so the
+    * multi-byte escape never reaches the fold and keys a third quota
+    * group for the same registrant. Spark and the oracle agree on
+    * this (both decode ASCII-only), so it is a scoping decision, not
+    * an engine divergence; closing it needs a UTF-8 percent-decoder
+    * on both sides. Percent-encoded hosts are rare in real crawls
+    * (browsers emit punycode), so the fold covers the two spellings
+    * that dominate. */
   def canonicalizeUrl(u: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -998,59 +1011,47 @@ object Corpus {
       s"il -> CASE $cases ELSE il END), '.')"
   }
 
-  /** Public-suffix snapshot (publicsuffix.org ICANN section, snapshot
-    * date 2026-08-15, plus representative private-section entries): a
-    * compact embedded subset — the major gTLDs + ccTLDs, the common
-    * second-level registry suffixes (`co.uk` style) up to three labels
-    * deep, and private-section suffixes (`blogspot.com`, `github.io`)
-    * where every subdomain is its own registrant. Wildcard (`*.ck`)
-    * and exception (`!www.ck`) rules live in [[WildcardSuffixBases]] /
+  /** Public-suffix literal rules — since r14 the PRODUCTION-SCALE
+    * snapshot: the complete dated publicsuffix.org list (ICANN +
+    * PRIVATE DOMAINS, ~9.4k literal entries at 1–5 labels), parsed
+    * once per JVM from the embedded resource by [[Psl]] and
+    * IDNA-folded to the punycode form the canonicalized host carries.
+    * Wildcard (`*.ck`) and exception (`!www.ck`) rules live in
+    * [[WildcardSuffixBases]]–[[WildcardSuffixBases4]] /
     * [[SuffixExceptions]] — the three rule kinds together cover the
-    * full PSL grammar, so at production scale the complete ~9k-entry
-    * list drops in as bigger literal sets with the identical plan (each
-    * membership test is a broadcast-free `InSet` hash probe,
-    * size-independent per row). One Scala value per rule kind is the
-    * single source of truth — the DuckDB oracle's suffix CTEs are
-    * generated from them. */
-  val PublicSuffixes: Seq[String] = Seq(
-    // generic + common country TLDs
-    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
-    "io", "ai", "co", "de", "fr", "uk", "au", "jp", "cn", "ru", "br",
-    "in", "it", "nl", "es", "se", "no", "fi", "dk", "pl", "ch", "at",
-    "be", "cz", "pt", "gr", "ie", "nz", "kr", "mx", "ar", "ca", "us",
-    "eu", "dev", "app", "xyz", "site", "online",
-    // second-level registry suffixes
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "me.uk", "ltd.uk",
-    "plc.uk", "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "id.au", "asn.au", "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "com.br", "net.br",
-    "org.br", "gov.br", "co.in", "net.in", "org.in", "gen.in",
-    "firm.in", "co.nz", "net.nz", "org.nz", "govt.nz", "co.kr",
-    "ne.kr", "or.kr", "go.kr", "com.mx", "org.mx", "gob.mx",
-    "com.ar", "net.ar", "org.ar", "gc.ca", "on.ca", "qc.ca", "bc.ca",
-    "ma.us", "ca.us", "ny.us",
-    // third-level registry suffixes (US school districts)
-    "k12.ma.us", "cc.ma.us", "k12.ca.us", "k12.ny.us",
-    // private-section entries (PSL PRIVATE DOMAINS): hosting platforms
-    // where each subdomain is an independent registrant
-    "blogspot.com", "github.io", "gitlab.io")
+    * full PSL grammar. Each membership test is a broadcast-free
+    * `InSet` hash probe, size-independent per row, so the full list
+    * keeps the r13 curated-subset plan byte-for-byte in shape (five
+    * bigger literal sets, zero extra exchanges). One Scala value per
+    * rule kind is the single source of truth — the DuckDB oracle's
+    * suffix CTEs are generated from them. */
+  val PublicSuffixes: Seq[String] =
+    (1 to 5).flatMap(k => Psl.rules.literals.getOrElse(k, Nil))
 
   /** PSL wildcard rules (`*.<base>`): any single label directly under
     * the base is itself a public suffix — `foo.ck` is a suffix, so
-    * `a.foo.ck` is the registrable domain. Snapshot of the PSL's
-    * one-label-base wildcards that real crawls hit (the full list adds
-    * `*.er`, `*.fk`, … — same shape, bigger literal). */
-  val WildcardSuffixBases: Seq[String] = Seq("ck", "mm", "bd", "np")
+    * `a.foo.ck` is the registrable domain. One-label bases (`*.ck`,
+    * `*.np`, …). */
+  val WildcardSuffixBases: Seq[String] =
+    Psl.rules.wildcardBases.getOrElse(1, Nil)
 
   /** Two-label wildcard bases (`*.kawasaki.jp` style — the Japanese
-    * city registries are the real PSL's main instance): any single
-    * label directly under the base is a suffix, so
-    * `a.ward.kawasaki.jp` registers under `a.ward.kawasaki.jp`'s
-    * 3-label tail `ward.kawasaki.jp` + one label. Same InSet probe,
-    * k=3 slot. */
+    * city registries plus cloud-platform zones): any single label
+    * directly under the base is a suffix, so `a.ward.kawasaki.jp`
+    * registers under `ward.kawasaki.jp` + one label. Same InSet
+    * probe, k=3 slot. */
   val WildcardSuffixBases2: Seq[String] =
-    Seq("kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-      "sapporo.jp", "sendai.jp", "yokohama.jp")
+    Psl.rules.wildcardBases.getOrElse(2, Nil)
+
+  /** Three-label wildcard bases (`*.compute.amazonaws.com` style) —
+    * k=4 slot. */
+  val WildcardSuffixBases3: Seq[String] =
+    Psl.rules.wildcardBases.getOrElse(3, Nil)
+
+  /** Four-label wildcard bases (`*.compute.amazonaws.com.cn`, the
+    * list's deepest wildcards) — k=5 slot. */
+  val WildcardSuffixBases4: Seq[String] =
+    Psl.rules.wildcardBases.getOrElse(4, Nil)
 
   /** PSL exception rules (`!<host>`): carve-outs from a wildcard — the
     * named host is NOT a public suffix but a registrable domain itself
@@ -1059,13 +1060,12 @@ object Corpus {
     * like the literal suffixes: the real PSL carries 2-label
     * (`!www.ck`) and 3-label (`!city.kawasaki.jp`, carved from
     * `*.kawasaki.jp`) exceptions and nothing deeper. */
-  val SuffixExceptions: Seq[String] = Seq("www.ck")
+  val SuffixExceptions: Seq[String] =
+    Psl.rules.exceptions.getOrElse(2, Nil)
 
   /** Three-label exception rules (see [[SuffixExceptions]]). */
   val SuffixExceptions3: Seq[String] =
-    Seq("city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
-      "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
-      "city.yokohama.jp")
+    Psl.rules.exceptions.getOrElse(3, Nil)
 
   /** Registrable domain (eTLD+1) of a canonical (lowercased,
     * port-free) host: the longest [[PublicSuffixes]] entry matching a
@@ -1118,8 +1118,14 @@ object Corpus {
     // effective suffix length j+1).
     val kM = when(n > 2 && tailK(3).isin(SuffixExceptions3: _*), 2)
       .when(n > 1 && tailK(2).isin(SuffixExceptions: _*), 1)
+      .when(n === 5 && tailK(4).isin(WildcardSuffixBases4: _*), 0)
+      .when(n === 4 && tailK(3).isin(WildcardSuffixBases3: _*), 0)
       .when(n === 3 && tailK(2).isin(WildcardSuffixBases2: _*), 0)
       .when(n === 2 && tailK(1).isin(WildcardSuffixBases: _*), 0)
+      .when(n > 5 && (inSet(5) ||
+        tailK(4).isin(WildcardSuffixBases4: _*)), 5)
+      .when(n > 4 && (inSet(4) ||
+        tailK(3).isin(WildcardSuffixBases3: _*)), 4)
       .when(n > 3 && (inSet(3) ||
         tailK(2).isin(WildcardSuffixBases2: _*)), 3)
       .when(n > 2 && (inSet(2) ||
@@ -1260,6 +1266,10 @@ object Corpus {
                .map(s => s"'$s'").mkString(",")}]) AS base),
          |wild2 AS (SELECT unnest([${WildcardSuffixBases2
                .map(s => s"'$s'").mkString(",")}]) AS base),
+         |wild3 AS (SELECT unnest([${WildcardSuffixBases3
+               .map(s => s"'$s'").mkString(",")}]) AS base),
+         |wild4 AS (SELECT unnest([${WildcardSuffixBases4
+               .map(s => s"'$s'").mkString(",")}]) AS base),
          |exc AS (SELECT unnest([${SuffixExceptions
                .map(s => s"'$s'").mkString(",")}]) AS rule),
          |exc3 AS (SELECT unnest([${SuffixExceptions3
@@ -1267,7 +1277,7 @@ object Corpus {
          |hh AS (SELECT doc_id, host, string_split(host, '.') AS ls
          |  FROM q WHERE scheme <> ''),
          |cand AS (SELECT hh.doc_id, k.k FROM hh
-         |  CROSS JOIN (VALUES (1),(2),(3)) k(k)
+         |  CROSS JOIN (VALUES (1),(2),(3),(4),(5)) k(k)
          |  JOIN sfx ON len(hh.ls) > k.k
          |    AND array_to_string(
          |      hh.ls[len(hh.ls)-k.k+1:len(hh.ls)], '.') = sfx.suffix
@@ -1279,7 +1289,17 @@ object Corpus {
          |  SELECT hh.doc_id, 3 AS k FROM hh
          |  JOIN wild2 ON len(hh.ls) > 3
          |    AND array_to_string(
-         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = wild2.base),
+         |      hh.ls[len(hh.ls)-1:len(hh.ls)], '.') = wild2.base
+         |  UNION ALL
+         |  SELECT hh.doc_id, 4 AS k FROM hh
+         |  JOIN wild3 ON len(hh.ls) > 4
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-2:len(hh.ls)], '.') = wild3.base
+         |  UNION ALL
+         |  SELECT hh.doc_id, 5 AS k FROM hh
+         |  JOIN wild4 ON len(hh.ls) > 5
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-3:len(hh.ls)], '.') = wild4.base),
          |excm AS (SELECT doc_id, max(k) AS k FROM (
          |  SELECT hh.doc_id, 1 AS k FROM hh
          |  JOIN exc ON len(hh.ls) >= 2
@@ -1298,7 +1318,17 @@ object Corpus {
          |  UNION
          |  SELECT hh.doc_id FROM hh
          |  JOIN wild ON len(hh.ls) = 2
-         |    AND hh.ls[len(hh.ls)] = wild.base),
+         |    AND hh.ls[len(hh.ls)] = wild.base
+         |  UNION
+         |  SELECT hh.doc_id FROM hh
+         |  JOIN wild3 ON len(hh.ls) = 4
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-2:len(hh.ls)], '.') = wild3.base
+         |  UNION
+         |  SELECT hh.doc_id FROM hh
+         |  JOIN wild4 ON len(hh.ls) = 5
+         |    AND array_to_string(
+         |      hh.ls[len(hh.ls)-3:len(hh.ls)], '.') = wild4.base),
          |best AS (SELECT doc_id, max(k) AS k FROM cand GROUP BY doc_id),
          |regd AS (SELECT hh.doc_id, hh.host,
          |    CASE WHEN ek.k IS NOT NULL

@@ -359,18 +359,62 @@ class CorpusSpec extends AnyFunSuite {
       // registrant (blogspot.com itself is a bare suffix → self-map)
       ("foo.blogspot.com", "foo.blogspot.com"),
       ("a.foo.blogspot.com", "foo.blogspot.com"),
-      ("blogspot.com", "blogspot.com"))
+      ("blogspot.com", "blogspot.com"),
+      // ---- full-list depths (r14: production PSL snapshot) ----
+      // 4-label literal suffix (schools.nsw.edu.au)
+      ("myschool.schools.nsw.edu.au", "myschool.schools.nsw.edu.au"),
+      ("a.myschool.schools.nsw.edu.au", "myschool.schools.nsw.edu.au"),
+      ("schools.nsw.edu.au", "schools.nsw.edu.au"), // bare 4-label suffix
+      // 5-label literal suffix (AWS S3 dualstack zones)
+      ("b.s3.dualstack.ap-south-1.amazonaws.com",
+        "b.s3.dualstack.ap-south-1.amazonaws.com"),
+      ("x.b.s3.dualstack.ap-south-1.amazonaws.com",
+        "b.s3.dualstack.ap-south-1.amazonaws.com"),
+      // 3-label wildcard base *.compute.amazonaws.com: any label under
+      // it is a suffix; its children are registrants
+      ("abc.compute.amazonaws.com", "abc.compute.amazonaws.com"),
+      ("vm.abc.compute.amazonaws.com", "vm.abc.compute.amazonaws.com"),
+      ("x.vm.abc.compute.amazonaws.com", "vm.abc.compute.amazonaws.com"),
+      // 4-label wildcard base *.compute.amazonaws.com.cn (the list's
+      // deepest wildcard rules)
+      ("z.compute.amazonaws.com.cn", "z.compute.amazonaws.com.cn"),
+      ("i.z.compute.amazonaws.com.cn", "i.z.compute.amazonaws.com.cn"),
+      ("y.i.z.compute.amazonaws.com.cn", "i.z.compute.amazonaws.com.cn"),
+      // unicode rule (公司.cn) is stored punycode-folded, matching the
+      // canonicalized host spelling
+      ("a.xn--55qx5d.cn", "a.xn--55qx5d.cn"),
+      ("b.a.xn--55qx5d.cn", "a.xn--55qx5d.cn"))
     import spark.implicits._
     val got = cases.map(_._1).toDF("h")
       .select(Corpus.registrableDomain(col("h"))).as[String].collect()
-    assert(got.toSeq == cases.map(_._2))
-    // longest match is an invariant of the snapshot itself: every
-    // multi-label suffix's own tail must also be in the snapshot (so
-    // the k=3 probe can never be shadowed by a missing k=2 entry)
-    Corpus.PublicSuffixes.filter(_.contains('.')).foreach { s =>
-      val parent = s.split('.').drop(1).mkString(".")
-      assert(Corpus.PublicSuffixes.contains(parent) || parent.isEmpty,
-        s"suffix $s lacks its parent $parent in the snapshot")
+    got.zip(cases).foreach { case (g, (h, want)) =>
+      assert(g == want, s"registrableDomain($h) = $g, want $want")
     }
+    // snapshot shape: the embedded dated list's measured rule counts
+    // (a drift here means the resource file changed — re-adjudicate)
+    assert(Corpus.PublicSuffixes.size > 9000,
+      s"literal rules ${Corpus.PublicSuffixes.size}")
+    assert(Corpus.WildcardSuffixBases.nonEmpty &&
+      Corpus.WildcardSuffixBases2.nonEmpty &&
+      Corpus.WildcardSuffixBases3.nonEmpty &&
+      Corpus.WildcardSuffixBases4.nonEmpty)
+    assert(Corpus.SuffixExceptions.size == 1 &&
+      Corpus.SuffixExceptions3.size == 7)
+    // every rule is stored in ASCII (punycode) form — the form the
+    // canonicalized host carries after the IDNA fold
+    val all = Corpus.PublicSuffixes ++ Corpus.WildcardSuffixBases ++
+      Corpus.WildcardSuffixBases2 ++ Corpus.WildcardSuffixBases3 ++
+      Corpus.WildcardSuffixBases4 ++ Corpus.SuffixExceptions ++
+      Corpus.SuffixExceptions3
+    assert(all.forall(_.forall(_ < 0x80)), "non-ASCII rule survived fold")
+    assert(Corpus.PublicSuffixes.contains("xn--55qx5d.cn"))
+    // the r13 curated subset is a strict subset of the full list —
+    // every previously-tested rule still resolves
+    Seq("com", "co.uk", "k12.ma.us", "blogspot.com", "github.io")
+      .foreach(s => assert(Corpus.PublicSuffixes.contains(s), s))
+    assert(Corpus.WildcardSuffixBases.contains("ck"))
+    assert(Corpus.WildcardSuffixBases2.contains("kawasaki.jp"))
+    assert(Corpus.SuffixExceptions.contains("www.ck"))
+    assert(Corpus.SuffixExceptions3.contains("city.kawasaki.jp"))
   }
 }
