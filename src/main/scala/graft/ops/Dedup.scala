@@ -527,12 +527,13 @@ object Dedup {
     * tokens are outside B) — an existence filter (≥ 1 shared prefix
     * token) left 17M of 25M possible pairs as candidates on the
     * templated synthetic corpus; requiring the count collapses that to
-    * ~1.6k. Because the filter holds for any fixed per-doc prefix, the
-    * in-memory branch counts straight off the scan's hash-set order;
-    * only the distributed branch pays for the AllPairs df-ASCENDING
-    * re-sort (rarest tokens first → near-singleton prefix postings on
-    * Zipf vocabularies), because there the prefix ⋈ postings join
-    * volume is what the ordering controls.
+    * ~1.6k. BOTH branches count df-ASCENDING prefixes (rarest tokens
+    * first): under the MaxBucket cap the prefix order governs recall —
+    * a dropped common token in a hash-order prefix counts as a miss —
+    * and in the distributed branch the ordering additionally bounds
+    * the prefix ⋈ postings join volume (near-singleton prefix postings
+    * on Zipf vocabularies). audit_containment_recall freezes the
+    * measured recall with its 0.95 floor column per round.
     *
     * `materializeCands` localCheckpoints the post-filter candidate list
     * (provably tiny) so the verify join plans against its actual size.
@@ -552,14 +553,29 @@ object Dedup {
     }
     // The pigeonhole count filter is correct for ANY choice of m "first"
     // tokens per doc (at most mm of A's tokens — any mm — can be outside
-    // B when containment ≥ τ), so the hash-set order the scan already
-    // provides is a valid prefix basis. The df-ascending re-sort (one
-    // join + two extra shuffles + a per-doc sort) only pays for itself
-    // in the DISTRIBUTED branch, where prefix-token posting sizes set
-    // the join volume — so it is built there and only there; the
-    // in-memory branch counts against the full capped postings map and
-    // is insensitive to prefix rarity.
-    val sets = raw0.select(col("id"), col("h0").as("hs"))
+    // B when containment ≥ τ) — but only against UNCAPPED postings.
+    // Under the MaxBucket cap a dropped token in A's prefix counts as a
+    // miss A didn't really have, so prefix ORDER governs recall: with
+    // df-ASCENDING prefixes the m counted tokens are A's rarest and a
+    // dropped (df > cap) token lands in a prefix only when nearly ALL
+    // of A is boilerplate, while hash-set-order prefixes admit common
+    // dropped tokens at their natural rate. The r13 sweep measured
+    // exactly that: the in-memory branch (which skipped the re-sort on
+    // the join-volume argument — true for volume, wrong for recall)
+    // read audit_containment_recall 0.7385 at sf0.1; df-ascending
+    // prefixes with the SAME cap read 1.0. So the re-sort (one join +
+    // two extra shuffles + a per-doc sort, all linear in corpus tokens)
+    // is hoisted here and BOTH branches count df-ascending prefixes;
+    // the distributed branch additionally needs it to bound its
+    // pref ⋈ postings join volume on Zipf vocabularies.
+    val toks0 = raw0.select(col("id"), explode(col("h0")).as("tok"))
+    val dfreq0 = toks0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sets = toks0.join(dfreq0, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("st"))
+      .select(col("id"),
+        transform(col("st"), s => s.getField("tok")).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // postings capped at MaxBucket: a dropped (stopword-like) token in a
     // doc's prefix counts as a miss it didn't really have — the same
@@ -585,22 +601,15 @@ object Dedup {
       if (postingVolume <= BroadcastPostingsCap)
         inMemoryPairCount(sets, postings, threshold)
       else {
-        // df-ascending prefix rebuild: rare tokens first keeps the
-        // pref ⋈ postings volume near-linear on Zipf vocabularies
-        val toks = sets.select(col("id"), explode(col("hs")).as("tok"))
-        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-        val sorted = toks.join(dfreq, "tok")
-          .groupBy("id")
-          .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-            .as("st"))
-          .select(col("id"),
-            transform(col("st"), s => s.getField("tok")).as("hs"))
-        // miss budget and extended-prefix length per doc (integer-exact:
-        // |A∩B| ≥ τ|A| ⟺ |A∩B| ≥ ceil(τ|A|), the intersect is integral)
+        // `sets` is already df-ascending (hoisted above): rare tokens
+        // first keeps the pref ⋈ postings volume near-linear on Zipf
+        // vocabularies. Miss budget and extended-prefix length per doc
+        // (integer-exact: |A∩B| ≥ τ|A| ⟺ |A∩B| ≥ ceil(τ|A|), the
+        // intersect is integral)
         val sz = size(col("hs"))
         val missMax = (sz - ceil(sz * threshold)).cast(IntegerType)
         val prefLen = least(sz, missMax * 2 + 1).cast(IntegerType)
-        val pref = sorted.select(col("id").as("id_a"), missMax.as("mm"),
+        val pref = sets.select(col("id").as("id_a"), missMax.as("mm"),
           prefLen.as("m"),
           explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
         // The pair-instance count runs over Σ_tok pref(tok)·|posting|
@@ -968,12 +977,19 @@ object Dedup {
       containmentPairs(docs, "doc_id", "sh", 0.8)
         .orderBy(col("id_a"), col("id_b"))
     },
+    // the STATED floor rides in the artifact next to the measurement
+    // (r13 ask 4): recall below `floor` at any SF is a regression, not
+    // a tunable. r13 read 0.7385 at sf0.1 — root cause was hash-order
+    // prefixes in the in-memory branch interacting with the MaxBucket
+    // cap, fixed by counting df-ascending prefixes in both branches
+    // (see containmentPlan); measured 1.0 at both SFs since.
     "audit_containment_recall" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           Text.charShingleHashes(col("text"), 5).as("sh"))
       pairRecall(containmentPairs(docs, "doc_id", "sh", 0.8),
         exactContainmentPairs(s, dir, 0.8))
+        .withColumn("floor", lit(0.95))
     },
     // near-dup clustering: connected components over the exact pairs +
     // canonical-representative selection (keep = min id per component)
@@ -1014,27 +1030,29 @@ object Dedup {
     // cheap 8-table × 10-bit multiprobe configuration: per-table hit
     // q = p¹⁰ + 10·p⁹(1−p) ≈ 0.57 at p = 1 − acos(0.9)/π ≈ 0.856, so
     // per-pair recall ≈ 1 − (1−q)⁸ ≈ 0.999 at ~1/6 the banding volume.
-    // Rows-only: the shipped synthetic embeddings have NO pairs at
-    // τ ≥ 0.7 (measured), so this query legitimately returns 0 rows
-    // here; audit_embedding_ann_tight_recall reports n_exact = 0 /
-    // recall 1.0 explicitly and would surface any miss on regenerated
-    // data that does contain tight pairs.
+    // Input = the corpus PLUS deterministic near-duplicate twins
+    // ([[embWithTwins]]): the shipped synthetic embeddings have NO
+    // pairs at τ ≥ 0.7 (measured), which left this query returning 0
+    // rows and its recall audit vacuous (r13 verdict: n_exact = 0 at
+    // both SFs). The twin arm plants pairs ABOVE the tight τ so the
+    // audit measures the operator on a non-empty answer. Rows-only by
+    // the LSH contract.
     "dedup_embedding_ann_tight" -> { (s, dir) =>
       // 8×10 tuned at ≤5k vectors; widen past that (adaptiveBits) so
       // bucket size stays bounded at probe scale
-      val emb = t(s, dir, "embeddings")
+      val emb = embWithTwins(s, dir)
       val bits = adaptiveBits(10, emb.count(), 5000L)
-      embeddingNearDupPairs(emb, "vec_id", "embedding",
+      embeddingNearDupPairs(emb, "vec_id", "v",
         0.9, tables = 8, bits = bits, multiprobe = true)
         .orderBy(col("id_a"), col("id_b"))
     },
     "audit_embedding_ann_tight_recall" -> { (s, dir) =>
-      val emb = t(s, dir, "embeddings")
+      val emb = embWithTwins(s, dir)
       val bits = adaptiveBits(10, emb.count(), 5000L)
       pairRecall(
-        embeddingNearDupPairs(emb, "vec_id", "embedding",
+        embeddingNearDupPairs(emb, "vec_id", "v",
           0.9, tables = 8, bits = bits, multiprobe = true),
-        exactCosinePairs(s, dir, 0.9))
+        exactCosinePairsOf(emb, 0.9))
     },
     // SimHash hamming-distance near-dup (not SQL-expressible)
     "dedup_simhash" -> { (s, dir) =>
@@ -1068,6 +1086,30 @@ object Dedup {
     }
   )
 
+  /** The embeddings corpus plus DETERMINISTIC near-duplicate twins:
+    * for every vec_id ≡ 3 (mod 50), a twin at id + 10⁹ whose
+    * components are the original's scaled by 1 + 0.12·sin(id·7 +
+    * i·1.3) — a fixed ±12% relative perturbation, so cosine(v, twin)
+    * lands ≈ 0.993–0.997, safely above the production τ = 0.9. The
+    * shipped synthetic embeddings carry no pairs at τ ≥ 0.7, which
+    * left the tight-ANN query answer-empty and its recall audit
+    * vacuous (r13 verdict ask 2: n_exact = 0 at BOTH SFs); this arm
+    * plants ~2% twins so n_exact > 0 and recall is measured on a real
+    * answer. Pure per-row column ops — no UDF, no shuffle; the twin
+    * branch is a filtered second scan unioned on. */
+  private[ops] def embWithTwins(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Vectors
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    val twins = base.filter(col("vec_id") % 50 === 3)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          x * (lit(1.0) + lit(0.12) *
+            sin(col("vec_id") * lit(7.0) + i.cast(DoubleType) * lit(1.3))))
+          .as("v"))
+    base.unionAll(twins)
+  }
+
   /** Exact all-pairs embedding-cosine pairs at `threshold` — the O(n²)
     * correctness anchor the banded [[embeddingNearDupPairs]] path
     * approximates (small-scale-only by design, like
@@ -1075,14 +1117,24 @@ object Dedup {
   private[ops] def exactCosinePairs(s: SparkSession, dir: String,
       threshold: Double): DataFrame = {
     import graft.functions.Vectors
+    exactCosinePairsOf(t(s, dir, "embeddings")
+      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v")),
+      threshold)
+  }
+
+  /** [[exactCosinePairs]] over an already-derived (vec_id, v) frame —
+    * the anchor the twin-fixture audit compares against. */
+  private[ops] def exactCosinePairsOf(emb: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.Vectors
     // norms computed once per vector (not per pair); the pair loop is
     // a single codegen'd dot product
-    val e = t(s, dir, "embeddings")
-      .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
+    val e = emb.select(col("vec_id"), col("v"))
       .withColumn("nrm", Vectors.norm(col("v")))
     // spread the probe side: a single-file corpus would otherwise run
     // the whole pair loop in one task (see dedup_jaccard_exact)
-    val a = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val a = e.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id").as("id_a"), col("v").as("va"),
         col("nrm").as("na"))
     val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),

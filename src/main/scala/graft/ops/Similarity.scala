@@ -521,6 +521,38 @@ object Similarity {
     t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
 
+  /** Deterministic PLANTED-CLUSTER fixture derived from the embeddings
+    * table: vector i = 2·centroid(vec_id mod k) + original_i, with
+    * unit-norm seeded pseudo-random centroids (MurmurHash3 over
+    * (cluster, dim), the [[hyperplanes]] generator family). The
+    * originals are unit vectors with pair cosines ~N(0, 1/64), so
+    * within-cluster cosine lands ≈ A²/(A²+1) = 0.8 and cross-cluster
+    * ≈ 0.8·(cᵢ·cⱼ) ≈ ±0.1 — a corpus the IVF partition CAN separate.
+    * Purpose (r13 verdict ask 3): on the near-structureless shipped
+    * embeddings, IVF recall is bounded by the nprobe/k scan fraction
+    * (frozen at 0.58/0.66), so the audit measured the FIXTURE, not the
+    * index; on this derivation a working index must reach ≈1.0 recall
+    * at nprobe = 4 of 16 and a broken one cannot, so the audit floor
+    * (≥ 0.9, OpsSpec) is a real measurement of cluster routing.
+    * Pure per-row column ops (one zip_with over a literal centroid
+    * matrix) — no UDF, no shuffle. */
+  private[ops] def clusteredCorpus(s: SparkSession, dir: String): DataFrame = {
+    val cents: Seq[Array[Double]] = (0 until IvfClusters).map { g =>
+      val raw = Array.tabulate(64) { i =>
+        scala.util.hashing.MurmurHash3.productHash((g, i), seed = 7)
+          .toDouble / Int.MaxValue
+      }
+      val nrm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ * 2.0 / nrm) // A = 2 pre-applied
+    }
+    val centArr = array(cents.map(a => array(a.map(lit(_)): _*)): _*)
+    corpus(s, dir).select(col("vec_id"),
+      zip_with(
+        element_at(centArr,
+          (col("vec_id") % IvfClusters).cast(IntegerType) + 1),
+        col("v"), (c, x) => c + x).as("v"))
+  }
+
   private def labeled(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -645,8 +677,14 @@ object Similarity {
       ivfPqTopK(c, probes(c), 5)
         .orderBy(col("query_id"), col("rank"))
     },
+    // recall on the PLANTED-CLUSTER fixture (r14): on the shipped
+    // near-structureless embeddings this audit was bounded by the
+    // nprobe/k scan fraction (0.58/0.66 frozen in AUDITS_r13) and
+    // could not tell a working index from a broken one; on
+    // clusteredCorpus a working IVF routes each probe to its planted
+    // cluster and recall must clear the ≥ 0.9 floor (OpsSpec)
     "audit_ivfpq_recall" -> { (s, dir) =>
-      val c = corpus(s, dir)
+      val c = clusteredCorpus(s, dir)
       recallVsBruteForce(ivfPqTopK(c, probes(c), 5),
         bruteForceTopK(c, probes(c), 5))
     },
@@ -729,10 +767,24 @@ object Similarity {
       recallVsBruteForce(lshTopK(c, probes(c), 5),
         bruteForceTopK(c, probes(c), 5))
     },
+    // planted-cluster fixture since r14 — see audit_ivfpq_recall
     "audit_sim_ivf_recall" -> { (s, dir) =>
-      val c = corpus(s, dir)
+      val c = clusteredCorpus(s, dir)
       recallVsBruteForce(ivfTopK(c, probes(c), 5),
         bruteForceTopK(c, probes(c), 5))
+    },
+    // the frozen recall-vs-nprobe curve on the SAME fixture: recall
+    // must rise monotonically to 1.0 at nprobe = k (no pruning =
+    // exact, OpsSpec), and the nprobe = 4 row is the floor-checked
+    // operating point. Multi-row → recorded in AUDITS' full row set.
+    "audit_ivf_nprobe_curve" -> { (s, dir) =>
+      val c = clusteredCorpus(s, dir)
+      val exact = bruteForceTopK(c, probes(c), 5)
+      Seq(1, 2, 4, 8, 16).map { np =>
+        recallVsBruteForce(ivfTopK(c, probes(c), 5, nprobe = np), exact)
+          .select(lit(np).as("nprobe"), col("n_exact"), col("n_matched"),
+            col("recall"))
+      }.reduce(_ unionAll _).orderBy(col("nprobe"))
     },
     // radius (range) search: all corpus vectors within cosine ≥ τ of a
     // fixed probe — the probe is a broadcast scalar row, the corpus is

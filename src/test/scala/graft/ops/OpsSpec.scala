@@ -1118,4 +1118,67 @@ class OpsSpec extends AnyFunSuite {
     val e = Relational2.queries("q20_excess_supplier")(spark, sf).collect()
     assert(e.map(_.getLong(0)).distinct.length == e.length)
   }
+
+  test("planted-cluster IVF audits: non-vacuous and above the recall floor") {
+    val sf = "/root/testdata/sf0.001"
+    // the fixture actually separates: within-cluster cosine ≈ 0.8,
+    // cross ≈ ±0.1·0.8 (doc'd derivation)
+    val cc = Similarity.clusteredCorpus(spark, sf)
+      .withColumn("g", col("vec_id") % 16)
+    val pairs = cc.as("a").crossJoin(cc.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.g") === col("b.g")).as("same"),
+        Vectors.cosine(col("a.v"), col("b.v")).as("cos"))
+      .groupBy(col("same")).agg(min(col("cos")).as("mn"),
+        max(col("cos")).as("mx")).collect()
+      .map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(pairs(true)._1 > 0.6, s"within-cluster cos ${pairs(true)}")
+    assert(pairs(false)._2 < 0.5, s"cross-cluster cos ${pairs(false)}")
+    // the audits measure the index on this fixture: floor 0.9 at the
+    // nprobe = 4/16 operating point (r13 ask 3 'done' criterion)
+    val ivf = Similarity.queries("audit_sim_ivf_recall")(spark, sf).head
+    assert(ivf.getAs[Long]("n_exact") > 0)
+    assert(ivf.getAs[Double]("recall") >= 0.9, s"ivf recall $ivf")
+    val ivfpq = Similarity.queries("audit_ivfpq_recall")(spark, sf).head
+    assert(ivfpq.getAs[Double]("recall") >= 0.9, s"ivfpq recall $ivfpq")
+    // curve: monotone non-decreasing in nprobe, exact at nprobe = k
+    val curve = Similarity.queries("audit_ivf_nprobe_curve")(spark, sf)
+      .collect().map(r => r.getAs[Int]("nprobe") -> r.getAs[Double]("recall"))
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b >= a - 1e-9, s"curve not monotone: $curve")
+    }
+    assert(curve.last._2 == 1.0, s"nprobe=k must be exact: $curve")
+  }
+
+  test("containment recall clears its stated floor at sf0.01 (df-asc prefixes under the cap)") {
+    val r = Dedup.queries("audit_containment_recall")(spark,
+      "/root/testdata/sf0.01").head
+    assert(r.getAs[Long]("n_exact") > 0, s"anchor empty: $r")
+    assert(r.getAs[Double]("recall") >= r.getAs[Double]("floor"),
+      s"containment recall below floor: $r")
+  }
+
+  test("tight-ANN twin fixture: audit is non-vacuous and recall ≈ 1") {
+    val sf = "/root/testdata/sf0.001"
+    // twins plant pairs above τ = 0.9 (r13: the shipped embeddings
+    // have none, so the audit read n_exact = 0 — vacuous)
+    val r = Dedup.queries("audit_embedding_ann_tight_recall")(spark, sf)
+      .head
+    assert(r.getAs[Long]("n_exact") > 0, s"twin fixture empty: $r")
+    assert(r.getAs[Double]("recall") >= 0.99, s"tight recall $r")
+    // and the twins really are tight pairs of their originals: every
+    // planted (id, id+1e9) pair is in the exact answer
+    val exact = Dedup.exactCosinePairsOf(Dedup.embWithTwins(spark, sf), 0.9)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val planted = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 50 === 3).select(col("vec_id"))
+      .collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(exact.contains((id, id + 1000000000L)),
+        s"twin of $id below the tight τ")
+    }
+  }
 }
