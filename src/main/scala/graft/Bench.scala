@@ -160,14 +160,18 @@ object Bench {
     * bytes stable within 1% are box-window noise; anything more is
     * signal worth a root-cause. Totals are computed over the COMMON
     * query set only (the r12 advice lesson: a new query's seconds are
-    * not a regression), failed rows (sec < 0) excluded. Byte
-    * resolution is 0.1 MB, so the 1% test carries a 0.3 MB absolute
-    * floor — sub-floor rows cannot express a meaningful 1%. Returns
-    * (class, commonPriorTotal, commonTotal, driftedBytes). */
+    * not a regression), failed rows (sec < 0) excluded. An EMPTY
+    * filtered common set (disjoint SPARK_GRAFT_BENCH_ONLY subset, or
+    * all rows failed) is "incomparable", not a 0/0 "signal" — the
+    * r13 advice fix. Byte resolution is 0.1 MB, so the 1% test
+    * carries a 0.3 MB absolute floor — sub-floor rows cannot express
+    * a meaningful 1%. Returns (class, commonPriorTotal, commonTotal,
+    * driftedBytes, |filtered common set| — the size the totals were
+    * actually computed over, NOT the raw key intersection). */
   def classifyVsPrior(priorSec: Map[String, Double],
       curSec: Map[String, Double], priorBytes: Map[String, Double],
       curBytes: Map[String, Double])
-      : (String, Double, Double, Seq[(String, Double, Double)]) = {
+      : (String, Double, Double, Seq[(String, Double, Double)], Int) = {
     val common = curSec.keySet.intersect(priorSec.keySet)
       .filter(q => curSec(q) >= 0 && priorSec(q) >= 0)
     val pTot = common.toSeq.map(priorSec).sum
@@ -178,9 +182,12 @@ object Bench {
         if math.abs(c - p) > math.max(0.01 * p, 0.3)
       } yield (q, p, c)
     }
-    val wallNoise = pTot > 0 && math.abs(cTot / pTot - 1.0) <= 0.15
-    (if (wallNoise && drifted.isEmpty) "noise" else "signal",
-      pTot, cTot, drifted)
+    val cls =
+      if (common.isEmpty) "incomparable"
+      else if (pTot > 0 && math.abs(cTot / pTot - 1.0) <= 0.15 &&
+        drifted.isEmpty) "noise"
+      else "signal"
+    (cls, pTot, cTot, drifted, common.size)
   }
 
   def main(args: Array[String]): Unit = {
@@ -414,15 +421,18 @@ object Bench {
           }.toMap
           case _ => Map.empty
         }
-        val (cls, pTot, cTot, drifted) =
+        val (cls, pTot, cTot, drifted, nCommon) =
           classifyVsPrior(dmap("queries"), curSecMap,
             dmap("shuffle_write_mb"), curBytesMap)
-        val ratio = if (pTot > 0)
-          math.round(cTot / pTot * 1000) / 1000.0 else -1.0
-        val dj = drifted.map { case (q, p, c) => s""""$q":[$p,$c]""" }
-          .mkString("{", ",", "}")
-        val nCommon = curSecMap.keySet.intersect(dmap("queries").keySet).size
-        s""""vs_prior":{"compared":true,"common_queries":$nCommon,"prior_total_common":${math.round(pTot * 1000) / 1000.0},"total_common":${math.round(cTot * 1000) / 1000.0},"wall_ratio":$ratio,"drifted_bytes":$dj,"class":"$cls"}"""
+        if (cls == "incomparable")
+          s""""vs_prior":{"compared":false,"reason":"no common non-failed queries with the prior (disjoint subset or all rows failed)","common_queries":0}"""
+        else {
+          val ratio = if (pTot > 0)
+            math.round(cTot / pTot * 1000) / 1000.0 else -1.0
+          val dj = drifted.map { case (q, p, c) => s""""$q":[$p,$c]""" }
+            .mkString("{", ",", "}")
+          s""""vs_prior":{"compared":true,"common_queries":$nCommon,"prior_total_common":${math.round(pTot * 1000) / 1000.0},"total_common":${math.round(cTot * 1000) / 1000.0},"wall_ratio":$ratio,"drifted_bytes":$dj,"class":"$cls"}"""
+        }
       }
     } catch { case e: Throwable =>
       s""""vs_prior":{"compared":false,"reason":"no parseable prior (${e.getClass.getSimpleName})"}"""

@@ -27,6 +27,7 @@ object Profile {
     what match {
       case "quota_skew" => profileQuotaSkew(spark, sfDir)
       case "incr_candidates" => profileIncrCandidates(spark, sfDir)
+      case "kneser" => profileKneser(spark, sfDir)
       case "containment" => profileContainment(spark, sfDir)
       case "containment2" => profileContainment2(spark, sfDir)
       case "containment3" => profileContainment3(spark, sfDir)
@@ -64,6 +65,35 @@ object Profile {
       catch { case e: Throwable =>
         System.err.println(s"[profile] record write failed: ${e.getMessage}") }
     }
+
+  /** Per-leg breakdown of text_kneser_ney (r13 ask 7: its 10×/3× wall
+    * ratio drifted 2.72 → 4.2 across rounds at byte-stable counters):
+    * times each count-table build and the final join separately and
+    * prints the table cardinalities, so "which leg grew" is a record
+    * instead of a guess. */
+  private def profileKneser(s: SparkSession, dir: String): Unit = {
+    import graft.ops.Text
+    val pairs = s.read.parquet(s"$dir/documents.parquet")
+      .withColumn("toks", Text.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val nPairs = time("pairs explode+count")(pairs.count())
+    val bigramCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val nTypes = time("bigramCnt build")(bigramCnt.count())
+    val nCtx = time("contextCnt build")(
+      pairs.groupBy(col("w1")).agg(count(lit(1))).count())
+    val n1fN = time("n1f build")(
+      bigramCnt.groupBy(col("w1")).agg(count(lit(1))).count())
+    println(s"[profile] kneser pairs=$nPairs bigram_types=$nTypes " +
+      s"contexts=$nCtx n1f=$n1fN")
+    time("full registered query")(
+      SparkEntry.queries("text_kneser_ney")(s, dir).count())
+  }
 
   /** Candidate-volume probe of the adaptive-width embedding band join
     * (r13 ask 1): one JSON record with the deployed widths and

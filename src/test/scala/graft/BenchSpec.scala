@@ -72,26 +72,38 @@ class BenchSpec extends AnyFunSuite {
     val cSec = Map("a" -> 42.0, "b" -> 44.8, "new_q" -> 0.7)
     val pB = Map("a" -> 100.0, "b" -> 50.0)
     val cB = Map("a" -> 100.4, "b" -> 49.9, "new_q" -> 3.0)
-    val (cls, pTot, cTot, drift) = Bench.classifyVsPrior(pSec, cSec, pB, cB)
+    val (cls, pTot, cTot, drift, nCommon) =
+      Bench.classifyVsPrior(pSec, cSec, pB, cB)
     assert(cls == "noise" && drift.isEmpty)
+    // the emitted comparison-set size is the FILTERED set, not the raw
+    // key intersection (r13 advice): new_q is absent from the prior
+    assert(nCommon == 2)
     // totals are like-for-like: new_q's 0.7 s is NOT in the total
     assert(pTot == 83.5 && cTot == 86.8)
     // wall breach alone → signal
-    val (c2, _, _, _) = Bench.classifyVsPrior(
+    val (c2, _, _, _, _) = Bench.classifyVsPrior(
       pSec, Map("a" -> 50.0, "b" -> 50.0), pB, cB)
     assert(c2 == "signal")
     // byte drift alone (>1% and >0.3 MB) → signal even with flat wall
-    val (c3, _, _, d3) = Bench.classifyVsPrior(
+    val (c3, _, _, d3, _) = Bench.classifyVsPrior(
       pSec, cSec, pB, Map("a" -> 103.0, "b" -> 50.0))
     assert(c3 == "signal" && d3 == Seq(("a", 100.0, 103.0)))
     // sub-floor byte wiggle on small rows is NOT drift (0.1 MB
     // resolution: 0.2 MB on a 5 MB row is 4% but below the floor)
-    val (c4, _, _, d4) = Bench.classifyVsPrior(
+    val (c4, _, _, d4, _) = Bench.classifyVsPrior(
       pSec, cSec, Map("a" -> 5.0), Map("a" -> 5.2))
     assert(c4 == "noise" && d4.isEmpty)
     // failed rows (sec<0) drop out of the comparison set
-    val (_, p5, _, _) = Bench.classifyVsPrior(
+    val (_, p5, _, _, n5) = Bench.classifyVsPrior(
       Map("a" -> 40.0, "b" -> -1.0), cSec, pB, cB)
-    assert(p5 == 40.0)
+    assert(p5 == 40.0 && n5 == 1)
+    // empty filtered common set (disjoint subset / all failed) is
+    // "incomparable", never a 0/0 "signal" (r13 advice)
+    val (c6, _, _, _, n6) = Bench.classifyVsPrior(
+      Map("x" -> 1.0), cSec, Map.empty, Map.empty)
+    assert(c6 == "incomparable" && n6 == 0)
+    val (c7, _, _, _, _) = Bench.classifyVsPrior(
+      Map("a" -> -1.0), Map("a" -> 5.0), Map.empty, Map.empty)
+    assert(c7 == "incomparable")
   }
 }

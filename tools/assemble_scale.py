@@ -2,7 +2,12 @@
 """Assemble BENCH_SCALE_r{N}.json from two Bench detail artifacts.
 
 Usage: python3 tools/assemble_scale.py <detail3x.json> <detail10x.json> \
-           <out.json> ["note text"] [skew_probe.json]
+           <out.json> ["note text"] [skew_probe.json] [extra_probes.json]
+
+extra_probes.json (r14+): a JSON object of additional probe records
+merged into the artifact verbatim — e.g. {"incr_candidates_probe":
+[<graft.Profile incr_candidates record at 1x/3x/10x>, ...]} so the
+candidate-volume scale curve is a committed number.
 
 Reads the per-query medians from the two Bench runs (3x and 10x scale
 dirs — 3.33x data between them), computes the per-query ratio, and
@@ -22,7 +27,7 @@ import json
 import sys
 
 
-def main(p3, p10, out, note="", skew=None):
+def main(p3, p10, out, note="", skew=None, extra=None):
     d3 = json.load(open(p3))
     d10 = json.load(open(p10))
     q3, q10 = d3["queries"], d10["queries"]
@@ -50,6 +55,8 @@ def main(p3, p10, out, note="", skew=None):
     }
     if skew:
         doc["skew_probe_10x"] = json.load(open(skew))
+    if extra:
+        doc.update(json.load(open(extra)))
     json.dump(doc, open(out, "w"), indent=1)
     worst = sorted((v, k) for k, v in ratios.items() if v)[-8:]
     print("worst ratios:", worst)
