@@ -28,6 +28,7 @@ object Profile {
       case "quota_skew" => profileQuotaSkew(spark, sfDir)
       case "incr_candidates" => profileIncrCandidates(spark, sfDir)
       case "kneser" => profileKneser(spark, sfDir)
+      case "incr_minhash" => profileIncrMinhash(spark, sfDir)
       case "containment" => profileContainment(spark, sfDir)
       case "containment2" => profileContainment2(spark, sfDir)
       case "containment3" => profileContainment3(spark, sfDir)
@@ -65,6 +66,38 @@ object Profile {
       catch { case e: Throwable =>
         System.err.println(s"[profile] record write failed: ${e.getMessage}") }
     }
+
+  /** Per-leg breakdown of dedup_incr_minhash: shingle derivation,
+    * signature/band builds, candidate join, verify. */
+  private def profileIncrMinhash(s: SparkSession, dir: String): Unit = {
+    import graft.ops.{Dedup, Incremental, Text}
+    def sets(base: Boolean) = {
+      val md = substring(md5(col("doc_id").cast("string")), 1, 1) < "d"
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(if (base) md else !md)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id").as("id"),
+          array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
+    }
+    val batch = sets(base = false); val base = sets(base = true)
+    time("batch sets count")(batch.count())
+    time("base sets count")(base.count())
+    time("base signatures")(Dedup.minhashSignatures(base).count())
+    val idx = Incremental.bandIndex(base)
+    time("base band index")(idx.count())
+    val probes = Incremental.bandIndex(batch).withColumnRenamed("id", "id_batch")
+    val cands = probes.join(idx, Seq("band", "bkey"))
+      .select(col("id_batch"), col("id").as("id_base")).distinct()
+    time("candidates distinct")(println("  cands=" + cands.count()))
+    time("full nearDupAgainstIndex")(
+      Incremental.nearDupAgainstIndex(batch, base, 0.5).count())
+    // hypothesis probe: are the wide shingle-set broadcasts the cost?
+    val thr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("full, broadcasts disabled")(
+      Incremental.nearDupAgainstIndex(batch, base, 0.5).count())
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 
   /** Per-leg breakdown of text_kneser_ney (r13 ask 7: its 10×/3× wall
     * ratio drifted 2.72 → 4.2 across rounds at byte-stable counters):

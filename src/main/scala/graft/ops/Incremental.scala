@@ -73,6 +73,15 @@ object Incremental {
     * Returns (id_batch, id_base, jaccard). Recall follows the LSH
     * s-curve (audited by `audit_incr_minhash_recall`); precision is 1.0
     * by construction. */
+  /** NOTE on parallelism: the expensive per-row work here (K-hash
+    * MinHash signatures, then the array-intersect verify) executes in
+    * the INPUT frames' partitions — callers deriving sets from a small
+    * parquet corpus must spread the derivation (see [[shingleSets]]:
+    * one raw-text exchange ahead of the shingle projection; the r14
+    * 10× probe read 31 s at 2.2 MB shuffle with everything in the
+    * 1-partition scan). On a real cluster inputs arrive
+    * pre-partitioned and no exchange is needed, which is why the
+    * spread is NOT hard-wired into this operator. */
   def nearDupAgainstIndex(batchSets: DataFrame, baseSets: DataFrame,
       threshold: Double): DataFrame = {
     val index = bandIndex(baseSets)
@@ -83,7 +92,16 @@ object Incremental {
       .distinct()
     val a = batchSets.select(col("id").as("id_batch"), col("sh").as("sh_a"))
     val b = baseSets.select(col("id").as("id_base"), col("sh").as("sh_b"))
-    cands.join(a, "id_batch").join(b, "id_base")
+    // hint("merge"): the verify sides are corpus-derived SHINGLE-SET
+    // frames — ~3 KB of strings per row — and Spark's size estimate
+    // lands them under the broadcast threshold; building the resulting
+    // 100+ MB HashedRelations on the driver dominated the whole query
+    // (r14 10× breakdown: 25.2 s with the broadcasts, 6.5 s without —
+    // everything else ~2.5 s). Same wide-row broadcast hazard that
+    // pins merge in Dedup.embeddingNearDupPlan; the skinny candidate
+    // pairs and the set frames exchange linearly instead. At 100 TB
+    // neither set side could ever broadcast.
+    cands.join(a.hint("merge"), "id_batch").join(b.hint("merge"), "id_base")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -809,8 +827,14 @@ object Incremental {
 
   private def shingleSets(s: SparkSession, dir: String,
       base: Boolean): DataFrame = {
+    // spread BEFORE the shingle projection: a small parquet corpus is
+    // ONE scan partition, and everything downstream of this derivation
+    // (shingling, MinHash signatures, the verify) inherits it — the
+    // exchange moves raw (doc_id, text) rows, ~20× narrower than the
+    // computed shingle arrays would be
     val docs = t(s, dir, "documents")
       .filter(if (base) isBase(col("doc_id")) else !isBase(col("doc_id")))
+      .repartition(s.sparkContext.defaultParallelism)
     docs.select(col("doc_id").as("id"),
       array_distinct(Text.charShingles(col("text"), 5)).as("sh"))
   }

@@ -56,8 +56,17 @@ object Linkage {
     * under half that at sf0.1. */
   def fuzzyPairs(rows: DataFrame, id: String, name: String,
       block: String, maxDist: Int): DataFrame = {
+    // spread the PROBE side: the block side of the equi-join is small
+    // enough that Spark broadcasts it, so the whole quadratic in-block
+    // pair scan executes inside the probe scan's tasks — and a
+    // dimension table arrives as ONE parquet partition (the r14 10×
+    // probe read 34 s at 0.0 MB shuffle: ~800M pair evaluations on a
+    // single core). One round-robin exchange of the probe rows (the
+    // smallest frame here) fans the scan out; under a shuffle join
+    // the extra exchange is probe-sized noise.
     val a = rows.select(col(id).as("id_a"), col(name).as("name_a"),
-      col(block).as("__blk"))
+        col(block).as("__blk"))
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
     val b = rows.select(col(id).as("id_b"), col(name).as("name_b"),
       col(block).as("__blk"))
     a.join(b, Seq("__blk"))
@@ -98,8 +107,12 @@ object Linkage {
     val governed = recs.join(broadcast(sizes), Seq("__blk"))
       .filter(Scale.wedgeGovernor(col("__blk"), col("rid"), col("__bn"), cap))
       .select(col("__blk"), col("rid"), col("rname"))
+    // probe side spread for the same single-task reason as
+    // [[fuzzyPairs]] (the governed frame inherits the 1-partition
+    // dimension scan; the JW scorer is the query's entire cost)
     val a = governed.select(col("rid").as("id_a"),
-      col("rname").as("name_a"), col("__blk"))
+        col("rname").as("name_a"), col("__blk"))
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism)
     val b = governed.select(col("rid").as("id_b"),
       col("rname").as("name_b"), col("__blk"))
     // the length-ratio prune lives INSIDE the thresholded scorer
