@@ -27,6 +27,8 @@ object Profile {
     what match {
       case "quota_skew" => profileQuotaSkew(spark, sfDir)
       case "incr_candidates" => profileIncrCandidates(spark, sfDir)
+      case "containment_candidates" =>
+        profileContainmentCandidates(spark, sfDir)
       case "kneser" => profileKneser(spark, sfDir)
       case "incr_minhash" => profileIncrMinhash(spark, sfDir)
       case "containment" => profileContainment(spark, sfDir)
@@ -58,11 +60,15 @@ object Profile {
     * probe used to reuse Bench's SPARK_GRAFT_DETAIL_PATH, so a var
     * exported once for a bench chain silently truncated the bench
     * detail artifact with the probe record (the exact clobber class
-    * the override path was added to prevent). */
+    * the override path was added to prevent). APPEND, not truncate
+    * (r14 advice): two probes run in one chain with the var exported
+    * once must both land in the record file — each record is one
+    * newline-terminated JSON line. */
   private def writeRecord(rec: String): Unit =
     sys.env.get("SPARK_GRAFT_PROFILE_RECORD_PATH").foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        rec + "\n")
+        rec + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       catch { case e: Throwable =>
         System.err.println(s"[profile] record write failed: ${e.getMessage}") }
     }
@@ -143,6 +149,28 @@ object Profile {
       s""","n_batch":${r.getLong(2)},"n_base":${r.getLong(3)}""" +
       s""","n_candidates":${r.getLong(4)}""" +
       s""","cand_per_batch_row":${r.getDouble(5)}}"""
+    writeRecord(rec)
+    println(rec)
+  }
+
+  /** Candidate-volume probe of the containment prefix filter (r14
+    * verdict ask 1): one JSON record with instance/candidate/answer
+    * counts and the per-doc curves at `dir` — run at 1×/3×/10× scale
+    * dirs and embedded in BENCH_SCALE so dedup_containment_lsh's scale
+    * ratio is attributable (candidate blowup vs honest output growth)
+    * as a frozen number. */
+  private def profileContainmentCandidates(s: SparkSession,
+      dir: String): Unit = {
+    import graft.ops.{Dedup, Text}
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), Text.charShingleHashes(col("text"), 5).as("sh"))
+    val r = time("containment_candidates")(
+      Dedup.containmentCandidateStats(docs, "doc_id", "sh", 0.8).head())
+    val rec = s"""{"probe":"containment_candidates","dir":"$dir"""" +
+      s""","n_docs":${r.getLong(0)},"posting_volume":${r.getLong(1)}""" +
+      s""","n_instances":${r.getLong(2)},"n_candidates":${r.getLong(3)}""" +
+      s""","n_pairs":${r.getLong(4)},"inst_per_doc":${r.getDouble(5)}""" +
+      s""","cand_per_doc":${r.getDouble(6)}}"""
     writeRecord(rec)
     println(rec)
   }

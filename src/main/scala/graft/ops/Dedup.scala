@@ -406,9 +406,11 @@ object Dedup {
 
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 48, bits: Int = 5,
-      dim: Int = 64, multiprobe: Boolean = false): DataFrame = {
+      dim: Int = 64, multiprobe: Boolean = false,
+      kHigh: Int = 0): DataFrame = {
     val (plan, e) = embeddingNearDupPlan(
-      corpus, idCol, vecCol, threshold, tables, bits, dim, multiprobe)
+      corpus, idCol, vecCol, threshold, tables, bits, dim, multiprobe,
+      kHigh)
     // eager materialization: the pair set is tiny relative to the corpus
     // (near-dups only), and localCheckpoint lets us release the corpus
     // cache HERE instead of leaking one pinned DataFrame per invocation
@@ -423,7 +425,8 @@ object Dedup {
     * (OpsSpec asserts the plan is equi-join only). */
   private[graft] def embeddingNearDupPlan(corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, tables: Int, bits: Int,
-      dim: Int, multiprobe: Boolean = false): (DataFrame, DataFrame) = {
+      dim: Int, multiprobe: Boolean = false,
+      kHigh: Int = 0): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.GraftBridge
     import graft.functions.Vectors
     val e = corpus.select(col(idCol).cast(LongType).as("id"),
@@ -443,11 +446,23 @@ object Dedup {
     // the cosine for duplicate candidates (pure map-side CPU), but no
     // candidate-sized frame is ever exchanged or hash-deduped — the
     // scarce resource at 100 TB is the shuffle, not the FLOPs.
+    // Mixed widths ([[adaptiveWidths]]): tables tb < kHigh hash at
+    // bits+1, the rest at bits — ONE LshBuckets evaluation at the wide
+    // width, narrow tables mask off the top bit (valid because the
+    // hyperplane (tb, b, i) is width-independent, so a bit-b bucket IS
+    // the bit-(b+1) bucket's low b bits; the same invariant the
+    // incremental index relies on, spec-locked in IncrementalSpec).
+    val wBits = if (kHigh > 0) bits + 1 else bits
+    val bkCol =
+      if (kHigh > 0)
+        when(col("pos") < kHigh, col("col"))
+          .otherwise(col("col").bitwiseAND(lit((1 << bits) - 1)))
+      else col("col")
     val banded = e.select(col("id"), col("v"), col("nrm"),
         posexplode(GraftBridge.column(graft.functions.LshBuckets(
-          GraftBridge.expression(col("v")), tables, bits, dim))))
+          GraftBridge.expression(col("v")), tables, wBits, dim))))
       .select(col("id"), col("v"), col("nrm"),
-        col("pos").as("tb"), col("col").as("bk"))
+        col("pos").as("tb"), bkCol.as("bk"))
     // multiprobe: ONE side of the self-join also probes the `bits`
     // buckets at Hamming distance 1 (mask 0 = self). With the a.id <
     // b.id filter this is symmetric-enough: pair (x, y) is found iff
@@ -456,7 +471,15 @@ object Dedup {
     // thresholds that buys ~2.5× per-table recall for probe-side rows
     // only, letting `tables` shrink ~4× for the same pair recall.
     val probeSide = if (!multiprobe) banded else {
-      val masks = array((0 +: (0 until bits).map(1 << _)).map(lit(_)): _*)
+      // Hamming-1 neighbors of the table's OWN width: wide tables
+      // (tb < kHigh) flip any of bits+1 positions, narrow ones any of
+      // `bits` — mirrors Incremental.multiprobeBands.
+      def maskArr(b: Int) =
+        array((0 +: (0 until b).map(1 << _)).map(lit(_)): _*)
+      val masks =
+        if (kHigh == 0) maskArr(bits)
+        else when(col("tb") < kHigh, maskArr(bits + 1))
+          .otherwise(maskArr(bits))
       banded.select(col("id"), col("v"), col("nrm"), col("tb"),
         explode(transform(masks, m => col("bk").bitwiseXOR(m))).as("bk"))
     }
@@ -538,9 +561,13 @@ object Dedup {
     * `materializeCands` localCheckpoints the post-filter candidate list
     * (provably tiny) so the verify join plans against its actual size.
     */
-  private[graft] def containmentPlan(docs: DataFrame, idCol: String,
-      shinglesCol: String, threshold: Double,
-      materializeCands: Boolean): (DataFrame, DataFrame) = {
+  /** Shared doc → df-ascending shingle-hash-set derivation for the
+    * containment family (see the recall discussion inside
+    * [[containmentPlan]] — BOTH branches and the candidate audit must
+    * count the SAME df-ascending prefixes). Not persisted; callers own
+    * the cache. */
+  private def containmentSetsOf(docs: DataFrame, idCol: String,
+      shinglesCol: String): DataFrame = {
     // accept pre-hashed shingle sets (array<long>, e.g. from
     // Text.charShingleHashes) or hash string shingles here
     val raw0 = docs.schema(shinglesCol).dataType match {
@@ -551,6 +578,40 @@ object Dedup {
           array_distinct(transform(col(shinglesCol), x => xxhash64(x)))
             .as("h0"))
     }
+    val toks0 = raw0.select(col("id"), explode(col("h0")).as("tok"))
+    val dfreq0 = toks0.groupBy("tok").agg(count(lit(1)).as("df"))
+    toks0.join(dfreq0, "tok")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("st"))
+      .select(col("id"),
+        transform(col("st"), s => s.getField("tok")).as("hs"))
+  }
+
+  /** MaxBucket-capped inverted postings index over [[containmentSetsOf]]
+    * rows — the build side of the prefix-filter candidate join. */
+  private def containmentPostingsOf(sets: DataFrame): DataFrame =
+    sets
+      .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
+      .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
+      .filter(size(col("ids")) <= MaxBucket)
+
+  /** Per-doc prefix rows (id_a, mm, m, tok): miss budget and
+    * extended-prefix length per doc (integer-exact: |A∩B| ≥ τ|A| ⟺
+    * |A∩B| ≥ ceil(τ|A|), the intersect is integral). */
+  private def containmentPrefixOf(sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sz = size(col("hs"))
+    val missMax = (sz - ceil(sz * threshold)).cast(IntegerType)
+    val prefLen = least(sz, missMax * 2 + 1).cast(IntegerType)
+    sets.select(col("id").as("id_a"), missMax.as("mm"),
+      prefLen.as("m"),
+      explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
+  }
+
+  private[graft] def containmentPlan(docs: DataFrame, idCol: String,
+      shinglesCol: String, threshold: Double,
+      materializeCands: Boolean): (DataFrame, DataFrame) = {
     // The pigeonhole count filter is correct for ANY choice of m "first"
     // tokens per doc (at most mm of A's tokens — any mm — can be outside
     // B when containment ≥ τ) — but only against UNCAPPED postings.
@@ -568,23 +629,13 @@ object Dedup {
     // is hoisted here and BOTH branches count df-ascending prefixes;
     // the distributed branch additionally needs it to bound its
     // pref ⋈ postings join volume on Zipf vocabularies.
-    val toks0 = raw0.select(col("id"), explode(col("h0")).as("tok"))
-    val dfreq0 = toks0.groupBy("tok").agg(count(lit(1)).as("df"))
-    val sets = toks0.join(dfreq0, "tok")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
-        .as("st"))
-      .select(col("id"),
-        transform(col("st"), s => s.getField("tok")).as("hs"))
+    val sets = containmentSetsOf(docs, idCol, shinglesCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // postings capped at MaxBucket: a dropped (stopword-like) token in a
     // doc's prefix counts as a miss it didn't really have — the same
     // audited recall trade as the Jaccard LSH harness (recall measured
     // 1.0 at both shipped SFs; audit_containment_recall tracks it)
-    val postings0 = sets
-      .select(col("id").as("id_b"), explode(col("hs")).as("tok"))
-      .groupBy("tok").agg(collect_list(col("id_b")).as("ids"))
-      .filter(size(col("ids")) <= MaxBucket)
+    val postings0 = containmentPostingsOf(sets)
     // consumed twice in the eager path (volume probe + either branch) —
     // cache so the explode+groupBy shuffle runs once
     val postings = if (materializeCands)
@@ -603,15 +654,8 @@ object Dedup {
       else {
         // `sets` is already df-ascending (hoisted above): rare tokens
         // first keeps the pref ⋈ postings volume near-linear on Zipf
-        // vocabularies. Miss budget and extended-prefix length per doc
-        // (integer-exact: |A∩B| ≥ τ|A| ⟺ |A∩B| ≥ ceil(τ|A|), the
-        // intersect is integral)
-        val sz = size(col("hs"))
-        val missMax = (sz - ceil(sz * threshold)).cast(IntegerType)
-        val prefLen = least(sz, missMax * 2 + 1).cast(IntegerType)
-        val pref = sets.select(col("id").as("id_a"), missMax.as("mm"),
-          prefLen.as("m"),
-          explode(slice(col("hs"), lit(1), prefLen)).as("tok"))
+        // vocabularies.
+        val pref = containmentPrefixOf(sets, threshold)
         // The pair-instance count runs over Σ_tok pref(tok)·|posting|
         // rows — at the 10× probe ~10 GB of shuffle landing on the
         // session's 32 partitions, whose per-task aggregation state
@@ -658,6 +702,78 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("containment"), 6).as("containment"))
     (out, sets)
+  }
+
+  /** Candidate-volume audit of the containment prefix filter (r14
+    * verdict ask 1 — the [[graft.ops.Incremental.incrCandidateStats]]
+    * pattern applied to [[containmentPlan]]): ONE row freezing every
+    * quantity the 10×/3× wall ratio could be attributed to, so
+    * "superlinear candidates" vs "superlinear ANSWER" is a recorded
+    * number instead of a guess. Columns:
+    *
+    *  - `n_docs`, `posting_volume` — corpus size and the capped
+    *    inverted-index volume (Σ|posting|, linear in corpus tokens);
+    *  - `n_instances` — prefix ⋈ postings pair-instance volume, THE
+    *    shuffled quantity of the distributed branch and exactly the
+    *    increment count of the in-memory branch (both branches count
+    *    the same df-ascending prefixes, so the audit is
+    *    branch-independent);
+    *  - `n_candidates` — pairs surviving the pigeonhole count filter
+    *    (what the exact verify join pays);
+    *  - `n_pairs` — the verified answer;
+    *  - `inst_per_doc`, `cand_per_doc` — the governed per-doc curves
+    *    (constant-ish ⇒ linear scaling; `graft.Profile <dir>
+    *    containment_candidates` measures them at the 1×/3×/10× scale
+    *    dirs and BENCH_SCALE embeds the curve).
+    */
+  def containmentCandidateStats(docs: DataFrame, idCol: String,
+      shinglesCol: String, threshold: Double): DataFrame = {
+    val sp = docs.sparkSession
+    val sets = containmentSetsOf(docs, idCol, shinglesCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sets.count()
+    val postings = containmentPostingsOf(sets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postingVolume = postings.agg(sum(size(col("ids"))))
+      .head.get(0) match { case null => 0L; case v: Long => v }
+    // same instance stream + partition sizing as the distributed branch
+    val aggParts = math.max(
+      sp.conf.get("spark.sql.shuffle.partitions").toInt,
+      math.min(4096L, postingVolume / 20000L).toInt)
+    val counted = containmentPrefixOf(sets, threshold)
+      .join(postings, "tok")
+      .select(col("id_a"), col("mm"), col("m"),
+        explode(col("ids")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .repartition(aggParts, col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("mm"), col("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inst = counted.agg(
+      sum(col("cnt")).as("n_instances"),
+      sum(when(col("cnt") >= col("m") - col("mm"), 1L).otherwise(0L))
+        .as("n_candidates")).head
+    val (nInstances, nCandidates) = (inst.getLong(0), inst.getLong(1))
+    // verified answer over the surviving candidates — the exact verify
+    // join of containmentPlan, re-run here so output growth sits in
+    // the same frozen row the candidate growth does
+    val cands = counted.filter(col("cnt") >= col("m") - col("mm"))
+      .select(col("id_a"), col("id_b"))
+    val a = sets.select(col("id").as("id_a"), col("hs").as("hs_a"))
+    val b = sets.select(col("id").as("id_b"), col("hs").as("hs_b"))
+    val nPairs = cands.join(a, "id_a").join(b, "id_b")
+      .filter(size(array_intersect(col("hs_a"), col("hs_b")))
+        .cast(DoubleType) / size(col("hs_a")) >= threshold)
+      .count()
+    counted.unpersist(blocking = false)
+    postings.unpersist(blocking = false)
+    sets.unpersist(blocking = false)
+    import sp.implicits._
+    Seq((nDocs, postingVolume, nInstances, nCandidates, nPairs,
+      math.round(nInstances.toDouble / math.max(1L, nDocs) * 100) / 100.0,
+      math.round(nCandidates.toDouble / math.max(1L, nDocs) * 100) / 100.0))
+      .toDF("n_docs", "posting_volume", "n_instances", "n_candidates",
+        "n_pairs", "inst_per_doc", "cand_per_doc")
   }
 
   /** In-memory AllPairs candidate counting for [[containmentPlan]]'s
@@ -991,6 +1107,17 @@ object Dedup {
         exactContainmentPairs(s, dir, 0.8))
         .withColumn("floor", lit(0.95))
     },
+    // candidate-volume audit of the prefix filter (r14 verdict ask 1):
+    // freezes instance/candidate/answer counts per round so the scale
+    // ratio of dedup_containment_lsh is attributable — candidate
+    // growth vs honest output growth (rows-only by nature; the
+    // recall/correctness anchors above are the oracle side)
+    "audit_containment_candidates" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.charShingleHashes(col("text"), 5).as("sh"))
+      containmentCandidateStats(docs, "doc_id", "sh", 0.8)
+    },
     // near-dup clustering: connected components over the exact pairs +
     // canonical-representative selection (keep = min id per component)
     "dedup_components" -> { (s, dir) =>
@@ -1038,20 +1165,23 @@ object Dedup {
     // audit measures the operator on a non-empty answer. Rows-only by
     // the LSH contract.
     "dedup_embedding_ann_tight" -> { (s, dir) =>
-      // 8×10 tuned at ≤5k vectors; widen past that (adaptiveBits) so
-      // bucket size stays bounded at probe scale
+      // 8×10 tuned at ≤5k vectors; widen past that with MIXED widths
+      // ([[adaptiveWidths]] — the integer-step adaptiveBits let bucket
+      // occupancy, and so candidates, oscillate 2× between corpus
+      // doublings; r14 verdict ask 2) so bucket size stays bounded at
+      // probe scale
       val emb = embWithTwins(s, dir)
-      val bits = adaptiveBits(10, emb.count(), 5000L)
+      val (bl, kh) = adaptiveWidths(10, emb.count(), 5000L, 8)
       embeddingNearDupPairs(emb, "vec_id", "v",
-        0.9, tables = 8, bits = bits, multiprobe = true)
+        0.9, tables = 8, bits = bl, multiprobe = true, kHigh = kh)
         .orderBy(col("id_a"), col("id_b"))
     },
     "audit_embedding_ann_tight_recall" -> { (s, dir) =>
       val emb = embWithTwins(s, dir)
-      val bits = adaptiveBits(10, emb.count(), 5000L)
+      val (bl, kh) = adaptiveWidths(10, emb.count(), 5000L, 8)
       pairRecall(
         embeddingNearDupPairs(emb, "vec_id", "v",
-          0.9, tables = 8, bits = bits, multiprobe = true),
+          0.9, tables = 8, bits = bl, multiprobe = true, kHigh = kh),
         exactCosinePairsOf(emb, 0.9))
     },
     // SimHash hamming-distance near-dup (not SQL-expressible)
@@ -1087,7 +1217,7 @@ object Dedup {
   )
 
   /** The embeddings corpus plus DETERMINISTIC near-duplicate twins:
-    * for every vec_id ≡ 3 (mod 50), a twin at id + 10⁹ whose
+    * for every vec_id ≡ 3 (mod 50), a twin at −(id+1) whose
     * components are the original's scaled by 1 + 0.12·sin(id·7 +
     * i·1.3) — a fixed ±12% relative perturbation, so cosine(v, twin)
     * lands ≈ 0.993–0.997, safely above the production τ = 0.9. The
@@ -1095,14 +1225,18 @@ object Dedup {
     * left the tight-ANN query answer-empty and its recall audit
     * vacuous (r13 verdict ask 2: n_exact = 0 at BOTH SFs); this arm
     * plants ~2% twins so n_exact > 0 and recall is measured on a real
-    * answer. Pure per-row column ops — no UDF, no shuffle; the twin
-    * branch is a filtered second scan unioned on. */
+    * answer. Twin ids live in the NEGATIVE id space — −(id+1) is
+    * injective on id ≥ 0 and disjoint from ANY non-negative corpus by
+    * construction (the r14-advice fixed +10⁹ offset would collide on
+    * a corpus whose ids reach 10⁹). Pure per-row column ops — no UDF,
+    * no shuffle; the twin branch is a filtered second scan unioned
+    * on. */
   private[ops] def embWithTwins(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Vectors
     val base = t(s, dir, "embeddings")
       .select(col("vec_id"), Vectors.toDouble(col("embedding")).as("v"))
     val twins = base.filter(col("vec_id") % 50 === 3)
-      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+      .select((-(col("vec_id") + lit(1L))).as("vec_id"),
         transform(col("v"), (x, i) =>
           x * (lit(1.0) + lit(0.12) *
             sin(col("vec_id") * lit(7.0) + i.cast(DoubleType) * lit(1.3))))

@@ -64,6 +64,14 @@ object Linkage {
     // single core). One round-robin exchange of the probe rows (the
     // smallest frame here) fans the scan out; under a shuffle join
     // the extra exchange is probe-sized noise.
+    // Deliberately NOT hinting broadcast on the b side (r14 advice
+    // considered): b is the SAME corpus-derived frame as a — a
+    // self-join, not a dim⋈fact — so a forced broadcast is exactly
+    // the 100 TB hazard the stats-driven planner avoids when the
+    // frame outgrows the threshold. If stats push the join to
+    // sort-merge, both sides reshuffle by __blk and this exchange is
+    // wasted — an accepted probe-sized cost, traded against a hint
+    // that would pin an unbounded frame into executor memory.
     val a = rows.select(col(id).as("id_a"), col(name).as("name_a"),
         col(block).as("__blk"))
       .repartition(rows.sparkSession.sparkContext.defaultParallelism)

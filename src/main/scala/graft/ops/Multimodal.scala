@@ -146,14 +146,20 @@ object Multimodal {
       col("doc_id").as("id_a"), col("phash").as("ph_a"))
     val b = banded.select(col("band"), col("bkey"),
       col("doc_id").as("id_b"), col("phash").as("ph_b"))
+    // verify FIRST, dedup the ANSWER: hamming is a pure function of
+    // the pair and both hashes already ride the band join row, so the
+    // bit_count filter is free map-side CPU — running it ahead of the
+    // dropDuplicates shrinks that hash exchange from candidate volume
+    // (band fan-out, the superlinear term — r14 10×/3× ratio 3.54) to
+    // answer volume. Same rows out either way (a duplicate candidate
+    // instance of a pair carries the same hamming).
     a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         expr("bit_count(ph_a ^ ph_b)").cast(LongType))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Audio-codec STUB =========================================

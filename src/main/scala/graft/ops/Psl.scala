@@ -50,12 +50,16 @@ object Psl {
       .toAscii(UTF8String.fromString(rule.toLowerCase(java.util.Locale.ROOT)))
       .toString
 
-  lazy val rules: Rules = parse(loadResourceLines())
+  lazy val rules: Rules = parse(loadResourceLines().iterator)
 
-  private def loadResourceLines(): Iterator[String] = {
+  /** Lines are MATERIALIZED before the Source closes (r14 advice: the
+    * lazy getLines iterator kept the resource InputStream open past
+    * class init) — `Using.resource` closes the stream on every path. */
+  private def loadResourceLines(): Vector[String] = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "graft/public_suffix_list.dat resource missing")
-    scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    scala.util.Using.resource(scala.io.Source.fromInputStream(in, "UTF-8"))(
+      _.getLines().toVector)
   }
 
   /** Parse per the published format: one rule per line up to the first

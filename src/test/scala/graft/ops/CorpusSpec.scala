@@ -244,11 +244,25 @@ class CorpusSpec extends AnyFunSuite {
       ("mailto:user@example.com", null),
       // host percent-normalization: decoded letters fold to lowercase
       // (RFC 3986 §6.2.2.1), escape-obfuscated www./root-dot can't
-      // dodge their strips, reserved host escapes keep uppercase hex
+      // dodge their strips
       ("http://EX%41MPLE.com/x", "http://example.com/x"),
       ("http://%77WW.a.com/", "http://a.com/"),
       ("http://a.com%2e/", "http://a.com/"),
-      ("http://a%2fb.com/x", "http://a%2Fb.com/x"))
+      // reserved host escapes now FULLY decode under the valid-UTF-8
+      // rule (r15: inside an authority %2F is malformed input; the
+      // decoded spelling is what a browser would navigate to) — and
+      // the result is still a canonicalizer fixed point
+      ("http://a%2fb.com/x", "http://a/b.com/x"),
+      // percent-encoded UTF-8 host: the THIRD spelling of one
+      // registrant — %C3%9C = 'Ü' decodes, case-folds, and
+      // IDNA-folds to the same punycode host (r14 ask 5)
+      ("http://B%C3%9CCHER.DE/x", "http://xn--bcher-kva.de/x"),
+      ("https://b%C3%BCcher.de/x", "https://xn--bcher-kva.de/x"),
+      // invalid UTF-8 escape sequences in the host (truncated lead
+      // byte, stray %) fall back to decode-unreserved normalization —
+      // garbage keys consistently with itself on both engines
+      ("http://a%c3.com/x", "http://a%C3.com/x"),
+      ("http://a%zz.com/x", "http://a%zz.com/x"))
     import spark.implicits._
     val got = cases.map(_._1).toDF("raw")
       .select(Corpus.canonicalizeUrl(col("raw"))).as[String].collect()

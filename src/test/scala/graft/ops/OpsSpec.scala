@@ -645,6 +645,46 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.adaptiveBits(10, 5000000, 5000) == 20)
   }
 
+  test("mixed-width self-join ANN: candidates nest monotonically in width") {
+    // a bit-(b+1) bucket match implies the low-b bits match, and
+    // Hamming-1 at b+1 implies Hamming-1 over the low b bits — so per
+    // table the collision set SHRINKS with width, and after the exact
+    // verify the final pair sets nest: uniform(b+1) ⊆ mixed(b, k) ⊆
+    // uniform(b). The r15 migration of the self-join harness to
+    // adaptiveWidths rides on exactly this containment.
+    def pairs(bits: Int, kh: Int) =
+      Dedup.embeddingNearDupPairs(
+        Dedup.embWithTwins(spark, "/root/testdata/sf0.001"), "vec_id", "v",
+        0.9, tables = 8, bits = bits, multiprobe = true, kHigh = kh)
+        .select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = pairs(11, 0)
+    val mixed = pairs(10, 4)
+    val narrow = pairs(10, 0)
+    assert(narrow.nonEmpty, "fixture empty — twin planting broken")
+    assert(mixed.subsetOf(narrow), "mixed ⊄ narrow")
+    assert(wide.subsetOf(mixed), "wide ⊄ mixed")
+  }
+
+  test("containmentCandidateStats: coherent with the registered path") {
+    val docs = Q.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", Text.charShingleHashes($"text", 5).as("sh"))
+    val r = Dedup.containmentCandidateStats(docs, "doc_id", "sh", 0.8).head
+    val nDocs = r.getAs[Long]("n_docs")
+    val nInst = r.getAs[Long]("n_instances")
+    val nCand = r.getAs[Long]("n_candidates")
+    val nPairs = r.getAs[Long]("n_pairs")
+    assert(nDocs == 500L)
+    // the funnel only narrows: instances ≥ surviving candidates ≥
+    // verified pairs; candidates exist whenever pairs do
+    assert(nInst >= nCand && nCand >= nPairs)
+    // the audited answer count IS the registered query's answer count
+    val registered = Dedup.containmentPairs(docs, "doc_id", "sh", 0.8)
+      .count()
+    assert(nPairs == registered, s"audit $nPairs vs registered $registered")
+    assert(r.getAs[Double]("inst_per_doc") > 0.0)
+  }
+
   test("kCore peels a pendant chain and keeps the clique") {
     // K4 on {1,2,3,4} plus chain 4-5-6: 2-core = the clique exactly,
     // and the chain needs TWO rounds (6 peels, then 5) — catching any
@@ -1168,7 +1208,8 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_exact") > 0, s"twin fixture empty: $r")
     assert(r.getAs[Double]("recall") >= 0.99, s"tight recall $r")
     // and the twins really are tight pairs of their originals: every
-    // planted (id, id+1e9) pair is in the exact answer
+    // planted (−(id+1), id) pair is in the exact answer (twin ids are
+    // negative — disjoint from any non-negative corpus, r14 advice)
     val exact = Dedup.exactCosinePairsOf(Dedup.embWithTwins(spark, sf), 0.9)
       .select(col("id_a"), col("id_b")).collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
@@ -1177,7 +1218,7 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(planted.nonEmpty)
     planted.foreach { id =>
-      assert(exact.contains((id, id + 1000000000L)),
+      assert(exact.contains((-(id + 1L), id)),
         s"twin of $id below the tight τ")
     }
   }
