@@ -106,6 +106,11 @@ object CollimateCli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the CLI's jobs are a bounded inference agg + one write — the
+      // 200-partition default just multiplies task-launch overhead on
+      // a single node (on a cluster, submit with an explicit setting)
+      .config("spark.sql.shuffle.partitions",
+        math.max(1, Runtime.getRuntime.availableProcessors()).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val opts = Collimate.Options(

@@ -45,16 +45,59 @@ object Dates {
     "yyyy/M/d H:m:s"          // slash-date variant
   )
 
+  /** Structural pre-guard per format — digit-group widths and literal
+    * separators as one anchored regex, checked BEFORE the real parse.
+    * Two jobs:
+    *
+    *  1. Fidelity: moment strict `YYYY`/`M`/`D` means exactly-4 /
+    *     1–2 / 1–2 digits, while Spark's `yyyy` is EXCEEDS_PAD
+    *     (accepts 4–19 digits) and `d` consumes up to 19 — so without
+    *     the guard `12023-1-1` is a Spark-date the reference would
+    *     reject. The guard pins the accepted shapes to the
+    *     reference's.
+    *  2. Cost: `try_to_date` rejects a non-matching value via an
+    *     internal throw/catch — the inference agg was measured at
+    *     ~160 core-seconds on a 180k-row × 16-col prefix, almost all
+    *     of it failed-parse exception machinery (§9o). The regex
+    *     fails at codegen speed; the expensive parse now runs only on
+    *     values whose shape already matches, i.e. at most one format
+    *     per value for Y-first dates (D-first `01-02-1994` still
+    *     probes both day-first orders — exactly the reference's
+    *     ambiguous-value behavior).
+    */
+  private val GuardRe: Map[String, String] = Map(
+    "yyyy-M-d" -> "^\\d{4}-\\d{1,2}-\\d{1,2}$",
+    "yyyy/M/d" -> "^\\d{4}/\\d{1,2}/\\d{1,2}$",
+    "d-M-yyyy" -> "^\\d{1,2}-\\d{1,2}-\\d{4}$",
+    "d/M/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
+    "M-d-yyyy" -> "^\\d{1,2}-\\d{1,2}-\\d{4}$",
+    "M/d/yyyy" -> "^\\d{1,2}/\\d{1,2}/\\d{4}$",
+    "yyyy-M-d H:m:s" ->
+      "^\\d{4}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}$",
+    "yyyy-M-d H:m:s.SSS" ->
+      "^\\d{4}-\\d{1,2}-\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d{3}$",
+    "yyyy-M-d'T'H:m:s" ->
+      "^\\d{4}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}$",
+    "yyyy-M-d'T'H:m:s.SSS" ->
+      "^\\d{4}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d{3}$",
+    "yyyy/M/d H:m:s" ->
+      "^\\d{4}/\\d{1,2}/\\d{1,2} \\d{1,2}:\\d{1,2}:\\d{1,2}$")
+
+  private def guarded(c: Column, fmt: String): Column =
+    c.rlike(GuardRe(fmt))
+
   /** 1 iff `c` (non-null) strictly parses with `fmt` and has the
     * reference's candidate length 8–10 (`index.js:186,306`). */
   def parses(c: Column, fmt: String): Column =
-    when(length(c).between(8, 10) && try_to_date(c, fmt).isNotNull, 1)
+    when(length(c).between(8, 10) && guarded(c, fmt) &&
+      try_to_date(c, fmt).isNotNull, 1)
       .otherwise(0)
 
   /** Timestamp analogue of [[parses]]: candidate length 14 (minimal
     * `yyyy-M-d H:m:s`) to 23 (full fraction), strict parse. */
   def tparses(c: Column, fmt: String): Column =
-    when(length(c).between(14, 23) && try_to_timestamp(c, lit(fmt)).isNotNull, 1)
+    when(length(c).between(14, 23) && guarded(c, fmt) &&
+      try_to_timestamp(c, lit(fmt)).isNotNull, 1)
       .otherwise(0)
 
   /** Normalize with a locked format; unparseable → NULL (intended

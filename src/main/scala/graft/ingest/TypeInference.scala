@@ -60,10 +60,26 @@ object TypeInference {
   /** Infer a schema for `df` (any input types; cells are canonicalized
     * as strings first, mirroring the CSV path). One count job + one
     * aggregation job. */
+  // step timers to stderr when SPARK_GRAFT_INGEST_DEBUG is set — the
+  // CLI's -v phase timers are reference-shaped (coarse); this is the
+  // inference-internal breakdown for perf work
+  private def dbg[A](what: String)(body: => A): A =
+    if (!sys.env.contains("SPARK_GRAFT_INGEST_DEBUG")) body
+    else {
+      val t0 = System.nanoTime()
+      val a = body
+      System.err.println(
+        s"[infer] $what: ${(System.nanoTime() - t0) / 1000000} ms")
+      a
+    }
+
   def infer(df: DataFrame, parseDates: Boolean = false,
       scanCap: Long = DefaultScanCap): IngestSchema = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val cols = df.columns.toSeq
-    val n = df.count()
+    val n = dbg("count")(df.count())
     if (n == 0 || cols.isEmpty) {
       // index.js:134 — empty input → empty result
       return IngestSchema(
@@ -75,10 +91,22 @@ object TypeInference {
     // quote hostile column names. Clamp before toInt: a >2^31 scanCap
     // would overflow into limit(1) silently.
     val limitRows = math.min(scan, Int.MaxValue.toLong).toInt.max(1)
-    val canon = df.limit(limitRows).select(
+    // GlobalLimit lands the whole prefix in ONE partition, and
+    // everything downstream — the ×(distinct-cols+1) Expand of the
+    // multi-distinct agg and every per-format strict date parse — would
+    // run on one core (measured 36.6 s of the 41 s lineitem-sf0.1 CLI
+    // ingest). One round-robin exchange of the bounded prefix (≤
+    // scanCap narrow rows — the cheap side; the parse work is the
+    // expensive side) fans the aggregate across the executor cores.
+    // Pure repartition of a counted multiset: every aggregate below is
+    // partition-order-insensitive, so the inferred schema is
+    // byte-identical.
+    val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val canon = df.limit(limitRows).repartition(par).select(
       cols.zipWithIndex.map { case (c, i) =>
         Nulls.canonicalize(col(c).cast(StringType)).as(s"c$i")
       }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val aggs = cols.indices.flatMap { i =>
       val c = col(s"c$i")
       Seq(
@@ -86,8 +114,7 @@ object TypeInference {
         count(expr(s"try_cast(c$i AS BIGINT)")).as(s"lng_$i"),
         count(when(expr(s"try_cast(c$i AS BIGINT)").between(IntMin, IntMax),
           1)).as(s"int_$i"),
-        count(expr(s"try_cast(c$i AS DOUBLE)")).as(s"dbl_$i"),
-        count_distinct(c).as(s"dct_$i")
+        count(expr(s"try_cast(c$i AS DOUBLE)")).as(s"dbl_$i")
       ) ++ (if (parseDates) Dates.Formats.zipWithIndex.map { case (f, k) =>
         sum(Dates.parses(c, f)).as(s"fmt${k}_$i")
       } else Nil) ++
@@ -95,14 +122,41 @@ object TypeInference {
           case (f, k) => sum(Dates.tparses(c, f)).as(s"tfmt${k}_$i")
         } else Nil)
     }
-    val r = canon.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // Distinct counts run as their OWN transpose job, not as
+    // `count_distinct` columns in the agg above: N count_distincts in
+    // one aggregate plan through an Expand that multiplies the scan
+    // ×(N+1) and whose generated projections (N+1 rows × every agg
+    // buffer) blow whole-stage codegen into janino-compile seconds of
+    // pure fixed cost (measured ~6 s of an 8.7 s inference phase on a
+    // 4.5k-row, 8-column file). The transpose is linear and
+    // codegen-small: explode to (column-index, value), two-phase
+    // distinct, count per column — still EXACT, same numbers.
+    // materialize the cached prefix with one cheap job, then run the
+    // two independent consumers CONCURRENTLY — the type-vote agg (the
+    // per-format parse work) and the distinct transpose each leave
+    // most of the core pool idle between stages; overlapping them
+    // costs nothing on a cluster (shared executor pool) and turns
+    // sequential job latency into max() on a single node
+    dbg("materialize")(canon.count())
+    val aggF = Future(
+      dbg("agg")(canon.agg(aggs.head, aggs.tail: _*).collect()(0)))
+    val dctRows = dbg("dct")(canon
+      .select(posexplode(array(cols.indices.map(i => col(s"c$i")): _*))
+        .as(Seq("i", "v")))
+      .where(col("v").isNotNull)
+      .groupBy("i", "v").agg(first(lit(1)))
+      .groupBy("i").agg(count(lit(1)).as("dct"))
+      .collect())
+    val dcts = dctRows.map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val r = dbg("agg-await")(Await.result(aggF, Duration.Inf))
+    canon.unpersist(blocking = false)
     val thresh = Categorical.threshold(n, scan)
     val fields = cols.zipWithIndex.map { case (c, i) =>
       val nn = r.getAs[Long](s"nn_$i")
       val lng = r.getAs[Long](s"lng_$i")
       val intOk = r.getAs[Long](s"int_$i")
       val dbl = r.getAs[Long](s"dbl_$i")
-      val dct = r.getAs[Long](s"dct_$i")
+      val dct = dcts.getOrElse(i, 0L)
       val surviving = if (parseDates && nn > 0)
         Dates.Formats.zipWithIndex.filter { case (_, k) =>
           Option(r.getAs[Any](s"fmt${k}_$i"))
