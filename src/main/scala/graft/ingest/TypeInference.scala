@@ -79,7 +79,17 @@ object TypeInference {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val cols = df.columns.toSeq
-    val n = dbg("count")(df.count())
+    // ONE narrow pass yields both the full row count (Σ per-partition)
+    // and the per-partition counts the parallel prefix take needs —
+    // replacing the separate df.count() job AND the df.limit(k) prefix,
+    // whose GlobalLimit pulled the whole scan prefix through ONE task
+    // (measured: 36.6 s of the 41 s lineitem-sf0.1 CLI ingest ran the
+    // inference on a single core; at a 100 TB input the 2M-row capped
+    // prefix would still funnel ~hundreds of MB through one task).
+    val pidCounts = dbg("count")(df
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1))
+    val n = pidCounts.map(_._2).sum
     if (n == 0 || cols.isEmpty) {
       // index.js:134 — empty input → empty result
       return IngestSchema(
@@ -91,18 +101,34 @@ object TypeInference {
     // quote hostile column names. Clamp before toInt: a >2^31 scanCap
     // would overflow into limit(1) silently.
     val limitRows = math.min(scan, Int.MaxValue.toLong).toInt.max(1)
-    // GlobalLimit lands the whole prefix in ONE partition, and
-    // everything downstream — the ×(distinct-cols+1) Expand of the
-    // multi-distinct agg and every per-format strict date parse — would
-    // run on one core (measured 36.6 s of the 41 s lineitem-sf0.1 CLI
-    // ingest). One round-robin exchange of the bounded prefix (≤
-    // scanCap narrow rows — the cheap side; the parse work is the
-    // expensive side) fans the aggregate across the executor cores.
-    // Pure repartition of a counted multiset: every aggregate below is
-    // partition-order-insensitive, so the inferred schema is
-    // byte-identical.
+    // Parallel prefix take, no GlobalLimit: each partition knows from
+    // the driver-side cumulative counts how many of ITS rows fall in
+    // the first `limitRows` (partition order = split order, the same
+    // order limit() consumes), and `monotonically_increasing_id` is
+    // (pid << 33) + row-in-partition, so the local row number needs no
+    // shuffle at all. The broadcast of the per-partition quota frame
+    // is P rows. Partitions past the boundary take 0 rows and finish
+    // on file-open. Same row SET as df.limit(limitRows).
+    val sp = df.sparkSession
+    val offsets = pidCounts.scanLeft(0L)(_ + _._2)
+    val need = pidCounts.zip(offsets).map { case ((pid, cnt), off) =>
+      (pid, math.min(math.max(limitRows.toLong - off, 0L), cnt)) }
+    import sp.implicits._
+    val needDf = need.toSeq.toDF("__pid", "__need")
+    val prefix = df
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", monotonically_increasing_id() -
+        shiftleft(spark_partition_id().cast(LongType), 33))
+      .join(broadcast(needDf), "__pid")
+      .filter(col("__lrn") < col("__need"))
+    // everything downstream — the per-format strict date parses and
+    // the distinct transpose — fans across the executor pool; one
+    // round-robin exchange of the bounded prefix (≤ scanCap narrow
+    // rows, the cheap side) feeds it. Pure repartition of a counted
+    // multiset: every aggregate below is partition-order-insensitive,
+    // so the inferred schema is byte-identical.
     val par = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
-    val canon = df.limit(limitRows).repartition(par).select(
+    val canon = prefix.repartition(par).select(
       cols.zipWithIndex.map { case (c, i) =>
         Nulls.canonicalize(col(c).cast(StringType)).as(s"c$i")
       }: _*)
