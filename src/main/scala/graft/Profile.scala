@@ -35,6 +35,8 @@ object Profile {
       case "containment2" => profileContainment2(spark, sfDir)
       case "containment3" => profileContainment3(spark, sfDir)
       case "pagerank" => profilePageRank(spark, sfDir)
+      case "pagerank2" => profilePageRank2(spark, sfDir)
+      case "corr" => profileCorr(spark, sfDir)
       case q => // bench-identical: untimed warm-up, median of 3, cache
         // cleared between runs
         def run(): Unit = SparkEntry.queries(q)(spark, sfDir).count()
@@ -72,6 +74,98 @@ object Profile {
       catch { case e: Throwable =>
         System.err.println(s"[profile] record write failed: ${e.getMessage}") }
     }
+
+  /** Per-iteration breakdown of graph_pagerank at the CURRENT query
+    * shape (long node ids, contribution broadcast under the node cap),
+    * parameterized by env so checkpoint cadence / broadcast choice can
+    * be A/B'd without recompiling:
+    *   SPARK_GRAFT_PR_CKPT_EVERY (default 4) — localCheckpoint cadence
+    *   SPARK_GRAFT_PR_BROADCAST (default true) — broadcast(contrib)?
+    * Run 3× so slow-mode runs (the 32-core bimodality under
+    * investigation) land inside the instrumented window. */
+  private def profilePageRank2(s: SparkSession, dir: String): Unit = {
+    import graft.ops.Graph
+    val every = sys.env.getOrElse("SPARK_GRAFT_PR_CKPT_EVERY", "4").toInt
+    val useB = sys.env.getOrElse("SPARK_GRAFT_PR_BROADCAST", "true").toBoolean
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    for (r <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_suppkey").as("sa"), col("l_partkey").as("pa"))
+        .distinct()
+        .select((col("sa") * 2).as("a"), (col("pa") * 2 + 1).as("b"))
+      val edges = li.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val e0 = edges.persist(lvl)
+      val deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = time(s"r$r deg persist+count")(deg.persist(lvl).count())
+      val m = time(s"r$r edge count")(e0.count())
+      val parts = math.max(4, math.min(64, (m / 120000L).toInt))
+      val ed = e0.coalesce(parts).persist(lvl)
+      time(s"r$r ed coalesce($parts)+count")(ed.count())
+      e0.unpersist(blocking = false)
+      val teleport = 0.15 / n
+      var ranks = deg.select(col("src").as("node"),
+        round(lit(1.0 / n), 12).as("rank"))
+      import org.apache.spark.sql.types._
+      for (i <- 1 to 10) {
+        val contrib = ranks.join(deg, ranks("node") === deg("src"))
+          .select(col("node"),
+            (col("rank") / col("deg")).cast(DecimalType(18, 12))
+              .as("contrib"))
+        val rr = if (useB) broadcast(contrib) else contrib
+        val next = ed.join(rr, ed("src") === rr("node"))
+          .groupBy(col("dst"))
+          .agg((lit(teleport) + lit(0.85) *
+            sum(col("contrib")).cast(DoubleType)).as("rr"))
+          .select(col("dst").as("node"), round(col("rr"), 12).as("rank"))
+        ranks = if (i % every == 0 || i == 10)
+          time(s"r$r iter $i ckpt")(next.localCheckpoint())
+        else next
+      }
+      time(s"r$r final count")(ranks.count())
+      ed.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      println(f"[profile] r$r TOTAL ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** Cost attribution for q_corr_matrix: the query is ONE agg pass over
+    * lineitem (4 dsum + 4 dsum-of-squares + 6 dsum cross-products +
+    * count). Times the scan alone, a plain-double agg, and the decimal
+    * (dsum) agg, to see whether the wall is I/O, agg machinery, or the
+    * DECIMAL(28,6) accumulator arithmetic. */
+  private def profileCorr(s: SparkSession, dir: String): Unit = {
+    import graft.ops.Q.dsum
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(cols.map(col): _*)
+    for (r <- 1 to 3) {
+      time(s"r$r scan count")(li.count())
+      time(s"r$r scan noop") {
+        li.write.format("noop").mode("overwrite").save()
+      }
+      val dAggs =
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
+        (for { i <- cols.indices; j <- cols.indices if i < j }
+          yield sum(col(cols(i)) * col(cols(j))).as(s"sp_$i$j"))
+      time(s"r$r double agg")(li.agg(count(lit(1)), dAggs: _*).collect())
+      val cAggs =
+        cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+        cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+        (for { i <- cols.indices; j <- cols.indices if i < j }
+          yield dsum(col(cols(i)) * col(cols(j))).as(s"sp_$i$j"))
+      time(s"r$r decimal agg")(li.agg(count(lit(1)), cAggs: _*).collect())
+      time(s"r$r full query")(
+        SparkEntry.queries("q_corr_matrix")(s, dir).count())
+    }
+  }
 
   /** Per-leg breakdown of dedup_incr_minhash: shingle derivation,
     * signature/band builds, candidate join, verify. */

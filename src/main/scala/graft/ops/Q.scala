@@ -63,4 +63,37 @@ object Q {
   /** Same trick for running/windowed sums. */
   def dsumOver(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
     sum(c.cast(DecimalType(18, 6))).over(w).cast(DoubleType)
+
+  /** Scale-adaptive scan spread (optimization guide §2.5 "input skew:
+    * one huge unsplittable file … repartition immediately after the
+    * read"). Every test-SF table is ONE parquet row group, so a scan
+    * task cannot be split by `spark.sql.files.maxPartitionBytes` and
+    * every pre-exchange operator runs on ONE core no matter the session
+    * parallelism — at sf0.1 the q_corr_matrix decimal casts measured
+    * 5.0 s of a 5.2 s query on that single task. Round-robin exchange
+    * the (projected!) scan output across the session's cores, but ONLY
+    * when the scan is narrower than the session — at production scale
+    * the inputs arrive in thousands of splits, the guard is false, and
+    * no exchange is added. Callers must only use this below
+    * order-INDEPENDENT consumers (decimal sums, counts, hash
+    * aggregations, joins) — never below first/collect_list-style
+    * order-sensitive ones.
+    *
+    * The exchange is deterministic under task retry: round-robin
+    * repartition sorts its input first (SPARK-23207,
+    * spark.sql.execution.sortBeforeRepartition stays at its default),
+    * so a re-run map task reproduces the same row→partition map. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else {
+      // hash-partition on a deterministic whole-row hash rather than
+      // round-robin: keyless repartition(n) first pays a local SORT of
+      // the input (sortBeforeRepartition, SPARK-23207) — measured ~0.6 s
+      // of pure overhead on the 600k-row corr exchange — while a
+      // deterministic key is retry-safe without it (guide §2.5: derive
+      // the synthetic key deterministically, never from rand()).
+      df.repartition(target, xxhash64(df.columns.map(col): _*))
+    }
+  }
 }

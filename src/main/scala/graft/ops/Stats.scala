@@ -156,7 +156,11 @@ object Stats {
     // both engines.
     "q_corr_matrix" -> { (s, dir) =>
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val li = t(s, dir, "lineitem")
+      // spread the single-row-group scan: the 14 per-row decimal casts
+      // measured 5.0 s of a 5.2 s query on ONE task (Profile `corr`);
+      // decimal sums are order-independent, so the exchange (4 doubles
+      // per row — projected before it) cannot change the answer
+      val li = Q.spread(t(s, dir, "lineitem").select(cols.map(col): _*))
       val aggs =
         cols.map(c => dsum(col(c)).as(s"s_$c")) ++
         cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
