@@ -385,7 +385,15 @@ object Similarity {
       m: Int = PqM, kk: Int = PqK, kCand: Int = PqCandidates,
       dim: Int = 64): DataFrame = {
     val cb = pqTrain(corpus, m, kk, dim)
-    val codes = corpus.select(col("vec_id"), pqEncode(col("v"), cb).as("codes"))
+    // Q.spread: pqEncode (m·k·d flops through interpreted higher-order
+    // array lambdas) and the per-candidate ADC pricing below both run
+    // inside the one-row-group corpus scan task otherwise; the encode
+    // is per-row-deterministic and the shortlist/rank windows carry
+    // full tie-breaks, so the exchange cannot change the answer. The
+    // TRAIN path above stays unspread: its seeded sample depends on
+    // partitioning, and the codebook must not move.
+    val codes = Q.spread(corpus)
+      .select(col("vec_id"), pqEncode(col("v"), cb).as("codes"))
     val pr = probes.select(col("query_id"),
       pqDistTable(col("qv"), cb).as("dtab"))
     val adc = codes.crossJoin(broadcast(pr))
