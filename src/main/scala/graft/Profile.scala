@@ -87,6 +87,8 @@ object Profile {
     import graft.ops.Graph
     val every = sys.env.getOrElse("SPARK_GRAFT_PR_CKPT_EVERY", "4").toInt
     val useB = sys.env.getOrElse("SPARK_GRAFT_PR_BROADCAST", "true").toBoolean
+    sys.env.get("SPARK_GRAFT_PR_AQE")
+      .foreach(v => s.conf.set("spark.sql.adaptive.enabled", v))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     for (r <- 1 to 3) {
       val t0 = System.nanoTime()
@@ -107,9 +109,31 @@ object Profile {
       time(s"r$r ed coalesce($parts)+count")(ed.count())
       e0.unpersist(blocking = false)
       val teleport = 0.15 / n
+      import org.apache.spark.sql.types._
+      val carryDeg = sys.env.get("SPARK_GRAFT_PR_CARRYDEG").contains("true")
+      if (carryDeg) {
+        var ranks = deg.select(col("src").as("node"),
+          round(lit(1.0 / n), 12).as("rank"), col("deg"))
+        for (i <- 1 to 10) {
+          val contrib = ranks.select(col("node"),
+            (col("rank") / col("deg")).cast(DecimalType(18, 12))
+              .as("contrib"))
+          val rr = if (useB) broadcast(contrib) else contrib
+          val next = ed.join(rr, ed("src") === rr("node"))
+            .groupBy(col("dst"))
+            .agg((lit(teleport) + lit(0.85) *
+              sum(col("contrib")).cast(DoubleType)).as("rr"))
+            .select(col("dst").as("node"), round(col("rr"), 12).as("rank"))
+            .join(broadcast(deg), col("node") === deg("src"))
+            .select(col("node"), col("rank"), col("deg"))
+          ranks = if (i % every == 0 || i == 10)
+            time(s"r$r iter $i ckpt")(next.localCheckpoint())
+          else next
+        }
+        time(s"r$r final count")(ranks.count())
+      } else {
       var ranks = deg.select(col("src").as("node"),
         round(lit(1.0 / n), 12).as("rank"))
-      import org.apache.spark.sql.types._
       for (i <- 1 to 10) {
         val contrib = ranks.join(deg, ranks("node") === deg("src"))
           .select(col("node"),
@@ -126,6 +150,7 @@ object Profile {
         else next
       }
       time(s"r$r final count")(ranks.count())
+      }
       ed.unpersist(blocking = false)
       deg.unpersist(blocking = false)
       println(f"[profile] r$r TOTAL ${(System.nanoTime() - t0) / 1e9}%8.3f s")
